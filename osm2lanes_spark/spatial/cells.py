@@ -1,0 +1,144 @@
+"""Hierarchical spatial cell index (H3-style API, S2-style hierarchy).
+
+The container has no h3/s2 bindings, so the engine ships its own
+deterministic cell scheme, vectorized in numpy for Arrow-batch kernels:
+
+- The world (lon ∈ [-180,180], lat ∈ [-90,90]) is a quadtree; a cell at
+  *level* L is one of 4^L tiles addressed by the Morton (Z-order)
+  interleave of its x/y tile indices.
+- ``cell_id`` packs ``(morton << 6) | level`` into an int64, so
+
+  * the *parent* is a bit-shift,
+  * all descendants of a cell at a coarser level form one contiguous
+    morton range → **cell-prefix range joins** and
+    ``repartitionByRange`` co-location work on the raw int64,
+  * ``k_ring`` (grid neighbors at the same level) is index arithmetic.
+
+This mirrors the role H3 plays in the north rule: encode way vertices →
+join on covering cells → refine with exact point-in-polygon.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_LEVEL = 28  # 2*28 morton bits + 6 level bits < 63
+
+
+def _part1by1(n: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of n into the even bit positions."""
+    n = n.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    n = (n | (n << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    n = (n | (n << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    n = (n | (n << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    n = (n | (n << np.uint64(2))) & np.uint64(0x3333333333333333)
+    n = (n | (n << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return n
+
+
+def _compact1by1(n: np.ndarray) -> np.ndarray:
+    n = n.astype(np.uint64) & np.uint64(0x5555555555555555)
+    n = (n | (n >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    n = (n | (n >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    n = (n | (n >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    n = (n | (n >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    n = (n | (n >> np.uint64(16))) & np.uint64(0xFFFFFFFF)
+    return n
+
+
+def _xy_to_morton(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    return _part1by1(x) | (_part1by1(y) << np.uint64(1))
+
+
+def _morton_to_xy(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return _compact1by1(m), _compact1by1(m >> np.uint64(1))
+
+
+def encode(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+    """Vectorized point → int64 cell id at ``level``."""
+    n = 1 << level
+    x = np.clip(((np.asarray(lon, np.float64) + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    y = np.clip(((np.asarray(lat, np.float64) + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    morton = _xy_to_morton(x.astype(np.uint64), y.astype(np.uint64))
+    return ((morton << np.uint64(6)) | np.uint64(level)).astype(np.int64)
+
+
+def cell_level(cell: np.ndarray) -> np.ndarray:
+    return (np.asarray(cell).astype(np.uint64) & np.uint64(0x3F)).astype(np.int64)
+
+
+def parent(cell: np.ndarray, parent_level: int) -> np.ndarray:
+    """Ancestor cell at a coarser level (pure bit arithmetic)."""
+    c = np.asarray(cell).astype(np.uint64)
+    level = c & np.uint64(0x3F)
+    morton = c >> np.uint64(6)
+    shift = (2 * (level - np.uint64(parent_level))).astype(np.uint64)
+    return (((morton >> shift) << np.uint64(6)) | np.uint64(parent_level)).astype(np.int64)
+
+
+def prefix_range(cell: int, child_level: int) -> tuple[int, int]:
+    """[lo, hi] inclusive cell-id range of all ``child_level`` descendants.
+
+    Because descendants share the morton prefix, this turns containment
+    into a *range predicate* — usable for range joins and for
+    ``repartitionByRange`` co-location on the raw id.
+    """
+    c = np.uint64(cell)
+    level = int(c & np.uint64(0x3F))
+    morton = int(c >> np.uint64(6))
+    dshift = 2 * (child_level - level)
+    lo = (morton << dshift) << 6 | child_level
+    hi = (((morton + 1) << dshift) - 1) << 6 | child_level
+    return int(lo), int(hi)
+
+
+def cell_bounds(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(lon_min, lat_min, lon_max, lat_max) arrays for cells."""
+    c = np.asarray(cell).astype(np.uint64)
+    level = (c & np.uint64(0x3F)).astype(np.int64)
+    morton = c >> np.uint64(6)
+    x, y = _morton_to_xy(morton)
+    n = (np.uint64(1) << level.astype(np.uint64)).astype(np.float64)
+    lon_min = x.astype(np.float64) / n * 360.0 - 180.0
+    lat_min = y.astype(np.float64) / n * 180.0 - 90.0
+    return lon_min, lat_min, lon_min + 360.0 / n, lat_min + 180.0 / n
+
+
+def k_ring(cell: int, k: int) -> np.ndarray:
+    """All cells at the same level within Chebyshev distance k (the H3
+    k-ring analogue); clipped at the world edge."""
+    c = np.uint64(cell)
+    level = int(c & np.uint64(0x3F))
+    morton = c >> np.uint64(6)
+    x, y = _morton_to_xy(np.array([morton]))
+    x, y = int(x[0]), int(y[0])
+    n = 1 << level
+    xs = np.arange(max(0, x - k), min(n, x + k + 1), dtype=np.int64)
+    ys = np.arange(max(0, y - k), min(n, y + k + 1), dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    morton = _xy_to_morton(gx.ravel().astype(np.uint64), gy.ravel().astype(np.uint64))
+    return ((morton << np.uint64(6)) | np.uint64(level)).astype(np.int64)
+
+
+def ring_cells(cell: int, k: int) -> np.ndarray:
+    """Only the hollow ring at exactly distance k (k=0 → the cell)."""
+    if k == 0:
+        return np.array([cell], dtype=np.int64)
+    full = set(k_ring(cell, k).tolist())
+    inner = set(k_ring(cell, k - 1).tolist())
+    return np.array(sorted(full - inner), dtype=np.int64)
+
+
+def cover_bbox(lon_min: float, lat_min: float, lon_max: float, lat_max: float,
+               level: int) -> np.ndarray:
+    """All cells at ``level`` intersecting a bbox (polygon covering step 1)."""
+    n = 1 << level
+    x0 = int(np.clip((lon_min + 180.0) / 360.0 * n, 0, n - 1))
+    x1 = int(np.clip((lon_max + 180.0) / 360.0 * n, 0, n - 1))
+    y0 = int(np.clip((lat_min + 90.0) / 180.0 * n, 0, n - 1))
+    y1 = int(np.clip((lat_max + 90.0) / 180.0 * n, 0, n - 1))
+    xs = np.arange(x0, x1 + 1, dtype=np.uint64)
+    ys = np.arange(y0, y1 + 1, dtype=np.uint64)
+    gx, gy = np.meshgrid(xs, ys)
+    morton = _xy_to_morton(gx.ravel(), gy.ravel())
+    return ((morton << np.uint64(6)) | np.uint64(level)).astype(np.int64)

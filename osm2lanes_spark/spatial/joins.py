@@ -1,0 +1,212 @@
+"""Spatial joins: cell-indexed containment (broadcast-or-salted) and kNN.
+
+Replaces the reference's Overpass client queries:
+- way→country containment (``is_in`` — overpass.rs:147-157,201-213) becomes
+  a cell equi-join against a covered polygon dim + ray-casting refinement;
+- nearest-way kNN (``get_nearby`` — overpass.rs:193-242) becomes an
+  expanding k-ring candidate join + ``row_number() == 1``.
+
+Scale design (100 TB / 10^12 docs):
+- the polygon dim (countries/admin areas) is tiny → **broadcast** join, no
+  shuffle of the fact side at all;
+- if a cell dim ever exceeds the broadcast threshold, the **salted** path
+  replicates the dim S ways and hashes facts into salt buckets, keeping
+  hot city cells from pinning a single reducer;
+- the PIP refinement runs only on boundary cells (``full`` covering cells
+  skip it) and is a vectorized numpy kernel inside Arrow batches.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cells as C
+from . import polygons as P
+
+DEFAULT_LEVEL = 12
+
+
+# ---------------------------------------------------------------------------
+# Encode kernel (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+def with_cell(df: DataFrame, level: int = DEFAULT_LEVEL,
+              lon: str = "lon", lat: str = "lat",
+              out: str = "cell") -> DataFrame:
+    """Add the int64 index cell of (lon, lat) at ``level``.
+
+    numpy kernel over Arrow batches (pandas_udf) — the H3-encode analogue.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def encode_udf(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        return pd.Series(C.encode(lon_s.to_numpy(), lat_s.to_numpy(), level))
+
+    return df.withColumn(out, encode_udf(F.col(lon), F.col(lat)))
+
+
+# ---------------------------------------------------------------------------
+# Polygon dim: covering cells
+# ---------------------------------------------------------------------------
+
+def polygon_cells_pdf(polygons: dict[str, np.ndarray], level: int) -> pd.DataFrame:
+    """Driver-side covering of a *small* polygon dim.
+
+    polygons: key → (V,2) ring array. Returns pandas DF
+    (cell:int64, key:str, full:bool); ``full`` cells skip PIP refinement.
+    """
+    rows = []
+    for key, ring in polygons.items():
+        covering = P.cover_polygon(ring, level)
+        full = P.classify_cells(ring, covering)
+        for cell, f in zip(covering.tolist(), full.tolist()):
+            rows.append((cell, key, f))
+    return pd.DataFrame(rows, columns=["cell", "key", "full"])
+
+
+def containment_join(points: DataFrame, polygons: dict[str, np.ndarray],
+                     level: int = DEFAULT_LEVEL,
+                     strategy: str = "broadcast",
+                     salt_buckets: int = 16,
+                     point_id: str = "doc_id") -> DataFrame:
+    """Assign each point the key of the polygon containing it.
+
+    points: DataFrame with ``point_id``, ``lon``, ``lat``.
+    Returns points columns + ``key`` (nullable — no containing polygon).
+
+    strategy='broadcast': dim broadcast, zero shuffle on the fact table.
+    strategy='salted':    explicit repartition-by-salt hash join — the
+    fallback shape for dims above the broadcast threshold; the dim is
+    replicated ``salt_buckets`` ways so a hot cell spreads over buckets.
+    """
+    spark: SparkSession = points.sparkSession
+    dim_pdf = polygon_cells_pdf(polygons, level)
+    pts = with_cell(points, level)
+
+    if strategy == "salted":
+        salted = dim_pdf.loc[dim_pdf.index.repeat(salt_buckets)].reset_index(drop=True)
+        salted["salt"] = np.tile(np.arange(salt_buckets), len(dim_pdf))
+        dim = spark.createDataFrame(salted)
+        pts = pts.withColumn("salt", F.pmod(F.xxhash64(point_id), F.lit(salt_buckets)))
+        joined = pts.join(dim, ["cell", "salt"], "left").drop("salt")
+    else:
+        dim = F.broadcast(spark.createDataFrame(dim_pdf))
+        joined = pts.join(dim, "cell", "left")
+
+    # PIP refinement only for boundary cells (full=false)
+    rings_items = sorted(polygons.items())
+    ring_keys = [k for k, _ in rings_items]
+    ring_arrays = [np.asarray(r, np.float64) for _, r in rings_items]
+
+    @F.pandas_udf(T.BooleanType())
+    def pip_udf(lon_s: pd.Series, lat_s: pd.Series, key_s: pd.Series) -> pd.Series:
+        lon = lon_s.to_numpy()
+        lat = lat_s.to_numpy()
+        out = np.zeros(len(lon), dtype=bool)
+        keys = key_s.to_numpy()
+        for k, ring in zip(ring_keys, ring_arrays):
+            mask = keys == k
+            if mask.any():
+                out[mask] = P.point_in_polygon(lon[mask], lat[mask], ring)
+        return pd.Series(out)
+
+    contained = joined.where(
+        F.col("key").isNotNull()
+        & (F.col("full") | pip_udf(F.col("lon"), F.col("lat"), F.col("key"))))
+
+    # a border point may fall in two coverings — deterministic winner
+    w = Window.partitionBy(point_id).orderBy(F.col("key"))
+    best = (contained
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(point_id, "key"))
+    return points.join(best, point_id, "left")
+
+
+# ---------------------------------------------------------------------------
+# kNN via expanding k-ring (J4)
+# ---------------------------------------------------------------------------
+
+def knn_join(queries: DataFrame, ways: DataFrame, k: int = 1,
+             level: int = DEFAULT_LEVEL, max_ring: int = 4,
+             query_id: str = "query_id", way_id: str = "way_id") -> DataFrame:
+    """Nearest ``k`` ways per query point (reference k=1 — overpass.rs:222-235).
+
+    queries: (query_id, lon, lat); ways: (way_id, geometry) where geometry
+    is array<struct<lon,lat>> — the reference's LineString.
+
+    Shape: queries explode to their k-ring candidate cells (ring grows to
+    ``max_ring``; driver loop only widens the *unmatched* remainder), ways
+    are indexed by the cells their vertices touch, the equi-join on cell
+    yields candidates, a numpy point→polyline kernel computes distances,
+    and ``row_number() OVER (PARTITION BY query ORDER BY dist)`` takes k.
+    """
+    spark = queries.sparkSession
+
+    # ways → (cell, way_id, geometry) index; a way appears once per distinct
+    # vertex cell
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def way_cells_udf(geom: pd.Series) -> pd.Series:
+        out = []
+        for g in geom:
+            lons = np.array([p["lon"] for p in g], np.float64)
+            lats = np.array([p["lat"] for p in g], np.float64)
+            out.append(np.unique(C.encode(lons, lats, level)).tolist())
+        return pd.Series(out)
+
+    way_index = (ways
+                 .withColumn("cell", F.explode(way_cells_udf(F.col("geometry"))))
+                 .select("cell", way_id, "geometry"))
+
+    def query_cells(df: DataFrame, ring_k: int) -> DataFrame:
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def cells_udf(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+            base = C.encode(lon_s.to_numpy(), lat_s.to_numpy(), level)
+            return pd.Series([C.k_ring(int(c), ring_k).tolist() for c in base])
+
+        return df.withColumn("cell", F.explode(cells_udf(F.col("lon"), F.col("lat"))))
+
+    @F.pandas_udf(T.DoubleType())
+    def dist_udf(lon_s: pd.Series, lat_s: pd.Series, geom: pd.Series) -> pd.Series:
+        out = np.empty(len(lon_s))
+        lons = lon_s.to_numpy()
+        lats = lat_s.to_numpy()
+        for i, g in enumerate(geom):
+            ring = np.array([[p["lon"], p["lat"]] for p in g], np.float64)
+            if len(ring) == 1:
+                out[i] = float(np.hypot(lons[i] - ring[0, 0], lats[i] - ring[0, 1]))
+            else:
+                out[i] = float(P.point_to_segment_dist(
+                    np.array([lons[i]]), np.array([lats[i]]), ring)[0])
+        return pd.Series(out)
+
+    remaining = queries
+    results = None
+    ring_k = 1
+    while ring_k <= max_ring:
+        cand = (query_cells(remaining, ring_k)
+                .join(way_index, "cell")
+                .withColumn("dist", dist_udf(F.col("lon"), F.col("lat"), F.col("geometry")))
+                .drop("geometry", "cell")
+                .dropDuplicates([query_id, way_id]))
+        w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(way_id).asc())
+        topk = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        topk = topk.persist()
+        matched_ids = [r[0] for r in topk.select(query_id).distinct().collect()]
+        results = topk if results is None else results.unionByName(topk)
+        remaining = remaining.where(~F.col(query_id).isin(matched_ids))
+        if remaining.isEmpty():
+            break
+        ring_k *= 2
+    if results is None:
+        return spark.createDataFrame(
+            [], queries.schema.add("way_id", T.StringType()).add("dist", T.DoubleType())
+            .add("rank", T.IntegerType()))
+    return results

@@ -1,0 +1,129 @@
+"""Spatial engine tests: cell index, PIP, containment join, kNN."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from osm2lanes_spark.fixtures import geography as G
+from osm2lanes_spark.spatial import cells as C
+from osm2lanes_spark.spatial import polygons as P
+from osm2lanes_spark.spatial.joins import containment_join, knn_join, with_cell
+
+
+# --- pure numpy ------------------------------------------------------------
+
+def test_cell_roundtrip_bounds():
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-180, 180, 1000)
+    lat = rng.uniform(-90, 90, 1000)
+    for level in (4, 10, 16):
+        cell = C.encode(lon, lat, level)
+        lon0, lat0, lon1, lat1 = C.cell_bounds(cell)
+        assert ((lon >= lon0 - 1e-9) & (lon <= lon1 + 1e-9)).all()
+        assert ((lat >= lat0 - 1e-9) & (lat <= lat1 + 1e-9)).all()
+        assert (C.cell_level(cell) == level).all()
+
+
+def test_cell_parent_prefix_range():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    fine = C.encode(lon, lat, 14)
+    coarse = C.encode(lon, lat, 8)
+    assert (C.parent(fine, 8) == coarse).all()
+    # every fine cell lies inside its parent's contiguous morton range
+    for cell, par in zip(fine[:50].tolist(), coarse[:50].tolist()):
+        lo, hi = C.prefix_range(par, 14)
+        assert lo <= cell <= hi
+
+
+def test_k_ring():
+    cell = C.encode(np.array([10.0]), np.array([20.0]), 10)[0]
+    ring0 = C.ring_cells(int(cell), 0)
+    assert list(ring0) == [cell]
+    ring1 = C.k_ring(int(cell), 1)
+    assert len(ring1) == 9
+    assert cell in set(ring1.tolist())
+    # all neighbors are adjacent: bounds touch the center cell's bounds
+    lon0, lat0, lon1, lat1 = C.cell_bounds(np.array([cell]))
+    nlon0, nlat0, nlon1, nlat1 = C.cell_bounds(ring1)
+    assert (nlon1 >= lon0[0] - 1e-9).all() and (nlon0 <= lon1[0] + 1e-9).all()
+
+
+def test_point_in_polygon():
+    square = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+    lon = np.array([2.0, 5.0, -1.0, 3.9, 2.0])
+    lat = np.array([2.0, 2.0, 2.0, 3.9, 4.5])
+    assert P.point_in_polygon(lon, lat, square).tolist() == [True, False, False, True, False]
+
+
+def test_cover_polygon_contains_all_inside_points():
+    ring = G.country_polygon("NL")
+    covering = set(P.cover_polygon(ring, 10).tolist())
+    for i in range(200):
+        x, y = G.doc_point(f"d{i}", "NL")
+        cell = int(C.encode(np.array([x]), np.array([y]), 10)[0])
+        assert cell in covering
+
+
+# --- Spark joins -----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def points_df(spark):
+    rows = []
+    countries = ["NL", "GB", "US", "DE", "JP", "AU", "CA", "CH", "IT", "FR"]
+    for i in range(400):
+        a2 = countries[i % len(countries)]
+        x, y = G.doc_point(f"doc{i}", a2)
+        rows.append((f"doc{i}", a2, float(x), float(y)))
+    return spark.createDataFrame(rows, "doc_id string, truth string, lon double, lat double")
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "salted"])
+def test_containment_join(spark, points_df, strategy):
+    polys = G.all_country_polygons(["NL", "GB", "US", "DE", "JP", "AU", "CA", "CH", "IT", "FR"])
+    out = containment_join(points_df, polys, level=10, strategy=strategy)
+    bad = out.where(F.col("key") != F.col("truth")).count()
+    missing = out.where(F.col("key").isNull()).count()
+    assert bad == 0 and missing == 0
+
+
+def test_containment_join_outside(spark):
+    # a point in no polygon resolves to NULL key
+    df = spark.createDataFrame([("x", 179.0, -89.0)], "doc_id string, lon double, lat double")
+    out = containment_join(df, G.all_country_polygons(["NL"]), level=8)
+    assert out.collect()[0]["key"] is None
+
+
+def test_broadcast_plan(spark, points_df):
+    """The containment join must broadcast the dim — no fact-side shuffle."""
+    polys = G.all_country_polygons(["NL", "GB"])
+    out = containment_join(points_df, polys, level=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_join(spark):
+    # 3 ways along known offsets; queries nearest to way B
+    ways = []
+    for wid, (cx, cy) in (("A", (10.0, 10.0)), ("B", (10.1, 10.0)), ("C", (10.3, 10.0))):
+        geom = [{"lon": cx + 0.001 * i, "lat": cy} for i in range(3)]
+        ways.append((wid, geom))
+    ways_df = spark.createDataFrame(
+        ways, "way_id string, geometry array<struct<lon:double,lat:double>>")
+    queries = spark.createDataFrame(
+        [("q1", 10.09, 10.0), ("q2", 10.31, 10.001), ("q3", 9.995, 10.0)],
+        "query_id string, lon double, lat double")
+    out = knn_join(queries, ways_df, k=1, level=12)
+    got = {r["query_id"]: r["way_id"] for r in out.collect()}
+    assert got == {"q1": "B", "q2": "C", "q3": "A"}
+
+
+def test_with_cell_matches_numpy(spark):
+    df = spark.createDataFrame([(1.5, 2.5), (-170.0, 80.0)], "lon double, lat double")
+    got = [r["cell"] for r in with_cell(df, level=9).collect()]
+    want = C.encode(np.array([1.5, -170.0]), np.array([2.5, 80.0]), 9).tolist()
+    assert got == want
