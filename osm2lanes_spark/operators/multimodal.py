@@ -1,0 +1,117 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Media (image/audio/video) rides as ``binary`` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample are Arrow-batched
+``mapInPandas`` stages. The container ships no codec libraries, so the
+*decode* step is STUBBED: ``decode_media`` raises ``NotImplementedError``
+unless a real backend (PIL / soundfile) is importable, and the tested path
+uses :func:`fake_decode` — a deterministic stand-in with the same batch
+shape, so the Spark-side plumbing (schema, partitioning, UDF signature,
+batch sizes) is real and exercised.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("kind", T.StringType()),        # image | audio | video
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ])),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("kind", T.StringType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+    T.StructField("decode_ms", T.DoubleType()),
+])
+
+
+def synth_media(spark, refs: list[str], kind: str = "image") -> DataFrame:
+    """Deterministic fake payloads (sha-keyed bytes) with typed metadata."""
+    rows = []
+    for ref in refs:
+        seed = hashlib.sha256(ref.encode()).digest()
+        payload = (seed * 8)[:192]
+        h = seed[0]
+        meta = {"width": 16 + h % 16, "height": 16 + (h // 16) % 16,
+                "sample_rate": 16000, "n_frames": 1 + h % 4, "codec": "fake"}
+        rows.append((ref, kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_media(payload: bytes, kind: str):  # pragma: no cover - stub
+    """Real decode — requires codec libs absent from this container."""
+    try:
+        if kind == "image":
+            import PIL.Image  # noqa: F401
+        elif kind == "audio":
+            import soundfile  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            f"no codec backend for kind={kind!r}; use fake_decode for tests")
+    raise NotImplementedError("real decode not wired yet")
+
+
+def fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic stand-in decode: byte-histogram features."""
+    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+    total = hist.sum() or 1
+    return (hist / total).astype(np.float32)
+
+
+def feature_extract_stage(media: DataFrame, dim: int = 8,
+                          use_fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The stage is a narrow map; payload bytes stay inside the Arrow batch
+    (no per-row Python UDF, no driver collect).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                if use_fake:
+                    feats.append(fake_decode(payload, dim).tolist())
+                else:
+                    feats.append(decode_media(payload, kind))
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "kind": pdf["kind"],
+                "feature": feats,
+                "decode_ms": np.zeros(len(pdf)),
+            })
+
+    return media.select("media_ref", "kind", "payload") \
+        .mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_stage(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled frame index.
+
+    Pure Spark (posexplode over the frame-count sequence); the actual frame
+    decode would plug into ``feature_extract_stage`` per sampled frame.
+    """
+    frames = F.sequence(F.lit(0), F.col("meta.n_frames") - 1)
+    sampled = F.filter(frames, lambda i: i % every_n == F.lit(0))
+    return (media
+            .withColumn("frame_idx", F.explode(sampled))
+            .select("media_ref", "kind", "frame_idx", "meta"))

@@ -1,0 +1,117 @@
+"""Text analysis operators for training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen); no Python UDFs. Each operator has a deterministic
+definition so a DuckDB oracle can replicate it exactly (see
+``__spark_entry__.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small function-word profile per language. Real pipelines would use
+# char-n-gram profiles; marker words keep the operator fully JVM-side and
+# oracle-checkable. Public-knowledge stopword lists.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "not"],
+    "es": ["el", "la", "los", "las", "es", "y", "de", "que", "en", "no"],
+    "fr": ["le", "la", "les", "et", "est", "de", "que", "en", "ne", "pas"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty text → empty array."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(trimmed, r"\s+"))
+
+
+def with_token_count(df: DataFrame, text_col: str = "text",
+                     out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(tokens(F.col(text_col))))
+
+
+def with_bpe_ish_token_count(df: DataFrame, text_col: str = "text",
+                             out: str = "n_subtokens") -> DataFrame:
+    """BPE-approximating count: word-piece regex splits on case/digit
+    boundaries and punctuation — a deterministic proxy for tokenizer cost."""
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"), F.lit(0))
+    # long words cost extra subtokens: ceil(len/6) pieces each
+    return df.withColumn(
+        out,
+        F.aggregate(pieces, F.lit(0),
+                    lambda acc, p: acc + F.ceil(F.length(p) / F.lit(6.0)).cast("int")))
+
+
+def normalized(text: Column) -> Column:
+    """Lowercase + collapsed whitespace — the dedup canonical form."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     out: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text."""
+    return df.withColumn(out, F.md5(normalized(F.col(text_col))))
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length/punctuation/stopword/uppercase signals.
+
+    quality_score ∈ [0,1]: penalizes very short docs, high punctuation
+    density and absence of function words (boilerplate/code smells).
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_toks = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(F.transform(toks, F.lower), stop))
+    n_upper = F.size(F.regexp_extract_all(text, F.lit(r"[A-Z]"), F.lit(0)))
+    mean_len = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0))
+    stop_hit = F.when(n_toks > 0, F.least(F.lit(1.0), n_stop / F.lit(3.0))).otherwise(F.lit(0.0))
+    length_score = F.least(F.lit(1.0), n_toks / F.lit(20.0))
+    score = (F.lit(0.4) * length_score + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+             + F.lit(0.2) * stop_hit + F.lit(0.1) * (F.lit(1.0) - upper_ratio))
+    return (df.withColumn("n_tokens", n_toks)
+            .withColumn("punct_ratio", F.round(punct_ratio, 6))
+            .withColumn("upper_ratio", F.round(upper_ratio, 6))
+            .withColumn("mean_token_len", F.round(mean_len, 6))
+            .withColumn("quality_score", F.round(score, 6)))
+
+
+def with_langid(df: DataFrame, text_col: str = "text",
+                out: str = "lang_pred") -> DataFrame:
+    """Marker-word language ID; deterministic argmax with code tie-break.
+
+    Scores = count of tokens in each language's function-word profile
+    (zh additionally matches by contains since it is unsegmented).
+    """
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = LANG_MARKERS[lang]
+        if lang == "zh":
+            score = F.aggregate(
+                F.array(*[F.lit(m) for m in markers]), F.lit(0),
+                lambda acc, m: acc + F.when(F.contains(F.col(text_col), m), 1).otherwise(0))
+        else:
+            arr = F.array(*[F.lit(m) for m in markers])
+            score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    # argmax: max score wins; ties resolve to the *earliest* code, so invert
+    # the lang ordering inside the comparator via array_sort on (-score, lang)
+    best = F.array_sort(
+        F.array(*scores),
+        lambda a, b: F.when(a["score"] > b["score"], F.lit(-1))
+        .when(a["score"] < b["score"], F.lit(1))
+        .when(a["lang"] < b["lang"], F.lit(-1))
+        .when(a["lang"] > b["lang"], F.lit(1)).otherwise(F.lit(0)))[0]
+    return df.withColumn(out, best["lang"]).withColumn(out + "_score", best["score"])

@@ -1,0 +1,192 @@
+"""Training-data operators: text analysis, dedup, similarity, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from osm2lanes_spark.operators import dedup as D
+from osm2lanes_spark.operators import multimodal as M
+from osm2lanes_spark.operators import similarity as S
+from osm2lanes_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- text ------------------------------------------------------------------
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  ",), ("one",)], "text string")
+    got = [r["n_tokens"] for r in X.with_token_count(df).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog and it is fine today"),
+         (2, "!!! ??? ### $$$"),
+         (3, "the  QUICK brown fox JUMPS over the lazy dog and it is fine today")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in X.with_quality(X.with_fingerprint(df)).collect()}
+    assert out[1]["quality_score"] > out[2]["quality_score"]
+    # fingerprint is case/whitespace-normalizing: 3 is 1 modulo case
+    assert out[1]["fingerprint"] == out[3]["fingerprint"]
+    df2 = spark.createDataFrame(
+        [(1, "a  b\tc"), (2, "A b C")], "doc_id int, text string")
+    fps = [r["fingerprint"] for r in X.with_fingerprint(df2).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_langid(spark):
+    df = spark.createDataFrame([
+        (1, "the cat and the dog is in that house for it"),
+        (2, "der hund und die katze ist nicht mit ein haus"),
+        (3, "el gato y la casa es de los perros en que no"),
+        (4, "le chat et les chiens est de que en ne pas"),
+        (5, "我是在人的家里和狗就不了"),
+    ], "doc_id int, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in X.with_langid(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "zh"}
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("hello world, 123 foo",)], "text string")
+    got = X.with_bpe_ish_token_count(df).collect()[0]["n_subtokens"]
+    # hello(1) world(1) ,(1) 123(1) foo(1) = 5
+    assert got == 5
+
+
+# --- dedup -----------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "spark engine shuffles data across partitions when grouping by key"
+    near = "spark engine shuffles data across partitions when grouping by a key"
+    other = "completely different words about cooking pasta with tomato sauce"
+    rows = [(1, base), (2, base.upper()), (3, near), (4, other),
+            (5, "spark engine shuffles data across partitions when sorting by key"),
+            (6, "unrelated text mentioning none of the above concepts at all")]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    marked = D.exact_duplicates(dup_docs, "doc_id", "text")
+    dupes = {r["doc_id"]: r["survivor_id"] for r in
+             marked.where("is_duplicate").collect()}
+    assert dupes == {2: 1}  # case-normalized duplicate
+    assert D.dedup_exact(dup_docs, "doc_id", "text").count() == 5
+
+
+def test_minhash_pairs(spark, dup_docs):
+    pairs = D.minhash_candidate_pairs(dup_docs, "doc_id", "text",
+                                      threshold=0.3).collect()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    assert (1, 3) in got  # near-dup found
+    assert all({l, r} != {4, 6} for l, r in got)  # unrelated never paired
+
+
+def test_minhash_matches_bruteforce(spark, dup_docs):
+    """LSH candidates ⊇ high-jaccard pairs; verified values identical."""
+    brute = {(r["left_id"], r["right_id"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(dup_docs, "doc_id", "text",
+                                            threshold=0.5).collect()}
+    lsh = {(r["left_id"], r["right_id"]): r["jaccard"]
+           for r in D.minhash_candidate_pairs(dup_docs, "doc_id", "text",
+                                              threshold=0.5).collect()}
+    for pair, j in brute.items():
+        assert pair in lsh and lsh[pair] == j
+
+
+def test_simhash(spark, dup_docs):
+    pairs = {(r["left_id"], r["right_id"]): r["hamming"]
+             for r in D.simhash_pairs(dup_docs, "doc_id", "text",
+                                      max_hamming=16).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0  # normalized-identical
+    assert (1, 3) in pairs  # near-dup within radius
+
+
+def test_embedding_near_dup(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = [(1, base.tolist()), (2, (base * 1.001 + 0.001).tolist()),
+            (3, rng.standard_normal(16).tolist()),
+            (4, (-base).tolist())]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id int, embedding array<double>")
+    pairs = {(r["left_id"], r["right_id"]) for r in
+             D.embedding_near_dup(df, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}
+
+
+# --- similarity ------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .withColumn("embedding", F.col("embedding").cast("array<double>")))
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    corpus = embeddings.limit(200)
+    queries = (corpus.limit(5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = S.cosine_topk(queries, corpus, k=3)
+    rows = out.collect()
+    assert len(rows) == 15
+    # verify one query against numpy brute force
+    data = {r["vec_id"]: np.array(r["embedding"]) for r in corpus.collect()}
+    qid = rows[0]["query_id"]
+    q = data[qid] / np.linalg.norm(data[qid])
+    sims = {vid: float(q @ (v / np.linalg.norm(v)))
+            for vid, v in data.items() if vid != qid}
+    want = [v for v, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
+    got = [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"])
+           if r["query_id"] == qid]
+    assert got == want
+
+
+def test_ivf_recall(spark, embeddings):
+    corpus = embeddings.limit(300)
+    queries = (corpus.limit(10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in S.cosine_topk(queries, corpus, k=1).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in S.ivf_topk(queries, corpus, k=1, n_centroids=8,
+                                  nprobe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF top-1 recall too low: {recall}"
+
+
+# --- multimodal ------------------------------------------------------------
+
+def test_multimodal_plumbing(spark):
+    media = M.synth_media(spark, [f"media://{i:04d}" for i in range(20)])
+    feats = M.feature_extract_stage(media, dim=8).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-5
+    # determinism: same ref → same feature
+    again = M.feature_extract_stage(media, dim=8).collect()
+    assert {r["media_ref"]: r["feature"] for r in feats} == \
+           {r["media_ref"]: r["feature"] for r in again}
+
+
+def test_frame_sampling(spark):
+    media = M.synth_media(spark, [f"media://{i}" for i in range(10)])
+    out = M.frame_sample_stage(media, every_n=2)
+    pdf = out.toPandas()
+    assert (pdf["frame_idx"] % 2 == 0).all()
+    assert set(pdf["media_ref"]) == {f"media://{i}" for i in range(10)}
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"xx", "image")
