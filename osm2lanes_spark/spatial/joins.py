@@ -135,18 +135,26 @@ def containment_join(points: DataFrame, polygons: dict[str, np.ndarray],
 # ---------------------------------------------------------------------------
 
 def knn_join(queries: DataFrame, ways: DataFrame, k: int = 1,
-             level: int = DEFAULT_LEVEL, max_ring: int = 4,
+             level: int = DEFAULT_LEVEL, max_ring: int = 8,
              query_id: str = "query_id", way_id: str = "way_id") -> DataFrame:
-    """Nearest ``k`` ways per query point (reference k=1 — overpass.rs:222-235).
+    """Exact nearest-``k`` ways per query point (reference k=1 —
+    overpass.rs:222-235, expanding-radius Overpass search).
 
     queries: (query_id, lon, lat); ways: (way_id, geometry) where geometry
     is array<struct<lon,lat>> — the reference's LineString.
 
-    Shape: queries explode to their k-ring candidate cells (ring grows to
-    ``max_ring``; driver loop only widens the *unmatched* remainder), ways
-    are indexed by the cells their vertices touch, the equi-join on cell
-    yields candidates, a numpy point→polyline kernel computes distances,
-    and ``row_number() OVER (PARTITION BY query ORDER BY dist)`` takes k.
+    Shape: queries explode to k-ring candidate cells (the ring doubles each
+    round, only for the *unfinished* remainder), ways are indexed by the
+    cells their vertices touch, the equi-join on cell yields candidates,
+    a numpy point→polyline kernel computes distances, and
+    ``row_number() OVER (PARTITION BY query ORDER BY dist)`` takes k.
+
+    Exactness: a query finishes only when its kth-best distance is within
+    the ring's geometric guarantee (cells beyond Chebyshev ring r are at
+    least ``r * min_cell_dim`` away), so no unseen cell can hold a closer
+    way. Queries still unfinished at ``max_ring`` fall back to a brute
+    force against the full way set — they are the sparse remainder, so the
+    cross join is small.
     """
     spark = queries.sparkSession
 
@@ -187,26 +195,57 @@ def knn_join(queries: DataFrame, ways: DataFrame, k: int = 1,
                     np.array([lons[i]]), np.array([lats[i]]), ring)[0])
         return pd.Series(out)
 
+    min_cell_dim = 180.0 / (1 << level)  # lat extent is the tighter one
+
+    def topk_of(cand: DataFrame) -> DataFrame:
+        w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(),
+                                                 F.col(way_id).asc())
+        return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k))
+
     remaining = queries
-    results = None
+    finished_parts: list[DataFrame] = []
     ring_k = 1
-    while ring_k <= max_ring:
+    world = 1 << level
+    while ring_k <= max_ring and ring_k < world:
         cand = (query_cells(remaining, ring_k)
                 .join(way_index, "cell")
-                .withColumn("dist", dist_udf(F.col("lon"), F.col("lat"), F.col("geometry")))
+                .withColumn("dist", dist_udf(F.col("lon"), F.col("lat"),
+                                             F.col("geometry")))
                 .drop("geometry", "cell")
                 .dropDuplicates([query_id, way_id]))
-        w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(way_id).asc())
-        topk = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
-        topk = topk.persist()
-        matched_ids = [r[0] for r in topk.select(query_id).distinct().collect()]
-        results = topk if results is None else results.unionByName(topk)
-        remaining = remaining.where(~F.col(query_id).isin(matched_ids))
+        topk = topk_of(cand).persist()
+        # finished: kth best within the ring guarantee (no unseen cell can
+        # hold anything closer than ring_k * min_cell_dim)
+        guarantee = ring_k * min_cell_dim
+        counts = (topk.groupBy(query_id)
+                  .agg(F.max("dist").alias("_kth"), F.count("*").alias("_n")))
+        done_ids = [r[0] for r in counts
+                    .where((F.col("_n") >= k) & (F.col("_kth") <= guarantee))
+                    .collect()]
+        if done_ids:
+            finished_parts.append(
+                topk.where(F.col(query_id).isin(done_ids)))
+            remaining = remaining.where(~F.col(query_id).isin(done_ids))
         if remaining.isEmpty():
             break
         ring_k *= 2
-    if results is None:
+    else:
+        pass
+    if not remaining.isEmpty():
+        # sparse remainder: exact brute force (small side crossJoin)
+        brute = (F.broadcast(remaining).crossJoin(
+                    ways.select(way_id, "geometry"))
+                 .withColumn("dist", dist_udf(F.col("lon"), F.col("lat"),
+                                              F.col("geometry")))
+                 .drop("geometry")
+                 .dropDuplicates([query_id, way_id]))
+        finished_parts.append(topk_of(brute))
+    if not finished_parts:
         return spark.createDataFrame(
-            [], queries.schema.add("way_id", T.StringType()).add("dist", T.DoubleType())
-            .add("rank", T.IntegerType()))
-    return results
+            [], queries.schema.add("way_id", T.StringType())
+            .add("dist", T.DoubleType()).add("rank", T.IntegerType()))
+    out = finished_parts[0]
+    for part in finished_parts[1:]:
+        out = out.unionByName(part)
+    return out
