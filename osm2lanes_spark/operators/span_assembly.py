@@ -21,10 +21,11 @@ def tag_entries(spans: Column) -> Column:
     Ordering by ``offset`` preserves the document's span sequence; the
     split on the *first* '=' mirrors Tags::from_str (osm-tags lib.rs:274).
     """
-    tags = F.filter(spans, lambda s: s["kind"] == F.lit("tag"))
-    tags = F.array_sort(
-        tags, lambda a, b: F.when(a["offset"] < b["offset"], F.lit(-1))
-        .when(a["offset"] > b["offset"], F.lit(1)).otherwise(F.lit(0)))
+    # natural struct ordering (offset leads) instead of a lambda comparator:
+    # comparator lambdas defeat codegen; field-order sort stays compiled
+    tags = F.array_sort(F.transform(
+        F.filter(spans, lambda s: s["kind"] == F.lit("tag")),
+        lambda s: F.struct(s["offset"].alias("offset"), s["text"].alias("text"))))
     return F.transform(
         tags,
         lambda s: F.struct(
@@ -58,10 +59,10 @@ def with_tags(df: DataFrame, spans_col: str = "spans",
 
 def media_refs(spans: Column) -> Column:
     """Ordered media refs of a document (carried through untouched)."""
-    media = F.filter(spans, lambda s: s["kind"] == F.lit("media"))
-    media = F.array_sort(
-        media, lambda a, b: F.when(a["offset"] < b["offset"], F.lit(-1))
-        .when(a["offset"] > b["offset"], F.lit(1)).otherwise(F.lit(0)))
+    media = F.array_sort(F.transform(
+        F.filter(spans, lambda s: s["kind"] == F.lit("media")),
+        lambda s: F.struct(s["offset"].alias("offset"),
+                           s["media_ref"].alias("media_ref"))))
     return F.transform(media, lambda s: s["media_ref"])
 
 
@@ -71,9 +72,10 @@ def span_fingerprint(spans: Column) -> Column:
     This is the span-sequence equality invariant: any stage that claims to
     carry documents through untouched must preserve this fingerprint.
     """
-    ordered = F.array_sort(
-        spans, lambda a, b: F.when(a["offset"] < b["offset"], F.lit(-1))
-        .when(a["offset"] > b["offset"], F.lit(1)).otherwise(F.lit(0)))
+    ordered = F.array_sort(F.transform(
+        spans, lambda s: F.struct(
+            s["offset"].alias("offset"), s["kind"].alias("kind"),
+            s["text"].alias("text"), s["media_ref"].alias("media_ref"))))
     canon = F.transform(
         ordered,
         lambda s: F.concat_ws(

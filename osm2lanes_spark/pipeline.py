@@ -39,7 +39,7 @@ def locale_dim(spark: SparkSession) -> DataFrame:
 
 
 def resolve_locale(docs: DataFrame, polygons: dict[str, np.ndarray],
-                   level: int = 10, strategy: str = "broadcast") -> DataFrame:
+                   level: int = 10, strategy: str = "map") -> DataFrame:
     """Resolve (iso_3166_2, driving_side) for each document from geometry.
 
     docs must carry ``doc_id``, ``lon``, ``lat``. Containment join →
@@ -56,7 +56,7 @@ def resolve_locale(docs: DataFrame, polygons: dict[str, np.ndarray],
 def lanes_pipeline(docs: DataFrame,
                    polygons: Optional[dict[str, np.ndarray]] = None,
                    level: int = 10,
-                   strategy: str = "broadcast",
+                   strategy: str = "map",
                    include_separators: bool = True) -> DataFrame:
     """Full pipeline. When ``polygons`` is None the documents must already
     carry locale columns (iso_3166_2 / driving_side)."""

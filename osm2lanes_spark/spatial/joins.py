@@ -37,19 +37,41 @@ DEFAULT_LEVEL = 12
 # Encode kernel (Arrow-batched)
 # ---------------------------------------------------------------------------
 
+def _spread_bits(col):
+    """Morton bit-spread, pure JVM column arithmetic (mirrors
+    cells._part1by1 so JVM and numpy encoders agree bit-for-bit)."""
+    masks = [(16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+             (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+             (1, 0x5555555555555555)]
+    out = col.bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
+    for shift, mask in masks:
+        out = (out.bitwiseOR(F.shiftleft(out, shift))
+               .bitwiseAND(F.lit(mask).cast("long")))
+    return out
+
+
+def cell_expr(lon, lat, level: int):
+    """int64 cell id of (lon, lat) at ``level`` — whole-stage-codegen'd.
+
+    This is the hot-path encoder: at 10^12 rows the encode must not leave
+    the JVM. The numpy kernel in :mod:`cells` is the batch-side twin used
+    inside Arrow UDFs (e.g. multi-vertex way geometries); both produce
+    identical ids (asserted in tests).
+    """
+    n = 1 << level
+    x = F.least(F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
+                           .cast("long"), F.lit(0)), F.lit(n - 1))
+    y = F.least(F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n)
+                           .cast("long"), F.lit(0)), F.lit(n - 1))
+    morton = _spread_bits(x).bitwiseOR(F.shiftleft(_spread_bits(y), 1))
+    return F.shiftleft(morton, 6).bitwiseOR(F.lit(level)).cast("long")
+
+
 def with_cell(df: DataFrame, level: int = DEFAULT_LEVEL,
               lon: str = "lon", lat: str = "lat",
               out: str = "cell") -> DataFrame:
-    """Add the int64 index cell of (lon, lat) at ``level``.
-
-    numpy kernel over Arrow batches (pandas_udf) — the H3-encode analogue.
-    """
-
-    @F.pandas_udf(T.LongType())
-    def encode_udf(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
-        return pd.Series(C.encode(lon_s.to_numpy(), lat_s.to_numpy(), level))
-
-    return df.withColumn(out, encode_udf(F.col(lon), F.col(lat)))
+    """Add the int64 index cell of (lon, lat) at ``level`` (JVM-side)."""
+    return df.withColumn(out, cell_expr(F.col(lon), F.col(lat), level))
 
 
 # ---------------------------------------------------------------------------
@@ -73,7 +95,7 @@ def polygon_cells_pdf(polygons: dict[str, np.ndarray], level: int) -> pd.DataFra
 
 def containment_join(points: DataFrame, polygons: dict[str, np.ndarray],
                      level: int = DEFAULT_LEVEL,
-                     strategy: str = "broadcast",
+                     strategy: str = "map",
                      salt_buckets: int = 16,
                      point_id: str = "doc_id") -> DataFrame:
     """Assign each point the key of the polygon containing it.
@@ -81,12 +103,20 @@ def containment_join(points: DataFrame, polygons: dict[str, np.ndarray],
     points: DataFrame with ``point_id``, ``lon``, ``lat``.
     Returns points columns + ``key`` (nullable — no containing polygon).
 
-    strategy='broadcast': dim broadcast, zero shuffle on the fact table.
-    strategy='salted':    explicit repartition-by-salt hash join — the
+    strategy='map':       ZERO-shuffle narrow map — the covering-cell
+    index (a broadcast-sized dict) and the PIP refinement run in one Arrow
+    stage. The optimal shape while the polygon dim fits in worker memory
+    (countries/admin areas always do); the plan stays a pure pipeline with
+    the scan and downstream stages.
+    strategy='broadcast': dim as broadcast hash join; one groupBy shuffle
+    to resolve multi-cell candidates.
+    strategy='salted':    explicit replicate-by-salt hash join — the
     fallback shape for dims above the broadcast threshold; the dim is
     replicated ``salt_buckets`` ways so a hot cell spreads over buckets.
     """
     spark: SparkSession = points.sparkSession
+    if strategy == "map":
+        return _containment_map(points, polygons, level, point_id)
     dim_pdf = polygon_cells_pdf(polygons, level)
     pts = with_cell(points, level)
 
@@ -117,17 +147,60 @@ def containment_join(points: DataFrame, polygons: dict[str, np.ndarray],
                 out[mask] = P.point_in_polygon(lon[mask], lat[mask], ring)
         return pd.Series(out)
 
-    contained = joined.where(
+    # Match flag: covering-cell hit refined by PIP only on boundary cells.
+    matched_key = F.when(
         F.col("key").isNotNull()
-        & (F.col("full") | pip_udf(F.col("lon"), F.col("lat"), F.col("key"))))
+        & (F.col("full") | pip_udf(F.col("lon"), F.col("lat"), F.col("key"))),
+        F.col("key"))
 
-    # a border point may fall in two coverings — deterministic winner
-    w = Window.partitionBy(point_id).orderBy(F.col("key"))
-    best = (contained
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(point_id, "key"))
-    return points.join(best, point_id, "left")
+    # Single-shuffle finalize: per point take the min matching key (border
+    # points in two coverings get a deterministic winner) and carry the
+    # original row along — no join-back to the fact table.
+    other_cols = [c for c in points.columns if c != point_id]
+    return (joined
+            .withColumn("_mkey", matched_key)
+            .groupBy(point_id)
+            .agg(F.min("_mkey").alias("key"),
+                 *[F.first(c).alias(c) for c in other_cols])
+            .select(point_id, *other_cols, "key"))
+
+
+def _containment_map(points: DataFrame, polygons: dict[str, np.ndarray],
+                     level: int, point_id: str) -> DataFrame:
+    """Shuffle-free containment: cell→candidates dict + PIP in one kernel."""
+    dim_pdf = polygon_cells_pdf(polygons, level)
+    cell_index: dict[int, list[tuple[str, bool]]] = {}
+    for cell, key, full in dim_pdf.itertuples(index=False):
+        cell_index.setdefault(int(cell), []).append((key, bool(full)))
+    rings = {k: np.asarray(r, np.float64) for k, r in polygons.items()}
+
+    @F.pandas_udf(T.StringType())
+    def resolve_udf(cell_s: pd.Series, lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        cells_arr = cell_s.to_numpy()
+        lon = lon_s.to_numpy(np.float64)
+        lat = lat_s.to_numpy(np.float64)
+        out = np.full(len(cells_arr), None, dtype=object)
+        pending: dict[str, list[int]] = {}
+        for i, c in enumerate(cells_arr):
+            for key, full in cell_index.get(int(c), ()):  # few candidates
+                if full:
+                    if out[i] is None or key < out[i]:
+                        out[i] = key
+                else:
+                    pending.setdefault(key, []).append(i)
+        # vectorized PIP per polygon over its boundary-cell points
+        for key in sorted(pending):
+            idx = np.array(pending[key])
+            hit = P.point_in_polygon(lon[idx], lat[idx], rings[key])
+            for i in idx[hit]:
+                if out[i] is None or key < out[i]:
+                    out[i] = key
+        return pd.Series(out)
+
+    pts = with_cell(points, level)
+    return (pts.withColumn(
+        "key", resolve_udf(F.col("cell"), F.col("lon"), F.col("lat")))
+        .drop("cell"))
 
 
 # ---------------------------------------------------------------------------

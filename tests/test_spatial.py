@@ -82,7 +82,7 @@ def points_df(spark):
     return spark.createDataFrame(rows, "doc_id string, truth string, lon double, lat double")
 
 
-@pytest.mark.parametrize("strategy", ["broadcast", "salted"])
+@pytest.mark.parametrize("strategy", ["map", "broadcast", "salted"])
 def test_containment_join(spark, points_df, strategy):
     polys = G.all_country_polygons(["NL", "GB", "US", "DE", "JP", "AU", "CA", "CH", "IT", "FR"])
     out = containment_join(points_df, polys, level=10, strategy=strategy)
@@ -99,11 +99,19 @@ def test_containment_join_outside(spark):
 
 
 def test_broadcast_plan(spark, points_df):
-    """The containment join must broadcast the dim — no fact-side shuffle."""
+    """broadcast strategy: the dim side broadcasts — no fact-side shuffle."""
     polys = G.all_country_polygons(["NL", "GB"])
-    out = containment_join(points_df, polys, level=8)
+    out = containment_join(points_df, polys, level=8, strategy="broadcast")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_map_strategy_no_shuffle(spark, points_df):
+    """map strategy: a pure narrow map — zero Exchange in the plan."""
+    polys = G.all_country_polygons(["NL", "GB"])
+    out = containment_join(points_df, polys, level=8, strategy="map")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_knn_join(spark):
