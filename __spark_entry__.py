@@ -259,13 +259,25 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
+    """Hyperplane-LSH near-dup detection with planted duplicates.
+
+    The natural corpus peaks at cosine ≈0.51, so near-dups are planted:
+    vectors 0..49 reappear (id+100000) with a small additive perturbation
+    (cosine ≈0.9999 ≫ threshold, natural pairs ≪ threshold — no boundary
+    cases, so the LSH output equals the DuckDB brute-force oracle).
+    """
     from osm2lanes_spark.operators.dedup import embedding_near_dup
 
     emb = (_read(spark, sf_dir, "embeddings")
-           .withColumn("embedding", F.col("embedding").cast("array<double>")))
-    # synthetic embeddings peak at cosine ≈0.51 — threshold tuned so the
-    # operator has work to do on this corpus
-    return embedding_near_dup(emb, dim=64, planes=8, bands=4, threshold=0.4)
+           .withColumn("embedding", F.col("embedding").cast("array<double>"))
+           .select("vec_id", "embedding"))
+    planted = (emb.where(F.col("vec_id") < 50)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.transform(F.col("embedding"),
+                                   lambda x: x + F.lit(0.01)).alias("embedding")))
+    both = emb.unionByName(planted)
+    out = embedding_near_dup(both, dim=64, planes=32, bands=4, threshold=0.95)
+    return out.select("left_id", "right_id")
 
 
 def _q_langid(spark, sf_dir):
@@ -427,6 +439,20 @@ def oracle_sql() -> dict[str, str]:
                    round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / length(text), 6) AS upper_ratio,
                    round(length(text) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS mean_token_len
             FROM documents
+        """,
+        "embedding_neardup": """
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            planted AS (
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(v, x -> x + 0.01) AS v
+                FROM base WHERE vec_id < 50),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.95
         """,
         "ann_topk": """
             WITH c AS (

@@ -15,8 +15,12 @@ Scale shape (the point at 100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import normalized
 
@@ -60,26 +64,6 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks))))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """H salted-xxhash64 minima over the shingle set — array<long>."""
-    return F.array(*[
-        F.array_min(F.transform(
-            shingles, lambda s: F.xxhash64(F.lit(i), s)))
-        for i in range(num_hashes)
-    ])
-
-
-def minhash_bands(signature: Column, bands: int, rows: int) -> Column:
-    """Split the signature into bands and hash each band — array<struct>."""
-    return F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[signature[b * rows + r] for r in range(rows)]).alias("band_hash"),
-        )
-        for b in range(bands)
-    ])
-
-
 def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
@@ -94,29 +78,43 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
     Returns (left_id, right_id, jaccard) with left < right, jaccard ≥
     threshold. Only band-colliding pairs are ever joined.
+
+    Scale shape: signatures come from ``explode(shingles) → groupBy(id)``
+    with one ``min(xxhash64(salt_i, shingle))`` per hash — each shingle is
+    hashed exactly H times with map-side partial aggregation, and the
+    aggregation is an optimizer barrier, so nothing re-inlines the shingle
+    expression (a naive nested-expression formulation explodes
+    combinatorially under CollapseProject).
     """
     rows = num_hashes // bands
-    sig = (df
-           .select(F.col(id_col).alias("id"),
+    sh = df.select(F.col(id_col).alias("id"),
                    word_shingles(F.col(text_col), shingle_n).alias("shingles"))
-           .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
-           .withColumn("band", F.explode(minhash_bands(F.col("sig"), bands, rows)))
-           .select("id", "shingles", F.col("band.band").alias("band"),
-                   F.col("band.band_hash").alias("band_hash")))
-    left = sig.select(F.col("id").alias("left_id"),
-                      F.col("shingles").alias("left_shingles"),
-                      "band", "band_hash")
-    right = sig.select(F.col("id").alias("right_id"),
-                       F.col("shingles").alias("right_shingles"),
-                       "band", "band_hash")
-    pairs = (left.join(right, ["band", "band_hash"])
-             .where(F.col("left_id") < F.col("right_id"))
-             .dropDuplicates(["left_id", "right_id"])
-             .withColumn("jaccard",
-                         F.round(jaccard(F.col("left_shingles"), F.col("right_shingles")), 6))
-             .where(F.col("jaccard") >= threshold)
-             .select("left_id", "right_id", "jaccard"))
-    return pairs
+    sig = (sh.select("id", F.explode("shingles").alias("shingle"))
+           .groupBy("id")
+           .agg(*[F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+                  for i in range(num_hashes)]))
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+                .alias("band_hash"))
+            for b in range(bands)
+        ])).alias("bb")).select("id", "bb.band", "bb.band_hash")
+    left = banded.select(F.col("id").alias("left_id"), "band", "band_hash")
+    right = banded.select(F.col("id").alias("right_id"), "band", "band_hash")
+    cand = (left.join(right, ["band", "band_hash"])
+            .where(F.col("left_id") < F.col("right_id"))
+            .select("left_id", "right_id")
+            .dropDuplicates(["left_id", "right_id"]))
+    # exact-Jaccard verification only on candidates
+    lsh = sh.select(F.col("id").alias("left_id"), F.col("shingles").alias("lsh"))
+    rsh = sh.select(F.col("id").alias("right_id"), F.col("shingles").alias("rsh"))
+    return (cand.join(lsh, "left_id").join(rsh, "right_id")
+            .withColumn("jaccard", F.round(jaccard(F.col("lsh"), F.col("rsh")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("left_id", "right_id", "jaccard"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -138,31 +136,34 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash of the token set, all JVM-side.
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, sim) 64-bit SimHash of each doc's token set, all JVM-side.
 
-    Per-bit vote: for each of 64 bits, sum ±1 over token hashes; bit set
-    when the vote is positive.
+    Per-bit vote: for each of 64 bits, sum ±1 over distinct-token hashes;
+    bit set when the vote is positive. Tokens are exploded and the votes
+    are 64 ``sum`` aggregates — map-side combine, aggregation barrier (no
+    expression re-inlining), one shuffle keyed by id.
     """
-    toks = F.array_distinct(F.split(normalized(text), " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def vote(b: int) -> Column:
-        mask = F.shiftleft(F.lit(1).cast("long"), b)
-        return F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1))
-            .otherwise(F.lit(-1)))
-
-    bit_votes = F.array(*[vote(b) for b in range(64)])
     from functools import reduce
 
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(
+                          F.split(normalized(F.col(text_col)), " "))).alias("tok"))
+            .withColumn("h", F.xxhash64("tok")))
+    votes = toks.groupBy("id").agg(*[
+        F.sum(F.when(F.col("h").bitwiseAND(
+            F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1))
+        .alias(f"v{b}")
+        for b in range(64)
+    ])
     bits = [
-        F.when(bit_votes[b] > 0, F.shiftleft(F.lit(1).cast("long"), b))
+        F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
         .otherwise(F.lit(0).cast("long"))
         for b in range(64)
     ]
-    return reduce(lambda a, c: a.bitwiseOR(c), bits)
+    sim = reduce(lambda a, c: a.bitwiseOR(c), bits)
+    return votes.select("id", sim.alias("sim"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -173,7 +174,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     are still found when any 16-bit quarter matches (standard banding
     trade-off — recall documented, precision exact via popcount verify).
     """
-    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim"))
+    sig = simhash_signatures(df, id_col, text_col)
     banded = sig.select(
         "id", "sim",
         F.explode(F.array(*[
@@ -204,37 +205,37 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
                        threshold: float = 0.95) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold.
 
-    Deterministic hyperplanes (hash-seeded), sign-bit sketch banded into
+    Deterministic hyperplanes (fixed-seed), sign-bit sketch banded into
     ``bands`` buckets; candidates verified with exact cosine — the same
     bucket-join shape as MinHash, so it scales identically.
-    """
-    import numpy as np
 
+    The sketch is a numpy matmul over Arrow batches (V @ H.T >= 0) — a
+    numeric kernel, not 16 nested JVM expressions (which would re-inline
+    the unit-vector expression per plane under CollapseProject).
+    """
     rng = np.random.default_rng(12345)  # fixed seed → deterministic planes
     hp = rng.standard_normal((planes, dim))
+    per_band = planes // bands
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def sketch_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (N, dim)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        bits = ((m / norms) @ hp.T >= 0).astype(np.uint8)  # (N, planes)
+        out = []
+        for row in bits:
+            out.append(["".join(map(str, row[b * per_band:(b + 1) * per_band]))
+                        for b in range(bands)])
+        return pd.Series(out)
 
     vec = F.col(vec_col)
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
     unit = F.transform(vec, lambda x: x / norm)
 
-    def dot_plane(p):
-        return F.aggregate(
-            F.zip_with(unit, F.array(*[F.lit(float(v)) for v in hp[p]]),
-                       lambda a, b: a * b),
-            F.lit(0.0), lambda a, x: a + x)
-
-    bits = [F.when(dot_plane(p) >= 0, 1).otherwise(0) for p in range(planes)]
-    per_band = planes // bands
-    band_vals = [
-        F.concat_ws("", *[bits[b * per_band + i].cast("string")
-                          for i in range(per_band)])
-        for b in range(bands)
-    ]
-    sig = df.select(F.col(id_col).alias("id"), unit.alias("unit"),
-                    F.explode(F.array(*[
-                        F.struct(F.lit(b).alias("band"), band_vals[b].alias("band_val"))
-                        for b in range(bands)
-                    ])).alias("bb")).select("id", "unit", "bb.band", "bb.band_val")
+    sig = (df.select(F.col(id_col).alias("id"), unit.alias("unit"),
+                     F.posexplode(sketch_udf(vec)).alias("band", "band_val"))
+           .select("id", "unit", "band", "band_val"))
     l = sig.select(F.col("id").alias("left_id"), F.col("unit").alias("lu"),
                    "band", "band_val")
     r = sig.select(F.col("id").alias("right_id"), F.col("unit").alias("ru"),
