@@ -86,16 +86,24 @@ def _transform_row(tags: Optional[dict], iso: Optional[str],
     return out
 
 
-def tags_to_lanes_stage(df: DataFrame, include_separators: bool = True) -> DataFrame:
+def tags_to_lanes_stage(df: DataFrame, include_separators: bool = True,
+                        locale_resolver=None) -> DataFrame:
     """documents(+locale columns) → ROAD_SCHEMA rows.
 
     Expects columns: ``doc_id``, ``spans`` and optionally ``iso_3166_2`` /
     ``driving_side`` (produced upstream by the spatial locale join or
     carried on the fixture). Narrow map stage — no shuffle.
+
+    ``locale_resolver``: optional fused spatial-locale resolution — a
+    callable ``(cell:int64 ndarray, lon, lat ndarray) → (iso, side) object
+    arrays`` (see ``spatial.joins.make_locale_resolver``). When given, the
+    ``cell`` is computed JVM-side and locale resolves inside THIS Arrow
+    stage, so the whole pipeline is one Python stage per task (two stacked
+    Python runners per core measurably degrade throughput).
     """
     cols = ["doc_id", "tags", "tags_error"]
-    has_iso = "iso_3166_2" in df.columns
-    has_side = "driving_side" in df.columns
+    has_iso = "iso_3166_2" in df.columns and locale_resolver is None
+    has_side = "driving_side" in df.columns and locale_resolver is None
     has_inc = "include_separators" in df.columns  # per-row config override
     if has_iso:
         cols.append("iso_3166_2")
@@ -103,13 +111,29 @@ def tags_to_lanes_stage(df: DataFrame, include_separators: bool = True) -> DataF
         cols.append("driving_side")
     if has_inc:
         cols.append("include_separators")
-    prepared = with_tags(df).select(*cols)
+    prepared = with_tags(df)
+    if locale_resolver is not None:
+        from ..spatial.joins import cell_expr
+        prepared = prepared.withColumn(
+            "cell", cell_expr(F.col("lon"), F.col("lat"),
+                              locale_resolver.level))
+        cols += ["cell", "lon", "lat"]
+    prepared = prepared.select(*cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
-            iso_col = pdf["iso_3166_2"] if has_iso else None
-            side_col = pdf["driving_side"] if has_side else None
+            if locale_resolver is not None:
+                iso_arr, side_arr = locale_resolver(
+                    pdf["cell"].to_numpy(), pdf["lon"].to_numpy(np.float64),
+                    pdf["lat"].to_numpy(np.float64))
+                iso_col = pd.Series(iso_arr)
+                side_col = pd.Series(side_arr)
+            else:
+                iso_col = pdf["iso_3166_2"] if has_iso else None
+                side_col = pdf["driving_side"] if has_side else None
             for i in range(len(pdf)):
                 tags = pdf["tags"].iloc[i]
                 if pdf["tags_error"].iloc[i] is not None:

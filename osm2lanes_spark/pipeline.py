@@ -57,9 +57,23 @@ def lanes_pipeline(docs: DataFrame,
                    polygons: Optional[dict[str, np.ndarray]] = None,
                    level: int = 10,
                    strategy: str = "map",
-                   include_separators: bool = True) -> DataFrame:
+                   include_separators: bool = True,
+                   fused: bool = True) -> DataFrame:
     """Full pipeline. When ``polygons`` is None the documents must already
-    carry locale columns (iso_3166_2 / driving_side)."""
+    carry locale columns (iso_3166_2 / driving_side).
+
+    ``fused`` (default): spatial locale resolution runs inside the lane
+    transform's Arrow stage (cell encode stays JVM) — ONE Python stage per
+    task; two stacked Python runners per core measurably degrade
+    throughput. ``fused=False`` keeps a separate locale stage (needed when
+    the caller wants the located DataFrame itself).
+    """
+    if polygons is not None and fused:
+        from .spatial.joins import make_locale_resolver
+
+        return tags_to_lanes_stage(
+            docs, include_separators=include_separators,
+            locale_resolver=make_locale_resolver(polygons, level))
     if polygons is not None:
         docs = resolve_locale(docs, polygons, level=level, strategy=strategy)
     return tags_to_lanes_stage(docs, include_separators=include_separators)

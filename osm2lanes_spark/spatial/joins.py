@@ -203,6 +203,51 @@ def _containment_map(points: DataFrame, polygons: dict[str, np.ndarray],
         .drop("cell"))
 
 
+class LocaleResolver:
+    """Batch kernel: (cell, lon, lat) arrays → (alpha2, driving_side).
+
+    Built driver-side once (covering index + rings + driving-side dim) and
+    shipped in the UDF closure; used by the fused lane-transform stage so
+    spatial locale resolution costs zero extra Python stages.
+    """
+
+    def __init__(self, polygons: dict[str, np.ndarray], level: int):
+        from ..core.locale import COUNTRIES
+
+        self.level = level
+        dim_pdf = polygon_cells_pdf(polygons, level)
+        self.cell_index: dict[int, list[tuple[str, bool]]] = {}
+        for cell, key, full in dim_pdf.itertuples(index=False):
+            self.cell_index.setdefault(int(cell), []).append((key, bool(full)))
+        self.rings = {k: np.asarray(r, np.float64) for k, r in polygons.items()}
+        self.side = {a2: side for a2, (_, _, side) in COUNTRIES.items()}
+
+    def __call__(self, cells_arr, lon, lat):
+        out = np.full(len(cells_arr), None, dtype=object)
+        pending: dict[str, list[int]] = {}
+        for i, c in enumerate(cells_arr):
+            for key, full in self.cell_index.get(int(c), ()):
+                if full:
+                    if out[i] is None or key < out[i]:
+                        out[i] = key
+                else:
+                    pending.setdefault(key, []).append(i)
+        for key in sorted(pending):
+            idx = np.array(pending[key])
+            hit = P.point_in_polygon(lon[idx], lat[idx], self.rings[key])
+            for i in idx[hit]:
+                if out[i] is None or key < out[i]:
+                    out[i] = key
+        sides = np.array([self.side.get(k) if k else None for k in out],
+                         dtype=object)
+        return out, sides
+
+
+def make_locale_resolver(polygons: dict[str, np.ndarray],
+                         level: int = DEFAULT_LEVEL) -> LocaleResolver:
+    return LocaleResolver(polygons, level)
+
+
 # ---------------------------------------------------------------------------
 # kNN via expanding k-ring (J4)
 # ---------------------------------------------------------------------------

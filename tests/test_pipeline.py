@@ -64,9 +64,10 @@ def test_resolve_locale(spark, geo_docs, geo_cases):
         assert got[c["case_id"]] == (a2, c["driving_side"]), c["case_id"]
 
 
-def test_pipeline_golden(spark, geo_docs, geo_cases):
+@pytest.mark.parametrize("fused", [True, False])
+def test_pipeline_golden(spark, geo_docs, geo_cases, fused):
     polys = G.all_country_polygons()
-    result = lanes_pipeline(geo_docs, polys, level=10)
+    result = lanes_pipeline(geo_docs, polys, level=10, fused=fused)
     rows = {r["doc_id"]: r for r in result.collect()}
     assert len(rows) == len(geo_cases)
     for c in geo_cases:
