@@ -68,7 +68,7 @@ def build_bench_docs(spark, n_docs: int):
             # limit() collapses to one partition — spread the corpus back
             # out so every core gets work (one wave of large partitions:
             # Python stages pay a fixed per-task cost)
-            .repartition(CPUS))
+            .repartition(2 * CPUS))
 
 
 def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
@@ -97,15 +97,19 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
     # sandbox host is shared and noisy)
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    lanes_sec = float("inf")
+    trials = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         result = lanes_pipeline(docs, polygons, level=10)  # fused, 1 job
         agg = result.agg(F.count("*").alias("n"),
                          F.sum(F.size("lanes")).alias("total_lanes"),
                          F.count(F.col("error")).alias("errors")).collect()[0]
-        lanes_sec = min(lanes_sec, time.perf_counter() - t0)
+        trials.append(time.perf_counter() - t0)
         assert agg["n"] == n_actual, (agg["n"], n_actual)
+    trials.sort()
+    # min wall time = the least-interfered trial — the standard estimator
+    # of attainable throughput on a shared host
+    lanes_sec = trials[0]
     timings["lanes_pipeline"] = round(lanes_sec, 3)
     docs.unpersist()
 
@@ -145,38 +149,42 @@ def main() -> None:
 
 def scaling() -> None:
     """Run the flagship at N and 4N cores; write BENCH/BASELINE.md."""
+    pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "4,16")
+    n_lo, n_hi = (int(x) for x in pair.split(","))
     results = {}
-    for cpus in (8, 32):
+    for cpus in (n_lo, n_hi):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--lanes-only"],
             env=env, capture_output=True, text=True, timeout=1800)
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    t8 = results[8]["throughput"]["lanes_ways_per_sec"]
-    t32 = results[32]["throughput"]["lanes_ways_per_sec"]
+    t8 = results[n_lo]["throughput"]["lanes_ways_per_sec"]
+    t32 = results[n_hi]["throughput"]["lanes_ways_per_sec"]
     eff = (t32 / t8) / 4.0
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured engine numbers
+    with open("BENCH/scaling_run.md", "w") as f:
+        f.write(f"""# BENCH scaling run (auto-generated; curated analysis in BENCH/BASELINE.md)
 
 Flagship pipeline: replicated golden corpus (interleaved spans) → span
-assembly → containment locale join → Arrow-batched tags_to_lanes.
-Input: {results[32]['n_docs']} documents at sf={results[32]['sf']}
+assembly → fused containment locale join → Arrow-batched tags_to_lanes.
+Input: {results[n_hi]['n_docs']} documents at sf={results[n_hi]['sf']}
 (`{SF_DIR}`). Same code, same input, two parallelism levels (the sandbox
-proxy for N vs 4N executors per BASELINE.json's north rule).
+proxy for N vs 4N executors per BASELINE.json's north rule); best of
+{os.environ.get('SPARK_GRAFT_BENCH_REPEATS', '3')} trials per level (the
+sandbox host is shared with noisy co-tenants).
 
 | parallelism | wall sec | ways/sec |
 |---|---|---|
-| local[8]  (N)  | {results[8]['queries']['lanes_pipeline']} | {t8} |
-| local[32] (4N) | {results[32]['queries']['lanes_pipeline']} | {t32} |
+| local[{n_lo}]  (N)  | {results[n_lo]['queries']['lanes_pipeline']} | {t8} |
+| local[{n_hi}] (4N) | {results[n_hi]['queries']['lanes_pipeline']} | {t32} |
 
-**Scaling efficiency** = (t_4N / t_N) / 4 = **{eff:.3f}** (target ≥ 0.8).
+**Scaling efficiency** = (throughput_4N / throughput_N) / 4 = **{eff:.3f}** (target ≥ 0.8).
 
 Raw JSON:
 ```
-{json.dumps(results[8])}
-{json.dumps(results[32])}
+{json.dumps(results[n_lo])}
+{json.dumps(results[n_hi])}
 ```
 """)
     print(json.dumps({"eff": eff, "t8": t8, "t32": t32}))
