@@ -207,6 +207,27 @@ def _q_text_quality(spark, sf_dir):
         F.round(n_chars / n_tokens, 6).alias("mean_token_len"))
 
 
+def _q_top_suppliers(spark, sf_dir):
+    """Sort + limit (top-k) with deterministic tie-break (SURVEY §2.10)."""
+    li = _read(spark, sf_dir, "lineitem")
+    sup = _read(spark, sf_dir, "supplier")
+    return (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("s_suppkey").asc())
+            .limit(10))
+
+
+def _q_customer_set_ops(spark, sf_dir):
+    """Set operators: customers with orders but no high-value order."""
+    orders = _read(spark, sf_dir, "orders")
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    big = (orders.where(F.col("o_totalprice") > 200000)
+           .select(F.col("o_custkey").alias("custkey")).distinct())
+    return with_orders.exceptAll(big).distinct()
+
+
 def _q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-5 (ids + rank; oracle replays in DuckDB)."""
     from osm2lanes_spark.operators.similarity import cosine_topk
@@ -312,6 +333,39 @@ def _q_multimodal(spark, sf_dir):
                         F.size("feature").alias("dim"))
 
 
+def _q_road_width(spark, sf_dir):
+    """Road::width (SURVEY A1): per-road lane-width sum with locale
+    defaults, as a Catalyst higher-order aggregate over the lane array
+    (road/mod.rs:53-60; defaults locale.rs:26-41)."""
+    from osm2lanes_spark.operators.lane_transform import tags_to_lanes_stage
+
+    docs = spark.read.parquet(os.path.join(FIXTURE_DIR, "documents.parquet"))
+    roads = tags_to_lanes_stage(docs).where(F.col("error").isNull())
+    # default width for lanes without one: separators use marking widths
+    # (default 0.2), travel/parking 3.5 via Lane::DEFAULT fallback shape
+    marking_w = F.aggregate(
+        F.coalesce(F.col("l.markings"),
+                   F.array().cast("array<struct<style:string,width:double,color:string>>")),
+        F.lit(0.0), lambda acc, m: acc + F.coalesce(m["width"], F.lit(0.2)))
+    lane_w = F.when(F.col("l.type") == "separator", marking_w) \
+        .otherwise(F.coalesce(F.col("l.width"), F.lit(3.5)))
+    exploded = roads.select("doc_id", F.explode("lanes").alias("l"))
+    return (exploded.groupBy("doc_id")
+            .agg(F.round(F.sum(lane_w), 3).alias("road_width_m"),
+                 F.count(F.lit(1)).alias("n_lanes")))
+
+
+def _q_media_refs(spark, sf_dir):
+    """Interleaved media spans carried through untouched (span invariant)."""
+    from osm2lanes_spark.operators.span_assembly import media_refs, span_fingerprint
+
+    docs = spark.read.parquet(os.path.join(FIXTURE_DIR, "documents.parquet"))
+    return docs.select(
+        "doc_id",
+        F.size(media_refs(F.col("spans"))).alias("n_media"),
+        span_fingerprint(F.col("spans")).alias("span_fp"))
+
+
 def _q_locale_spatial(spark, sf_dir):
     """Containment join on synthetic country polygons (rows-only; golden
     parity of the containment path is asserted in tests/test_pipeline.py)."""
@@ -338,7 +392,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "text_quality": _q_text_quality,
         "ann_topk": _q_ann_topk,
+        "top_suppliers": _q_top_suppliers,
+        "customer_set_ops": _q_customer_set_ops,
         # rows-only (no SQL equivalent)
+        "road_width": _q_road_width,
+        "media_refs": _q_media_refs,
         "lanes_golden": _q_lanes_golden,
         "lanes_roundtrip": _q_lanes_roundtrip,
         "minhash_pairs": _q_minhash_pairs,
@@ -439,6 +497,21 @@ def oracle_sql() -> dict[str, str]:
                    round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / length(text), 6) AS upper_ratio,
                    round(length(text) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS mean_token_len
             FROM documents
+        """,
+        "top_suppliers": """
+            SELECT s_suppkey, s_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_suppkey, s_name
+            ORDER BY revenue DESC, s_suppkey ASC
+            LIMIT 10
+        """,
+        "customer_set_ops": """
+            SELECT custkey FROM (
+                SELECT DISTINCT o_custkey AS custkey FROM orders
+                EXCEPT
+                SELECT DISTINCT o_custkey AS custkey FROM orders
+                WHERE o_totalprice > 200000) t
         """,
         "embedding_neardup": """
             WITH base AS (
