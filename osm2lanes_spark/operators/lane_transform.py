@@ -57,6 +57,31 @@ def _norm_lane(lane: dict) -> dict:
     }
 
 
+class _TransformCache:
+    """Bounded memo of (tags, locale, config) → output row.
+
+    OSM corpora are dominated by repeated tag-sets (a plain residential
+    road tags identically millions of times), so the per-way transform is
+    dictionary-encodable: compute once per distinct input per worker,
+    share the (read-only, immediately Arrow-serialized) result dict.
+    FIFO-bounded so skew can't grow worker memory.
+    """
+
+    __slots__ = ("cache", "max_size")
+
+    def __init__(self, max_size: int = 65536):
+        self.cache: dict = {}
+        self.max_size = max_size
+
+    def get(self, key):
+        return self.cache.get(key)
+
+    def put(self, key, value) -> None:
+        if len(self.cache) >= self.max_size:
+            self.cache.pop(next(iter(self.cache)))
+        self.cache[key] = value
+
+
 def _transform_row(tags: Optional[dict], iso: Optional[str],
                    driving_side: Optional[str], include_separators: bool) -> dict:
     out = {"name": None, "ref": None, "highway": None, "lifecycle": None,
@@ -123,6 +148,7 @@ def tags_to_lanes_stage(df: DataFrame, include_separators: bool = True,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        memo = _TransformCache()
         for pdf in batches:
             rows = []
             if locale_resolver is not None:
@@ -134,19 +160,23 @@ def tags_to_lanes_stage(df: DataFrame, include_separators: bool = True,
             else:
                 iso_col = pdf["iso_3166_2"] if has_iso else None
                 side_col = pdf["driving_side"] if has_side else None
+            doc_ids = pdf["doc_id"].to_numpy()
+            tags_np = pdf["tags"].to_numpy()
+            err_np = pdf["tags_error"].to_numpy()
             for i in range(len(pdf)):
-                tags = pdf["tags"].iloc[i]
-                if pdf["tags_error"].iloc[i] is not None:
-                    tags = None
+                tags = tags_np[i] if err_np[i] is None else None
                 inc = (bool(pdf["include_separators"].iloc[i]) if has_inc
                        else include_separators)
-                row = _transform_row(
-                    tags,
-                    iso_col.iloc[i] if iso_col is not None else None,
-                    side_col.iloc[i] if side_col is not None else None,
-                    inc,
-                )
-                row["doc_id"] = pdf["doc_id"].iloc[i]
+                iso = iso_col.iloc[i] if iso_col is not None else None
+                side = side_col.iloc[i] if side_col is not None else None
+                key = (None if tags is None else tuple(sorted(tags.items())),
+                       iso, side, inc)
+                cached = memo.get(key)
+                if cached is None:
+                    cached = _transform_row(tags, iso, side, inc)
+                    memo.put(key, cached)
+                row = dict(cached)  # shallow: nested values shared read-only
+                row["doc_id"] = doc_ids[i]
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in ROAD_SCHEMA.fields])
 
