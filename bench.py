@@ -59,6 +59,17 @@ def build_bench_docs(spark, n_docs: int):
                   .limit(n_docs)
                   .withColumn("a2", F.coalesce(
                       F.substring_index("iso_3166_2", "-", 1), F.lit("US"))))
+    if os.environ.get("SPARK_GRAFT_BENCH_DISTINCT"):
+        # make every replica's tag map unique (an ignored unknown key) so
+        # the transform memo never hits: measures the kernel-bound path —
+        # the worst case for a corpus with no repeated tag-sets
+        uniq = F.struct(
+            F.lit("tag").alias("kind"),
+            F.concat(F.lit("bench:rep="), F.col("rep")).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(1 << 20).alias("offset"))
+        replicated = replicated.withColumn(
+            "spans", F.concat(F.col("spans"), F.array(uniq)))
     jit_r = (F.pmod(F.xxhash64("doc_id"), F.lit(1000)) / 1000.0) * (0.45 * RADIUS)
     jit_t = (F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(1000)) / 1000.0) * (2.0 * math.pi)
     return (replicated.join(F.broadcast(centroids), "a2")
@@ -81,12 +92,17 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
     sf = _sf_of(sf_dir)
     # sized so the flagship stage is compute-bound even at 32 cores (the
     # scaling criterion measures steady-state parallel efficiency, not
-    # driver orchestration overhead)
-    n_docs = max(4000, int(sf * 4_000_000))
+    # driver orchestration overhead); override with SPARK_GRAFT_BENCH_DOCS
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "0")) or \
+        max(4000, int(sf * 4_000_000))
     timings: dict[str, float] = {}
 
     # flagship: documents → spatial locale → lanes
-    docs = build_bench_docs(spark, n_docs).persist()
+    pre = os.environ.get("SPARK_GRAFT_BENCH_INPUT")
+    if pre:
+        docs = spark.read.parquet(pre).repartition(2 * CPUS).persist()
+    else:
+        docs = build_bench_docs(spark, n_docs).persist()
     n_actual = docs.count()  # materialize input (excluded from timing)
     polygons = all_country_polygons()
     # warmup: one untimed full pass spins up every python worker (a
@@ -151,9 +167,21 @@ def scaling() -> None:
     """Run the flagship at N and 4N cores; write BENCH/BASELINE.md."""
     pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "4,16")
     n_lo, n_hi = (int(x) for x in pair.split(","))
+    corpus = os.environ.get("SPARK_GRAFT_BENCH_INPUT")
+    if not corpus:
+        corpus = os.path.abspath("_scratch/bench_corpus_distinct")
+        # all-distinct tag maps: the scaling evidence measures the
+        # kernel-bound worst case (no transform-memo hits)
+        prep = dict(os.environ, SPARK_GRAFT_CPUS="32",
+                    SPARK_GRAFT_BENCH_DISTINCT="1")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--prepare", corpus],
+            env=prep, check=True, capture_output=True, timeout=900)
     results = {}
     for cpus in (n_lo, n_hi):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "30")))
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_BENCH_INPUT=corpus)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--lanes-only"],
             env=env, capture_output=True, text=True, timeout=1800)
@@ -190,8 +218,23 @@ Raw JSON:
     print(json.dumps({"eff": eff, "t8": t8, "t32": t32}))
 
 
+def prepare(path: str) -> None:
+    """Materialize the bench corpus parquet once (reused by both scaling legs)."""
+    from osm2lanes_spark.session import get_spark
+
+    spark = get_spark("osm2lanes-bench-prepare", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = _sf_of(SF_DIR)
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "0")) or \
+        max(4000, int(sf * 4_000_000))
+    build_bench_docs(spark, n_docs).write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--prepare" in sys.argv:
+        prepare(sys.argv[sys.argv.index("--prepare") + 1])
     else:
         main()
