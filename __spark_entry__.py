@@ -50,6 +50,38 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Ship osm2lanes_spark to python workers regardless of driver CWD.
+
+    Arrow-stage closures reference package modules by name; workers must
+    be able to import them even when the hosting process didn't set
+    PYTHONPATH. addPyFile on a zip of the package makes that so.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "osm2lanes_spark")
+    fd, zpath = tempfile.mkstemp(suffix="_osm2lanes_spark.zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(key)
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship
 # ---------------------------------------------------------------------------
@@ -58,6 +90,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Golden-fixture documents → span assembly → tags_to_lanes stage."""
     from osm2lanes_spark.operators.lane_transform import tags_to_lanes_stage
 
+    _ensure_workers(spark)
     docs = spark.read.parquet(os.path.join(FIXTURE_DIR, "documents.parquet"))
     roads = tags_to_lanes_stage(docs)
     return roads.select(
@@ -339,6 +372,7 @@ def _q_road_width(spark, sf_dir):
     (road/mod.rs:53-60; defaults locale.rs:26-41)."""
     from osm2lanes_spark.operators.lane_transform import tags_to_lanes_stage
 
+    _ensure_workers(spark)
     docs = spark.read.parquet(os.path.join(FIXTURE_DIR, "documents.parquet"))
     roads = tags_to_lanes_stage(docs).where(F.col("error").isNull())
     # default width for lanes without one: separators use marking widths
@@ -379,33 +413,40 @@ def _q_locale_spatial(spark, sf_dir):
     return (out.groupBy("key").agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+def _shipped(fn):
+    def wrapper(spark, sf_dir):
+        _ensure_workers(spark)
+        return fn(spark, sf_dir)
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "pricing_summary": _q_pricing_summary,
-        "region_revenue": _q_region_revenue,
-        "event_ranks": _q_event_ranks,
-        "events_props": _q_events_props,
-        "grid_binning": _q_grid_binning,
-        "knn": _q_knn,
-        "zonal": _q_zonal,
-        "dedup_exact": _q_dedup_exact,
-        "token_stats": _q_token_stats,
-        "text_quality": _q_text_quality,
-        "ann_topk": _q_ann_topk,
-        "top_suppliers": _q_top_suppliers,
-        "customer_set_ops": _q_customer_set_ops,
+        "pricing_summary": _shipped(_q_pricing_summary),
+        "region_revenue": _shipped(_q_region_revenue),
+        "event_ranks": _shipped(_q_event_ranks),
+        "events_props": _shipped(_q_events_props),
+        "grid_binning": _shipped(_q_grid_binning),
+        "knn": _shipped(_q_knn),
+        "zonal": _shipped(_q_zonal),
+        "dedup_exact": _shipped(_q_dedup_exact),
+        "token_stats": _shipped(_q_token_stats),
+        "text_quality": _shipped(_q_text_quality),
+        "ann_topk": _shipped(_q_ann_topk),
+        "top_suppliers": _shipped(_q_top_suppliers),
+        "customer_set_ops": _shipped(_q_customer_set_ops),
         # rows-only (no SQL equivalent)
-        "road_width": _q_road_width,
-        "media_refs": _q_media_refs,
-        "lanes_golden": _q_lanes_golden,
-        "lanes_roundtrip": _q_lanes_roundtrip,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_neardup": _q_embedding_neardup,
-        "langid": _q_langid,
-        "ann_ivf": _q_ann_ivf,
-        "multimodal_features": _q_multimodal,
-        "locale_spatial": _q_locale_spatial,
+        "road_width": _shipped(_q_road_width),
+        "media_refs": _shipped(_q_media_refs),
+        "lanes_golden": _shipped(_q_lanes_golden),
+        "lanes_roundtrip": _shipped(_q_lanes_roundtrip),
+        "minhash_pairs": _shipped(_q_minhash_pairs),
+        "simhash_pairs": _shipped(_q_simhash_pairs),
+        "embedding_neardup": _shipped(_q_embedding_neardup),
+        "langid": _shipped(_q_langid),
+        "ann_ivf": _shipped(_q_ann_ivf),
+        "multimodal_features": _shipped(_q_multimodal),
+        "locale_spatial": _shipped(_q_locale_spatial),
     }
 
 
