@@ -1,0 +1,92 @@
+"""Structured Streaming surface.
+
+The reference is a pure batch library (SURVEY §2.10) and the north rule's
+incremental story is snapshot-diff scans (``io.snapshots``); these jobs
+add the streaming expression of the same operators for continuously
+arriving documents:
+
+- :func:`stream_lanes`: the tags→lanes Arrow stage is stateless, so it
+  lifts onto a file-source stream unchanged (readStream → mapInPandas →
+  writeStream with exactly-once file sink + checkpoint).
+- :func:`stream_event_window_counts`: watermarked event-time windowed
+  aggregation (late data dropped past the watermark) — the canonical
+  stateful-streaming shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.lane_transform import tags_to_lanes_stage
+from ..schemas import DOCUMENTS_SCHEMA
+
+
+def streaming_documents(spark: SparkSession, input_dir: str,
+                        with_locale: bool = True) -> DataFrame:
+    schema = DOCUMENTS_SCHEMA
+    if with_locale:
+        # StructType.add mutates in place — build from a fresh field list
+        schema = T.StructType(list(schema.fields) + [
+            T.StructField("iso_3166_2", T.StringType()),
+            T.StructField("driving_side", T.StringType()),
+        ])
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(input_dir))
+
+
+def stream_lanes(spark: SparkSession, input_dir: str, output_dir: str,
+                 checkpoint_dir: str, available_now: bool = True):
+    """documents stream → lanes parquet, exactly-once via checkpoint."""
+    docs = streaming_documents(spark, input_dir)
+    roads = tags_to_lanes_stage(docs)
+    writer = (roads.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_window_counts(spark: SparkSession, input_dir: str,
+                               output_dir: str, checkpoint_dir: str,
+                               window: str = "1 hour",
+                               watermark: str = "30 minutes",
+                               schema: Optional[T.StructType] = None,
+                               available_now: bool = True):
+    """Watermarked tumbling-window counts per event_type.
+
+    Events later than the watermark relative to the max seen event time
+    are dropped; windows finalize (and emit, append mode) once the
+    watermark passes their end — standard late-data semantics.
+    """
+    schema = schema or T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    events = (spark.readStream.schema(schema).parquet(input_dir)
+              .withWatermark("ts", watermark))
+    counts = (events
+              .groupBy(F.window("ts", window).alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 2).alias("sum_value"))
+              .select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"),
+                      "event_type", "n", "sum_value"))
+    writer = (counts.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
