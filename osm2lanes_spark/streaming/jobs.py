@@ -54,6 +54,31 @@ def stream_lanes(spark: SparkSession, input_dir: str, output_dir: str,
     return writer.start()
 
 
+def stream_dedup(spark: SparkSession, input_dir: str, output_dir: str,
+                 checkpoint_dir: str, schema: T.StructType,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 watermark_col: str = "ts", watermark: str = "1 hour",
+                 available_now: bool = True):
+    """Streaming exact dedup: first-seen fingerprint wins across
+    micro-batches (stateful ``dropDuplicates`` with a watermark bounding
+    the state — fingerprints older than the watermark age out)."""
+    from ..operators.text import normalized
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    deduped = (stream
+               .withColumn("fingerprint", F.md5(normalized(F.col(text_col))))
+               .withWatermark(watermark_col, watermark)
+               .dropDuplicatesWithinWatermark(["fingerprint"])
+               .drop("fingerprint"))
+    writer = (deduped.writeStream.format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_event_window_counts(spark: SparkSession, input_dir: str,
                                output_dir: str, checkpoint_dir: str,
                                window: str = "1 hour",
