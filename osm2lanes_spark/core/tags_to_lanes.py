@@ -114,7 +114,7 @@ ACCESS_KEYS = frozenset([
 
 
 def check_unsupported(tags: dict, warnings: Warnings) -> None:
-    if any(k in tags for k in ACCESS_KEYS):
+    if not ACCESS_KEYS.isdisjoint(tags):
         warnings.push(UNIMPLEMENTED, "access")
 
 

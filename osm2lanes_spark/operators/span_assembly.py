@@ -5,8 +5,9 @@ The reference parses newline-separated ``k=v`` text into an ordered map
 duplicate keys are an error — lib.rs:96-113). Here the tag text arrives as
 ``kind='tag'`` spans interleaved with media spans; assembly is expressed
 entirely with Catalyst higher-order functions (filter / array_sort /
-transform / map_from_entries), so it stays inside whole-stage codegen —
-no Python is involved in this stage.
+transform / map_from_entries) — JVM-side single projection, no shuffle,
+no Python anywhere in this stage (HOFs are interpreted-eval, not
+whole-stage codegen, but never leave the JVM).
 """
 
 from __future__ import annotations
