@@ -416,6 +416,9 @@ def _q_locale_spatial(spark, sf_dir):
 def _shipped(fn):
     def wrapper(spark, sf_dir):
         _ensure_workers(spark)
+        # timestamp-vs-string comparisons parse literals in the session
+        # timezone; pin UTC so results match the (TZ-naive) DuckDB oracle
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return fn(spark, sf_dir)
     return wrapper
 

@@ -152,23 +152,21 @@ def tags_to_lanes_stage(df: DataFrame, include_separators: bool = True,
         for pdf in batches:
             rows = []
             if locale_resolver is not None:
-                iso_arr, side_arr = locale_resolver(
+                iso_np, side_np = locale_resolver(
                     pdf["cell"].to_numpy(), pdf["lon"].to_numpy(np.float64),
                     pdf["lat"].to_numpy(np.float64))
-                iso_col = pd.Series(iso_arr)
-                side_col = pd.Series(side_arr)
             else:
-                iso_col = pdf["iso_3166_2"] if has_iso else None
-                side_col = pdf["driving_side"] if has_side else None
+                iso_np = pdf["iso_3166_2"].to_numpy() if has_iso else None
+                side_np = pdf["driving_side"].to_numpy() if has_side else None
+            inc_np = pdf["include_separators"].to_numpy() if has_inc else None
             doc_ids = pdf["doc_id"].to_numpy()
             tags_np = pdf["tags"].to_numpy()
             err_np = pdf["tags_error"].to_numpy()
             for i in range(len(pdf)):
                 tags = tags_np[i] if err_np[i] is None else None
-                inc = (bool(pdf["include_separators"].iloc[i]) if has_inc
-                       else include_separators)
-                iso = iso_col.iloc[i] if iso_col is not None else None
-                side = side_col.iloc[i] if side_col is not None else None
+                inc = bool(inc_np[i]) if inc_np is not None else include_separators
+                iso = iso_np[i] if iso_np is not None else None
+                side = side_np[i] if side_np is not None else None
                 key = (None if tags is None else tuple(sorted(tags.items())),
                        iso, side, inc)
                 cached = memo.get(key)
