@@ -96,3 +96,11 @@ class SnapshotTable:
             return spark.read.parquet(*self._dirs_for(self.snapshots())).limit(0)
         return spark.read.parquet(
             *[os.path.join(self.path, s["dir"]) for s in newer])
+
+    def read_at(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
+        """Time travel: the table state as of ``snapshot_id``."""
+        upto = [s for s in self.snapshots() if s["id"] <= snapshot_id]
+        if not upto:
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} predates {self.path}")
+        return spark.read.parquet(*self._dirs_for(upto))

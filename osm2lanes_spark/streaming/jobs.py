@@ -79,6 +79,50 @@ def stream_dedup(spark: SparkSession, input_dir: str, output_dir: str,
     return writer.start()
 
 
+def stream_running_stats(spark: SparkSession, input_dir: str,
+                         output_dir: str, checkpoint_dir: str,
+                         schema: T.StructType, key_col: str = "source",
+                         available_now: bool = True):
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-key running document count + char total, persisted in state across
+    micro-batches; each batch emits the updated running totals."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("running_docs", T.LongType()),
+        T.StructField("running_chars", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("docs", T.LongType()),
+        T.StructField("chars", T.LongType()),
+    ])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        docs, chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            docs += len(pdf)
+            chars += int(pdf["text"].str.len().sum())
+        state.update((docs, chars))
+        yield pd.DataFrame({key_col: [key[0]], "running_docs": [docs],
+                            "running_chars": [chars]})
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stats = (stream.groupBy(key_col)
+             .applyInPandasWithState(update, out_schema, state_schema,
+                                     "append", GroupStateTimeout.NoTimeout))
+    writer = (stats.writeStream.format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_event_window_counts(spark: SparkSession, input_dir: str,
                                output_dir: str, checkpoint_dir: str,
                                window: str = "1 hour",

@@ -36,3 +36,15 @@ def test_resume_idempotent(spark, tmp_path):
     spark.range(999).toDF("id").write.parquet(str(tmp_path / "tbl3" / "snap-99"))
     assert t.read(spark).count() == 10
     assert t.current_snapshot_id() == 1
+
+
+def test_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tt"))
+    t.commit(spark.range(10).toDF("id"))
+    s1 = t.current_snapshot_id()
+    t.commit(spark.range(10, 30).toDF("id"))
+    s2 = t.current_snapshot_id()
+    t.commit(spark.range(5).toDF("id"), mode="overwrite")
+    assert t.read_at(spark, s1).count() == 10
+    assert t.read_at(spark, s2).count() == 30
+    assert t.read(spark).count() == 5

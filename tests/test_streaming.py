@@ -49,3 +49,28 @@ def test_stream_windowed_counts(spark, tmp_path):
     # hour 0: minutes 0..59 → event ids with i%180 < 60
     expect_click_h0 = sum(1 for i in range(200) if i % 180 < 60 and i % 2)
     assert got[(0, "click")] == expect_click_h0
+
+
+def test_stream_running_stats(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from osm2lanes_spark.streaming.jobs import stream_running_stats
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    rows = [(i, f"src{i % 3}", "x" * (10 + i % 5)) for i in range(90)]
+    src = str(tmp_path / "rs_in")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    q = stream_running_stats(spark, src, str(tmp_path / "rs_out"),
+                             str(tmp_path / "rs_ckpt"), schema)
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "rs_out"))
+    # last emitted running totals per key must equal the batch totals
+    latest = {r["source"]: r for r in out.orderBy("running_docs").collect()}
+    for s in ("src0", "src1", "src2"):
+        assert latest[s]["running_docs"] == 30
+        expect_chars = sum(10 + i % 5 for i in range(90) if i % 3 == int(s[-1]))
+        assert latest[s]["running_chars"] == expect_chars
