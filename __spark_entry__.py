@@ -334,6 +334,16 @@ def _q_embedding_neardup(spark, sf_dir):
     return out.select("left_id", "right_id")
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs (brute force — the verification baseline
+    of the MinHash path, oracled against DuckDB list ops)."""
+    from osm2lanes_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+                               threshold=0.5)
+
+
 def _q_langid(spark, sf_dir):
     from osm2lanes_spark.operators.text import with_langid
 
@@ -446,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _shipped(_q_minhash_pairs),
         "simhash_pairs": _shipped(_q_simhash_pairs),
         "embedding_neardup": _shipped(_q_embedding_neardup),
+        "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "ann_ivf": _shipped(_q_ann_ivf),
         "multimodal_features": _shipped(_q_multimodal),
@@ -541,6 +552,27 @@ def oracle_sql() -> dict[str, str]:
                    round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / length(text), 6) AS upper_ratio,
                    round(length(text) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS mean_token_len
             FROM documents
+        """,
+        "ngram_jaccard": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' ') AS toks
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_distinct([array_to_string(toks[i:i+2], ' ')
+                                          FOR i IN range(1, len(toks) - 1)])
+                       ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM t)
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         """,
         "top_suppliers": """
             SELECT s_suppkey, s_name,
