@@ -203,6 +203,20 @@ def _containment_map(points: DataFrame, polygons: dict[str, np.ndarray],
         .drop("cell"))
 
 
+def repartition_by_cell_range(df: DataFrame, num_partitions: int,
+                              cell_col: str = "cell") -> DataFrame:
+    """Range-partition facts by raw cell id = spatial co-location.
+
+    Because descendants of a coarser cell form one contiguous morton range
+    (``cells.prefix_range``), range partitioning on the int64 id puts
+    spatially adjacent rows in the same partition: downstream per-area
+    stages (zonal joins, per-region compaction, polygon-local writes)
+    read/shuffle locally, and Iceberg-style min/max file pruning on the
+    cell column becomes effective for spatial predicates.
+    """
+    return df.repartitionByRange(num_partitions, F.col(cell_col))
+
+
 class LocaleResolver:
     """Batch kernel: (cell, lon, lat) arrays → (alpha2, driving_side).
 

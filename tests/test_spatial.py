@@ -135,3 +135,24 @@ def test_with_cell_matches_numpy(spark):
     got = [r["cell"] for r in with_cell(df, level=9).collect()]
     want = C.encode(np.array([1.5, -170.0]), np.array([2.5, 80.0]), 9).tolist()
     assert got == want
+
+
+def test_repartition_by_cell_range(spark):
+    """Range partitioning on morton ids co-locates spatial neighbors:
+    every partition covers a contiguous, non-overlapping cell range."""
+    from osm2lanes_spark.spatial.joins import repartition_by_cell_range
+
+    rng = np.random.default_rng(5)
+    pts = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(
+            zip(rng.uniform(-180, 180, 4000), rng.uniform(-90, 90, 4000)))],
+        "doc_id long, lon double, lat double")
+    cells = with_cell(pts, level=10)
+    parted = repartition_by_cell_range(cells, 8)
+    bounds = (parted
+              .groupBy(F.spark_partition_id().alias("pid"))
+              .agg(F.min("cell").alias("lo"), F.max("cell").alias("hi"))
+              .orderBy("lo").collect())
+    assert len(bounds) > 1
+    for a, b in zip(bounds, bounds[1:]):
+        assert a["hi"] <= b["lo"], "partitions must cover disjoint cell ranges"
