@@ -7,13 +7,15 @@ line: ``{"metric": ..., "value": <total sec>, "unit": "sec",
 "queries": {...}, "sf": ..., "throughput": {...}}``.
 
 The flagship measurement is the end-to-end documents→lanes pipeline
-(span assembly → spatial locale containment join → Arrow-batched
-tags_to_lanes) over a corpus replicated to ``sf * 1e6`` interleaved
-documents, reported as ways/sec.
+(span assembly → fused spatial locale containment join → Arrow-batched
+tags_to_lanes) over a corpus replicated to ``sf * 4e6`` interleaved
+documents (override: SPARK_GRAFT_BENCH_DOCS), reported as ways/sec.
 
-``--scaling`` runs the same measurement in two subprocesses at N and 4N
-cores (local[8] vs local[32] — the sandbox proxy for N vs 4N executors per
-BASELINE.md) and writes BENCH/BASELINE.md with the scaling efficiency.
+``--scaling`` materializes an all-distinct corpus once, then runs the
+same measurement in two subprocesses at N and 4N cores
+(SPARK_GRAFT_SCALE_PAIR, default 4,16 — the sandbox proxy for N vs 4N
+executors per BENCH/BASELINE.md) and writes BENCH/scaling_run.md with the
+scaling efficiency.
 """
 
 from __future__ import annotations
