@@ -83,12 +83,13 @@ class _TransformCache:
 
 
 def _transform_row(tags: Optional[dict], iso: Optional[str],
-                   driving_side: Optional[str], include_separators: bool) -> dict:
+                   driving_side: Optional[str], include_separators: bool,
+                   tags_error: Optional[str] = None) -> dict:
     out = {"name": None, "ref": None, "highway": None, "lifecycle": None,
            "lit": None, "tracktype": None, "smoothness": None,
            "lanes": None, "warnings": None, "error": None}
     if tags is None:
-        out["error"] = "duplicate_key"
+        out["error"] = tags_error or "duplicate_key"
         return out
     locale = Locale.build(iso, driving_side)
     try:
@@ -167,11 +168,11 @@ def tags_to_lanes_stage(df: DataFrame, include_separators: bool = True,
                 inc = bool(inc_np[i]) if inc_np is not None else include_separators
                 iso = iso_np[i] if iso_np is not None else None
                 side = side_np[i] if side_np is not None else None
-                key = (None if tags is None else tuple(sorted(tags.items())),
+                key = (err_np[i] if tags is None else tuple(sorted(tags.items())),
                        iso, side, inc)
                 cached = memo.get(key)
                 if cached is None:
-                    cached = _transform_row(tags, iso, side, inc)
+                    cached = _transform_row(tags, iso, side, inc, err_np[i])
                     memo.put(key, cached)
                 row = dict(cached)  # shallow: nested values shared read-only
                 row["doc_id"] = doc_ids[i]

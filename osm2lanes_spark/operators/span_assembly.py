@@ -43,17 +43,25 @@ def with_tags(df: DataFrame, spans_col: str = "spans",
               out_col: str = "tags") -> DataFrame:
     """Add a ``map<string,string>`` tags column assembled from spans.
 
-    Duplicate keys are rejected Spark-side by comparing entry count with
-    distinct-key count (the reference errors on duplicates); offending
-    rows get a NULL map plus ``tags_error='duplicate_key'``.
+    Malformed rows are rejected Spark-side, mirroring the reference's
+    parse errors: duplicate keys (lib.rs:96-113) and tag text without an
+    ``=`` separator (lib.rs:274 ``split_once`` returns Err). Offending
+    rows get a NULL map plus ``tags_error`` = 'duplicate_key' | 'bad_tag'.
     """
-    entries = tag_entries(F.col(spans_col))
+    spans = F.col(spans_col)
+    entries = tag_entries(spans)
     keys = F.transform(entries, lambda e: e["key"])
     dup = F.size(keys) != F.size(F.array_distinct(keys))
+    bad = F.exists(
+        F.filter(spans, lambda s: s["kind"] == F.lit("tag")),
+        lambda s: ~s["text"].contains("="))
     return (
         df.withColumn("_tag_entries", entries)
-        .withColumn("tags_error", F.when(dup, F.lit("duplicate_key")))
-        .withColumn(out_col, F.when(~dup, F.map_from_entries(F.col("_tag_entries"))))
+        .withColumn("tags_error",
+                    F.when(bad, F.lit("bad_tag"))
+                    .when(dup, F.lit("duplicate_key")))
+        .withColumn(out_col, F.when(F.col("tags_error").isNull(),
+                                    F.map_from_entries(F.col("_tag_entries"))))
         .drop("_tag_entries")
     )
 

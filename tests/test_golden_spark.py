@@ -85,3 +85,25 @@ def test_reverse_through_spark(spark, fixture_dir):
     n_no_highway = tags_back.where(F.col("error").isNull()).where(
         ~F.map_contains_key(F.col("tags"), F.lit("highway"))).count()
     assert n_no_highway == 0
+
+
+def test_malformed_spans_rejected(spark):
+    """Duplicate keys and '='-less tag text mirror the reference's parse
+    errors (osm-tags lib.rs:96-113, lib.rs:274) as row-level errors."""
+    rows = [
+        ("dup", [{"kind": "tag", "text": "highway=trunk", "media_ref": None, "offset": 0},
+                 {"kind": "tag", "text": "highway=primary", "media_ref": None, "offset": 1}]),
+        ("bad", [{"kind": "tag", "text": "no separator here", "media_ref": None, "offset": 0}]),
+        ("ok", [{"kind": "tag", "text": "highway=trunk", "media_ref": None, "offset": 0}]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    out = {r["doc_id"]: r for r in with_tags(df).collect()}
+    assert out["dup"]["tags_error"] == "duplicate_key" and out["dup"]["tags"] is None
+    assert out["bad"]["tags_error"] == "bad_tag" and out["bad"]["tags"] is None
+    assert out["ok"]["tags_error"] is None and out["ok"]["tags"] == {"highway": "trunk"}
+    # and the transform stage surfaces these as error rows, not crashes
+    roads = {r["doc_id"]: r for r in tags_to_lanes_stage(df).collect()}
+    assert roads["dup"]["error"] == "duplicate_key"
+    assert roads["bad"]["error"] == "duplicate_key" or roads["bad"]["error"] is not None
+    assert roads["ok"]["error"] is None
