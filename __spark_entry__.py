@@ -496,8 +496,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3
         """,
         "events_props": """
+            -- CAST the sum: DuckDB sum(BIGINT) yields HUGEINT (-> float64 in
+            -- pandas) while Spark's sum(bigint) stays int64; value-equal but
+            -- type-unequal hashes (VERDICT r01 What's-wrong #1)
             SELECT event_type, count(*) AS n,
-                   sum(CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
                    max(value) AS max_value
             FROM events GROUP BY event_type
         """,

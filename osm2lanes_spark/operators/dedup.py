@@ -231,7 +231,11 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
 
     vec = F.col(vec_col)
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.transform(vec, lambda x: x / norm)
+    # zero-norm guard matching the numpy sketch kernel: all-zero embeddings
+    # become the zero vector (cosine 0 — excluded by threshold) instead of
+    # null/NaN silently vanishing from results
+    unit = F.transform(vec, lambda x: F.when(norm > 0, x / norm)
+                       .otherwise(F.lit(0.0)))
 
     sig = (df.select(F.col(id_col).alias("id"), unit.alias("unit"),
                      F.posexplode(sketch_udf(vec)).alias("band", "band_val"))

@@ -7,6 +7,14 @@
   centroids; each corpus vector is assigned to its nearest centroid
   (one broadcast join), queries probe only ``nprobe`` clusters, cutting
   the candidate set by ~K/nprobe. Same output schema as brute force.
+  With ``nprobe == n_centroids`` the probe is exhaustive and the output
+  equals brute force exactly (the oracle configuration); partial-probe
+  recall is measured in tests/test_training_ops.py and documented there.
+
+Ranking determinism: both paths rank on the UNROUNDED cosine (ties broken
+by id) and round only the *reported* cosine column — rounding before the
+window could reorder pairs whose true cosines differ by <1e-6 relative to
+an exact oracle.
 """
 
 from __future__ import annotations
@@ -25,8 +33,10 @@ def _norm(a: Column) -> Column:
 
 
 def _unit(a: Column) -> Column:
+    """Unit vector; all-zero input maps to the zero vector (cosine 0 to
+    everything) instead of null/NaN silently dropping the row."""
     n = _norm(a)
-    return F.transform(a, lambda x: x / n)
+    return F.transform(a, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)))
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
@@ -43,12 +53,50 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     c = corpus.select(F.col(corpus_id), _unit(F.col(vec_col)).alias("_cv"))
     scored = (q.crossJoin(c)
               .where(F.col(query_id).cast("string") != F.col(corpus_id).cast("string"))
-              .withColumn("cosine", F.round(_dot(F.col("_qv"), F.col("_cv")), 6)))
-    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+              .withColumn("_cos", _dot(F.col("_qv"), F.col("_cv"))))
+    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(),
                                              F.col(corpus_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
+            .withColumn("cosine", F.round(F.col("_cos"), 6))
             .select(query_id, corpus_id, "cosine", "rank"))
+
+
+def select_centroids(corpus_unit: DataFrame, corpus_id: str,
+                     n_centroids: int, vec_alias: str = "_cv") -> DataFrame:
+    """Deterministic pseudo-random centroid sample WITHOUT a global sort.
+
+    ``orderBy(xxhash64(id)).limit(n)`` would shuffle the whole corpus to
+    pick n rows (VERDICT r01 What's-wrong #5). Instead: xxhash64(id) is
+    uniform over int64, so a *threshold filter* ``_h < lo + frac * 2^64``
+    keeps an expected ``oversample * n`` rows as a narrow map-side filter;
+    only that tiny remainder is sorted. The filter widens (×8) in the
+    vanishingly unlikely case it under-selects. Centroid ids come from
+    ``row_number() OVER (ORDER BY _h)`` on the filtered set — deterministic
+    by construction, unlike ``monotonically_increasing_id`` (which shifts
+    with partitioning).
+    """
+    hashed = corpus_unit.select(
+        F.col(corpus_id), F.col(vec_alias),
+        F.xxhash64(F.col(corpus_id).cast("string")).alias("_h"))
+    total = hashed.count()
+    if total == 0:
+        raise ValueError("empty corpus")
+    lo = -(1 << 63)
+    span = float(1 << 64)
+    frac = min(1.0, 8.0 * n_centroids / total)
+    while True:
+        threshold = lo + int(frac * span)
+        cand = hashed.where(F.col("_h") < F.lit(threshold)) if frac < 1.0 \
+            else hashed
+        if frac >= 1.0 or cand.count() >= min(n_centroids, total):
+            break
+        frac = min(1.0, frac * 8.0)
+    w = Window.orderBy(F.col("_h").asc(), F.col(corpus_id).cast("string").asc())
+    return (cand.coalesce(1)
+            .withColumn("centroid_id", F.row_number().over(w))
+            .where(F.col("centroid_id") <= n_centroids)
+            .select("centroid_id", F.col(vec_alias).alias("_centroid")))
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
@@ -57,18 +105,12 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              vec_col: str = "embedding") -> DataFrame:
     """IVF-bucketed approximate top-k with deterministic centroids.
 
-    Centroids: the ``n_centroids`` corpus vectors with the smallest
-    ``xxhash64(id)`` (a deterministic pseudo-random sample — no RNG state,
-    stable under re-runs and resume). Assignment and probing are broadcast
+    Centroids: a deterministic hash-threshold sample (no full-corpus sort
+    — see :func:`select_centroids`). Assignment and probing are broadcast
     joins; only probed clusters shuffle into the ranking window.
     """
     c_unit = corpus.select(F.col(corpus_id), _unit(F.col(vec_col)).alias("_cv"))
-    centroids = (c_unit
-                 .withColumn("_h", F.xxhash64(F.col(corpus_id).cast("string")))
-                 .orderBy("_h").limit(n_centroids)
-                 .select(F.monotonically_increasing_id().alias("centroid_id"),
-                         F.col("_cv").alias("_centroid")))
-    cb = F.broadcast(centroids)
+    cb = F.broadcast(select_centroids(c_unit, corpus_id, n_centroids))
 
     # corpus → nearest centroid (1 broadcast join + window)
     assign_w = Window.partitionBy(corpus_id).orderBy(
@@ -91,10 +133,11 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
     scored = (F.broadcast(probes).join(assigned, "centroid_id")
               .where(F.col(query_id).cast("string") != F.col(corpus_id).cast("string"))
-              .withColumn("cosine", F.round(_dot(F.col("_qv"), F.col("_cv")), 6))
+              .withColumn("_cos", _dot(F.col("_qv"), F.col("_cv")))
               .dropDuplicates([query_id, corpus_id]))
-    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(),
                                              F.col(corpus_id).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
+            .withColumn("cosine", F.round(F.col("_cos"), 6))
             .select(query_id, corpus_id, "cosine", "rank"))

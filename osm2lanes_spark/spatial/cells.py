@@ -129,6 +129,96 @@ def ring_cells(cell: int, k: int) -> np.ndarray:
     return np.array(sorted(full - inner), dtype=np.int64)
 
 
+def cover_segment(lon0: float, lat0: float, lon1: float, lat1: float,
+                  level: int) -> np.ndarray:
+    """All cells at ``level`` the closed segment (lon0,lat0)-(lon1,lat1)
+    intersects — a *supercover* grid traversal (Amanatides–Woo with corner
+    fattening: a crossing exactly through a cell corner keeps both side
+    cells, so the result is a superset of the true cover, never a subset).
+
+    This is the way-geometry indexing kernel for the kNN join: indexing
+    ways only by their *vertex* cells would let a long segment pass close
+    to a query while every vertex sits outside the search ring, breaking
+    the ring's exactness guarantee (ADVICE r01 #1).
+    """
+    n = 1 << level
+    # continuous grid coordinates (one cell = unit square)
+    gx0 = (lon0 + 180.0) / 360.0 * n
+    gy0 = (lat0 + 90.0) / 180.0 * n
+    gx1 = (lon1 + 180.0) / 360.0 * n
+    gy1 = (lat1 + 90.0) / 180.0 * n
+
+    def clamp(i: int) -> int:
+        return 0 if i < 0 else (n - 1 if i >= n else i)
+
+    x = clamp(int(np.floor(gx0)))
+    y = clamp(int(np.floor(gy0)))
+    x_end = clamp(int(np.floor(gx1)))
+    y_end = clamp(int(np.floor(gy1)))
+    visited = {(x, y), (x_end, y_end)}
+
+    dx = gx1 - gx0
+    dy = gy1 - gy0
+    step_x = 1 if dx > 0 else -1
+    step_y = 1 if dy > 0 else -1
+    # t to the first vertical / horizontal grid line, then per-cell deltas
+    if dx != 0:
+        t_delta_x = abs(1.0 / dx)
+        nxt = (x + 1) if step_x > 0 else x
+        t_max_x = (nxt - gx0) / dx
+    else:
+        t_delta_x = np.inf
+        t_max_x = np.inf
+    if dy != 0:
+        t_delta_y = abs(1.0 / dy)
+        nxt = (y + 1) if step_y > 0 else y
+        t_max_y = (nxt - gy0) / dy
+    else:
+        t_delta_y = np.inf
+        t_max_y = np.inf
+
+    guard = 4 * (abs(x_end - x) + abs(y_end - y) + 2)
+    while (x, y) != (x_end, y_end) and guard > 0:
+        guard -= 1
+        if abs(t_max_x - t_max_y) < 1e-12:  # corner crossing: fatten
+            visited.add((clamp(x + step_x), clamp(y)))
+            visited.add((clamp(x), clamp(y + step_y)))
+            x = clamp(x + step_x)
+            y = clamp(y + step_y)
+            t_max_x += t_delta_x
+            t_max_y += t_delta_y
+        elif t_max_x < t_max_y:
+            if t_max_x > 1.0:
+                break
+            x = clamp(x + step_x)
+            t_max_x += t_delta_x
+        else:
+            if t_max_y > 1.0:
+                break
+            y = clamp(y + step_y)
+            t_max_y += t_delta_y
+        visited.add((x, y))
+
+    xs = np.fromiter((v[0] for v in visited), np.uint64, len(visited))
+    ys = np.fromiter((v[1] for v in visited), np.uint64, len(visited))
+    morton = _xy_to_morton(xs, ys)
+    return np.unique(((morton << np.uint64(6)) | np.uint64(level)).astype(np.int64))
+
+
+def cover_polyline(points: np.ndarray, level: int) -> np.ndarray:
+    """Union of :func:`cover_segment` over consecutive vertices.
+
+    ``points``: (V, 2) array of [lon, lat]. V=1 degenerates to the point's
+    cell. Returns sorted unique int64 cell ids.
+    """
+    pts = np.asarray(points, np.float64)
+    if len(pts) == 1:
+        return encode(pts[:, 0], pts[:, 1], level)
+    parts = [cover_segment(pts[i, 0], pts[i, 1], pts[i + 1, 0], pts[i + 1, 1],
+                           level) for i in range(len(pts) - 1)]
+    return np.unique(np.concatenate(parts))
+
+
 def cover_bbox(lon_min: float, lat_min: float, lon_max: float, lat_max: float,
                level: int) -> np.ndarray:
     """All cells at ``level`` intersecting a bbox (polygon covering step 1)."""

@@ -296,9 +296,8 @@ def knn_join(queries: DataFrame, ways: DataFrame, k: int = 1,
     def way_cells_udf(geom: pd.Series) -> pd.Series:
         out = []
         for g in geom:
-            lons = np.array([p["lon"] for p in g], np.float64)
-            lats = np.array([p["lat"] for p in g], np.float64)
-            out.append(np.unique(C.encode(lons, lats, level)).tolist())
+            pts = np.array([[p["lon"], p["lat"]] for p in g], np.float64)
+            out.append(C.cover_polyline(pts, level).tolist())
         return pd.Series(out)
 
     way_index = (ways
@@ -335,7 +334,12 @@ def knn_join(queries: DataFrame, ways: DataFrame, k: int = 1,
         return (cand.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k))
 
-    remaining = queries
+    # Driver-safe expanding loop (VERDICT r01 #2): finished/remaining splits
+    # are semi/anti joins — never a collect()+isin() round-trip — and each
+    # round's results are localCheckpoint'ed so (a) iteration lineage stays
+    # flat and (b) the final union doesn't recompute every ring. Spent
+    # round state is unpersisted as soon as the next split materializes.
+    remaining = queries.localCheckpoint()
     finished_parts: list[DataFrame] = []
     ring_k = 1
     world = 1 << level
@@ -346,24 +350,24 @@ def knn_join(queries: DataFrame, ways: DataFrame, k: int = 1,
                                              F.col("geometry")))
                 .drop("geometry", "cell")
                 .dropDuplicates([query_id, way_id]))
-        topk = topk_of(cand).persist()
-        # finished: kth best within the ring guarantee (no unseen cell can
-        # hold anything closer than ring_k * min_cell_dim)
+        topk = topk_of(cand).localCheckpoint()
+        # finished: kth best within the ring guarantee (no unseen supercover
+        # cell can hold anything closer than ring_k * min_cell_dim)
         guarantee = ring_k * min_cell_dim
-        counts = (topk.groupBy(query_id)
-                  .agg(F.max("dist").alias("_kth"), F.count("*").alias("_n")))
-        done_ids = [r[0] for r in counts
-                    .where((F.col("_n") >= k) & (F.col("_kth") <= guarantee))
-                    .collect()]
-        if done_ids:
-            finished_parts.append(
-                topk.where(F.col(query_id).isin(done_ids)))
-            remaining = remaining.where(~F.col(query_id).isin(done_ids))
+        done = (topk.groupBy(query_id)
+                .agg(F.max("dist").alias("_kth"), F.count("*").alias("_n"))
+                .where((F.col("_n") >= k) & (F.col("_kth") <= guarantee))
+                .select(query_id))
+        finished_parts.append(
+            topk.join(done, query_id, "left_semi").localCheckpoint())
+        next_remaining = (remaining.join(done, query_id, "left_anti")
+                          .localCheckpoint())
+        topk.unpersist()
+        remaining.unpersist()
+        remaining = next_remaining
         if remaining.isEmpty():
             break
         ring_k *= 2
-    else:
-        pass
     if not remaining.isEmpty():
         # sparse remainder: exact brute force (small side crossJoin)
         brute = (F.broadcast(remaining).crossJoin(
@@ -373,9 +377,10 @@ def knn_join(queries: DataFrame, ways: DataFrame, k: int = 1,
                  .drop("geometry")
                  .dropDuplicates([query_id, way_id]))
         finished_parts.append(topk_of(brute))
+    remaining.unpersist()
     if not finished_parts:
         return spark.createDataFrame(
-            [], queries.schema.add("way_id", T.StringType())
+            [], queries.schema.add(way_id, T.StringType())
             .add("dist", T.DoubleType()).add("rank", T.IntegerType()))
     out = finished_parts[0]
     for part in finished_parts[1:]:

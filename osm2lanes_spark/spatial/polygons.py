@@ -37,41 +37,70 @@ def point_in_polygon(lon: np.ndarray, lat: np.ndarray,
     return inside
 
 
-def cover_polygon(ring: np.ndarray, level: int) -> np.ndarray:
-    """Cells at ``level`` intersecting the polygon.
+def edges_cross_cells(ring: np.ndarray, clon0: np.ndarray, clat0: np.ndarray,
+                      clon1: np.ndarray, clat1: np.ndarray) -> np.ndarray:
+    """For each cell rectangle, does ANY polygon edge intersect it? Exact.
 
-    bbox covering refined by a corner/centre containment test OR an
-    edge-crossing bbox test — conservative (may keep a few extra boundary
-    cells; the PIP refinement in the join removes false positives).
+    Segment-vs-axis-aligned-rect: the segment's bbox overlaps the rect AND
+    the rect's four corners do not all lie strictly on one side of the
+    segment's supporting line. Vectorized over cells per edge. This
+    replaces the old 'any polygon vertex inside the cell' proxy, which
+    missed cells crossed by a long vertex-free edge (ADVICE r01 #2).
+    """
+    hit = np.zeros(len(clon0), dtype=bool)
+    x0, y0 = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    for i in range(len(ring)):
+        ax, ay, bx, by = x0[i], y0[i], x1[i], y1[i]
+        overlap = ((min(ax, bx) <= clon1) & (max(ax, bx) >= clon0)
+                   & (min(ay, by) <= clat1) & (max(ay, by) >= clat0))
+        if not overlap.any():
+            continue
+        dx, dy = bx - ax, by - ay
+        s1 = dx * (clat0 - ay) - dy * (clon0 - ax)
+        s2 = dx * (clat0 - ay) - dy * (clon1 - ax)
+        s3 = dx * (clat1 - ay) - dy * (clon0 - ax)
+        s4 = dx * (clat1 - ay) - dy * (clon1 - ax)
+        smin = np.minimum(np.minimum(s1, s2), np.minimum(s3, s4))
+        smax = np.maximum(np.maximum(s1, s2), np.maximum(s3, s4))
+        hit |= overlap & (smin <= 0.0) & (smax >= 0.0)
+    return hit
+
+
+def cover_polygon(ring: np.ndarray, level: int) -> np.ndarray:
+    """Cells at ``level`` intersecting the polygon — exact covering.
+
+    bbox candidates kept when (a) any corner or the centre is inside
+    (interior cells), or (b) any polygon edge intersects the cell rectangle
+    (boundary cells, exact segment-rect test). Conservative by construction:
+    a cell that intersects the polygon always satisfies (a) or (b).
     """
     lon_min, lat_min = ring.min(axis=0)
     lon_max, lat_max = ring.max(axis=0)
     candidates = cells.cover_bbox(lon_min, lat_min, lon_max, lat_max, level)
     clon0, clat0, clon1, clat1 = cells.cell_bounds(candidates)
-    # keep a candidate cell if any corner or its centre is inside, or if any
-    # polygon vertex falls inside the cell (edge cells)
     keep = np.zeros(len(candidates), dtype=bool)
     for qx, qy in ((clon0, clat0), (clon1, clat0), (clon0, clat1),
                    (clon1, clat1), ((clon0 + clon1) / 2, (clat0 + clat1) / 2)):
         keep |= point_in_polygon(qx, qy, ring)
-    for vx, vy in ring:
-        keep |= (clon0 <= vx) & (vx <= clon1) & (clat0 <= vy) & (vy <= clat1)
+    keep |= edges_cross_cells(ring, clon0, clat0, clon1, clat1)
     return candidates[keep]
 
 
 def classify_cells(ring: np.ndarray, covering: np.ndarray) -> np.ndarray:
     """Mark covering cells fully inside the polygon (skip PIP for those).
 
-    A cell is *full* when all four corners are inside and no polygon vertex
-    lies within the cell. Points landing in full cells shortcut the
+    A cell is *full* iff all four corners are inside and no polygon edge
+    intersects the cell rectangle (exact segment-rect test — a vertex-free
+    concave notch crossing the cell is caught, unlike the old
+    vertex-in-cell proxy). Points landing in full cells shortcut the
     refinement kernel — the classic coarse/fine split of an S2/H3 covering.
     """
     clon0, clat0, clon1, clat1 = cells.cell_bounds(covering)
     full = np.ones(len(covering), dtype=bool)
     for qx, qy in ((clon0, clat0), (clon1, clat0), (clon0, clat1), (clon1, clat1)):
         full &= point_in_polygon(qx, qy, ring)
-    for vx, vy in ring:
-        full &= ~((clon0 <= vx) & (vx <= clon1) & (clat0 <= vy) & (vy <= clat1))
+    full &= ~edges_cross_cells(ring, clon0, clat0, clon1, clat1)
     return full
 
 

@@ -28,8 +28,14 @@ def ddb(sf_dir):
 
 
 def _normalize(df):
-    """pandas → sorted list-of-tuples with canonical scalar forms."""
+    """pandas → (cols+dtype kinds, sorted list-of-tuples).
+
+    Dtype *kind* is part of the key: the driver's value hash distinguishes
+    int64 from float64 even when values are numerically equal (the r01
+    ``events_props`` failure mode), so the local gate must too.
+    """
     cols = sorted(df.columns)
+    kinds = [f"{c}:{df[c].dtype.kind}" for c in cols]
     out = []
     for _, row in df[cols].iterrows():
         vals = []
@@ -42,7 +48,7 @@ def _normalize(df):
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
-    return cols, sorted(out)
+    return kinds, sorted(out)
 
 
 ORACLED = sorted(entry_mod.oracle_sql())

@@ -156,3 +156,101 @@ def test_repartition_by_cell_range(spark):
     assert len(bounds) > 1
     for a, b in zip(bounds, bounds[1:]):
         assert a["hi"] <= b["lo"], "partitions must cover disjoint cell ranges"
+
+
+# --- segment supercover + kNN exactness for polylines (ADVICE r01 #1) ------
+
+def test_cover_segment_is_superset_of_sampled_cells():
+    """Every densely-sampled point along a segment must land in a covered
+    cell — the supercover may over-include (conservative) but never miss."""
+    rng = np.random.default_rng(99)
+    for level in (6, 10):
+        for _ in range(40):
+            a = rng.uniform([-170, -80], [170, 80])
+            b = a + rng.uniform(-30, 30, 2)
+            b = np.clip(b, [-180, -90], [180, 90])
+            cover = set(C.cover_segment(a[0], a[1], b[0], b[1], level).tolist())
+            t = np.linspace(0.0, 1.0, 500)
+            px = a[0] + t * (b[0] - a[0])
+            py = a[1] + t * (b[1] - a[1])
+            sampled = set(C.encode(px, py, level).tolist())
+            missing = sampled - cover
+            assert not missing, (a, b, level, missing)
+
+
+def test_cover_polyline_covers_long_vertex_free_segment():
+    """A 10°-long segment traverses many cells between its two vertices;
+    vertex-only indexing would keep 2 cells, the supercover keeps them all."""
+    pts = np.array([[-5.0, 0.01], [5.0, 0.01]])
+    level = 12
+    cover = set(C.cover_polyline(pts, level).tolist())
+    vertex_cells = set(C.encode(pts[:, 0], pts[:, 1], level).tolist())
+    assert vertex_cells <= cover
+    assert len(cover) > 50  # the in-between cells are present
+    mid = C.encode(np.array([0.0]), np.array([0.01]), level)[0]
+    assert mid in cover
+
+
+def test_knn_finds_close_segment_with_far_vertices(spark):
+    """A way whose segment passes 0.01° from the query, with both vertices
+    5° away, must beat a point-way 0.02° away. Vertex-only indexing + the
+    ring-1 guarantee would wrongly return the point-way."""
+    queries = spark.createDataFrame([("q0", 0.0, 0.0)],
+                                    "query_id string, lon double, lat double")
+    ways = spark.createDataFrame(
+        [("seg", [(-5.0, 0.01), (5.0, 0.01)]),
+         ("pt", [(0.0, 0.02)])],
+        "way_id string, geometry array<struct<lon:double,lat:double>>")
+    out = knn_join(queries, ways, k=1).collect()
+    assert len(out) == 1
+    assert out[0]["way_id"] == "seg"
+    assert abs(out[0]["dist"] - 0.01) < 1e-9
+
+
+def test_knn_join_loop_is_driver_safe():
+    """The expanding-ring loop must not collect ids to the driver or build
+    literal IN-lists (VERDICT r01 #2): splits are semi/anti joins."""
+    import inspect
+
+    src = inspect.getsource(knn_join)
+    assert ".collect()" not in src
+    assert ".isin(" not in src
+    assert "left_anti" in src and "left_semi" in src
+    assert "localCheckpoint" in src
+
+
+# --- exact segment-rect covering (ADVICE r01 #2) ----------------------------
+
+def test_cover_polygon_thin_vertex_free_strip():
+    """A thin strip (height 0.02°) crossing several level-6 cells off-centre:
+    no cell corner/centre is inside and no vertex lies in the middle cells,
+    so the old vertex-proxy covering dropped them."""
+    strip = np.array([[0.5, 10.0], [19.5, 10.0], [19.5, 10.02], [0.5, 10.02]])
+    level = 6
+    cover = set(P.cover_polygon(strip, level).tolist())
+    xs = np.linspace(0.6, 19.4, 200)
+    ys = np.full_like(xs, 10.01)
+    inside_cells = set(C.encode(xs, ys, level).tolist())
+    assert inside_cells <= cover
+
+
+def test_classify_cells_concave_notch_not_full():
+    """A cell crossed by a vertex-free concave edge must not be 'full'."""
+    # square with a thin notch cut across the middle, vertices far outside
+    # the level-8 cell under test
+    ring = np.array([
+        [0.0, 0.0], [40.0, 0.0], [40.0, 20.0],
+        [0.0, 20.0], [0.0, 10.02], [39.0, 10.02], [39.0, 10.0], [0.0, 10.0],
+    ])
+    level = 8
+    covering = P.cover_polygon(ring, level)
+    full = P.classify_cells(ring, covering)
+    # pick cells whose rectangle straddles the notch edges (y=10.0 / 10.02)
+    clon0, clat0, clon1, clat1 = C.cell_bounds(covering)
+    straddles = (clat0 < 10.0) & (clat1 > 10.02) & (clon1 < 39.0) & (clon0 > 0.0)
+    assert straddles.any()
+    assert not full[straddles].any()
+    # and points just inside the notch must not be classified as contained
+    px = np.linspace(1.0, 38.0, 100)
+    py = np.full_like(px, 10.01)
+    assert not P.point_in_polygon(px, py, ring).any()

@@ -190,3 +190,64 @@ def test_frame_sampling(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         M.decode_media(b"xx", "image")
+
+
+# --- round-2 hardening: zero-norm guards, centroid selection ----------------
+
+def test_zero_norm_embedding_not_dropped(spark):
+    """All-zero embeddings must map to cosine 0 (excluded by threshold),
+    not NaN rows silently vanishing (ADVICE r01 #5)."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(8)
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in base]),
+         (2, [float(x) for x in base * 2.0]),
+         (3, [0.0] * 8)],
+        "vec_id int, embedding array<double>")
+    pairs = {(r["left_id"], r["right_id"]): r["cosine"]
+             for r in D.embedding_near_dup(df, dim=8, planes=16, bands=4,
+                                           threshold=0.9).collect()}
+    assert (1, 2) in pairs
+    out = S.cosine_topk(
+        df.where("vec_id = 3").select(F.col("vec_id").alias("query_id"),
+                                      "embedding"),
+        df, k=2).collect()
+    assert len(out) == 2
+    assert all(r["cosine"] == 0.0 for r in out)  # zero vector → cosine 0
+
+
+def test_select_centroids_no_global_sort(spark, embeddings):
+    """Centroid sampling must be a hash-threshold filter + tiny sort, never
+    a full-corpus orderBy().limit() (VERDICT r01 #5)."""
+    from osm2lanes_spark.operators.similarity import _unit, select_centroids
+
+    corpus = embeddings.limit(300).select(
+        "vec_id", _unit(F.col("embedding")).alias("_cv"))
+    cents = select_centroids(corpus, "vec_id", 8)
+    plan = cents._jdf.queryExecution().executedPlan().toString()
+    # the xxhash64 threshold filter must sit below the sort
+    assert "xxhash64" in plan
+    assert "Filter" in plan
+    # global-sort shapes over the unfiltered corpus would appear as
+    # TakeOrderedAndProject reading the full scan without the hash filter
+    rows = cents.collect()
+    assert len(rows) == 8
+    assert sorted(r["centroid_id"] for r in rows) == list(range(1, 9))
+    # deterministic across re-runs
+    again = select_centroids(corpus, "vec_id", 8).collect()
+    assert {r["centroid_id"]: r["_centroid"] for r in rows} == \
+        {r["centroid_id"]: r["_centroid"] for r in again}
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark, embeddings):
+    """nprobe == n_centroids probes every cluster: IVF must return exactly
+    the brute-force ranking (the oracle configuration of ann_ivf)."""
+    corpus = embeddings.limit(200)
+    queries = (corpus.limit(5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = sorted((r["query_id"], r["vec_id"], r["rank"])
+                   for r in S.cosine_topk(queries, corpus, k=3).collect())
+    ivf = sorted((r["query_id"], r["vec_id"], r["rank"])
+                 for r in S.ivf_topk(queries, corpus, k=3, n_centroids=8,
+                                     nprobe=8).collect())
+    assert ivf == exact
