@@ -137,26 +137,44 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """(id, sim) 64-bit SimHash of each doc's token set, all JVM-side.
 
     Per-bit vote: for each of 64 bits, sum ±1 over distinct-token hashes;
     bit set when the vote is positive. Tokens are exploded and the votes
     are 64 ``sum`` aggregates — map-side combine, aggregation barrier (no
     expression re-inlining), one shuffle keyed by id.
-    """
-    from functools import reduce
 
-    toks = (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(
-                          F.split(normalized(F.col(text_col)), " "))).alias("tok"))
-            .withColumn("h", F.xxhash64("tok")))
-    votes = toks.groupBy("id").agg(*[
-        F.sum(F.when(F.col("h").bitwiseAND(
-            F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1))
-        .alias(f"v{b}")
+    ``hash_fn``: 'xxhash64' (default — cheapest, the 100 TB path) or
+    'md5' (two 32-bit halves of md5 hex — byte-identical to a DuckDB
+    replica, so the whole SimHash pipeline becomes oracle-checkable).
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(F.array_distinct(
+                         F.split(normalized(F.col(text_col)), " "))).alias("tok"))
+    if hash_fn == "md5":
+        h = F.md5(F.col("tok"))
+        lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+        hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        hashed = toks.withColumn("_lo", lo).withColumn("_hi", hi)
+
+        def bit_set(b: int):
+            col = F.col("_lo") if b < 32 else F.col("_hi")
+            return col.bitwiseAND(F.lit(1 << (b % 32)).cast("long")) != 0
+    else:
+        hashed = toks.withColumn("_h", F.xxhash64("tok"))
+
+        def bit_set(b: int):
+            return F.col("_h").bitwiseAND(
+                F.shiftleft(F.lit(1).cast("long"), b)) != 0
+
+    votes = hashed.groupBy("id").agg(*[
+        F.sum(F.when(bit_set(b), 1).otherwise(-1)).alias(f"v{b}")
         for b in range(64)
     ])
+    from functools import reduce
+
     bits = [
         F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
         .otherwise(F.lit(0).cast("long"))
@@ -167,21 +185,33 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming via 4×16-bit bands.
+                  text_col: str = "text", max_hamming: int = 7,
+                  bands: int = 8, hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via banding.
 
-    By pigeonhole, any pair within hamming ≤ 3 shares a band; wider radii
-    are still found when any 16-bit quarter matches (standard banding
-    trade-off — recall documented, precision exact via popcount verify).
+    By pigeonhole, a pair differing in at most ``bands - 1`` bits must
+    share at least one band — so with the defaults (8 bands of 8 bits,
+    max_hamming 7) the banded output EXACTLY equals a brute-force hamming
+    join; precision is always exact via the popcount verify. Radii above
+    ``bands - 1`` lose the guarantee (recall measured in tests).
     """
-    sig = simhash_signatures(df, id_col, text_col)
+    assert 64 % bands == 0, "bands must divide 64"
+    width = 64 // bands
+    mask = (1 << width) - 1
+    if max_hamming > bands - 1:
+        import warnings
+
+        warnings.warn(
+            f"max_hamming={max_hamming} exceeds the banding guarantee "
+            f"(<= {bands - 1} with {bands} bands): recall is partial")
+    sig = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn)
     banded = sig.select(
         "id", "sim",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.shiftrightunsigned(F.col("sim"), 16 * b)
-                     .bitwiseAND(F.lit(0xFFFF).cast("long")).alias("band_val"))
-            for b in range(4)
+                     F.shiftrightunsigned(F.col("sim"), width * b)
+                     .bitwiseAND(F.lit(mask).cast("long")).alias("band_val"))
+            for b in range(bands)
         ])).alias("bb")).select("id", "sim", "bb.band", "bb.band_val")
     l = banded.select(F.col("id").alias("left_id"), F.col("sim").alias("lsim"),
                       "band", "band_val")

@@ -56,6 +56,33 @@ def synth_media(spark, refs: list[str], kind: str = "image") -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_media_stage(refs: DataFrame, kind: str = "image",
+                      ref_col: str = "media_ref") -> DataFrame:
+    """Executor-side synthetic media: refs DataFrame → MEDIA_SCHEMA rows.
+
+    Unlike :func:`synth_media` (driver-side list, test convenience), this
+    derives payload + metadata inside an Arrow batch from the ref column —
+    no driver collect, scales with the refs table (VERDICT r01 #6).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref in pdf[ref_col]:
+                seed = hashlib.sha256(ref.encode()).digest()
+                h = seed[0]
+                rows.append({
+                    "media_ref": ref, "kind": kind,
+                    "payload": bytearray((seed * 8)[:192]),
+                    "meta": {"width": 16 + h % 16, "height": 16 + (h // 16) % 16,
+                             "sample_rate": 16000, "n_frames": 1 + h % 4,
+                             "codec": "fake"},
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return refs.select(F.col(ref_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def decode_media(payload: bytes, kind: str):  # pragma: no cover - stub
     """Real decode — requires codec libs absent from this container."""
     try:

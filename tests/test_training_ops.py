@@ -251,3 +251,32 @@ def test_ivf_exhaustive_probe_equals_brute_force(spark, embeddings):
                  for r in S.ivf_topk(queries, corpus, k=3, n_centroids=8,
                                      nprobe=8).collect())
     assert ivf == exact
+
+
+def test_simhash_banding_exact_within_guarantee(spark, dup_docs):
+    """8 bands of 8 bits guarantee (pigeonhole) that every pair with
+    hamming <= 7 shares a band — banded output must EQUAL brute force
+    (pins the recall gap flagged in VERDICT r01 #3)."""
+    sig = D.simhash_signatures(dup_docs, "doc_id", "text")
+    l = sig.select(F.col("id").alias("left_id"), F.col("sim").alias("ls"))
+    r = sig.select(F.col("id").alias("right_id"), F.col("sim").alias("rs"))
+    brute = (l.crossJoin(r).where(F.col("left_id") < F.col("right_id"))
+             .withColumn("hamming",
+                         F.bit_count(F.col("ls").bitwiseXOR(F.col("rs"))))
+             .where(F.col("hamming") <= 7))
+    want = {(x["left_id"], x["right_id"], x["hamming"])
+            for x in brute.collect()}
+    got = {(x["left_id"], x["right_id"], x["hamming"])
+           for x in D.simhash_pairs(dup_docs, max_hamming=7,
+                                    bands=8).collect()}
+    assert got == want
+
+
+def test_simhash_md5_flavor(spark, dup_docs):
+    """The oracle-checkable md5 hash flavor finds the same structural
+    duplicates (identical normalized text → hamming 0) as xxhash64."""
+    pairs = {(r["left_id"], r["right_id"]): r["hamming"]
+             for r in D.simhash_pairs(dup_docs, "doc_id", "text",
+                                      max_hamming=7, bands=8,
+                                      hash_fn="md5").collect()}
+    assert pairs[(1, 2)] == 0  # normalized-identical docs
