@@ -141,6 +141,18 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
             df = qs[name](spark, sf_dir)
             df.agg(F.count("*")).collect()
             aux[name] = round(time.perf_counter() - t0, 3)
+        # the ANN scale path: IVF at its real partial-probe config (the
+        # registered ann_ivf query is the exhaustive-probe oracle flavor)
+        from osm2lanes_spark.operators.similarity import ivf_topk
+
+        emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .withColumn("embedding", F.col("embedding").cast("array<double>")))
+        ivf_queries = (emb.where(F.col("vec_id") < 10)
+                       .select(F.col("vec_id").alias("query_id"), "embedding"))
+        t0 = time.perf_counter()
+        ivf_topk(ivf_queries, emb, k=5, n_centroids=16, nprobe=4) \
+            .agg(F.count("*")).collect()
+        aux["ann_ivf_nprobe4"] = round(time.perf_counter() - t0, 3)
         timings.update(aux)
 
     return {
@@ -171,7 +183,7 @@ def scaling() -> None:
     n_lo, n_hi = (int(x) for x in pair.split(","))
     corpus = os.environ.get("SPARK_GRAFT_BENCH_INPUT")
     if not corpus:
-        corpus = os.path.abspath("_scratch/bench_corpus_distinct")
+        corpus = os.path.abspath("BENCH/_corpus_distinct")
         # all-distinct tag maps: the scaling evidence measures the
         # kernel-bound worst case (no transform-memo hits)
         prep = dict(os.environ, SPARK_GRAFT_CPUS="32",

@@ -47,8 +47,14 @@ def _norm_lane(lane: dict) -> dict:
     return out
 
 
-def load_cases(path: str = TESTS_YML) -> list[dict]:
-    """All *enabled* cases (test.rs:46-53,110-115)."""
+def load_cases(path: str = TESTS_YML,
+               include_disabled: bool = False) -> list[dict]:
+    """All *enabled* cases (test.rs:46-53,110-115).
+
+    ``include_disabled=True`` also yields the 16 ``rust: false`` cases the
+    reference's own runner skips, each flagged ``enabled=False`` — used to
+    probe whether the engine exceeds reference coverage (COVERAGE.md §X).
+    """
     import yaml
 
     with open(path) as f:
@@ -57,7 +63,7 @@ def load_cases(path: str = TESTS_YML) -> list[dict]:
     cases = []
     for i, case in enumerate(raw):
         rust = case.get("rust")
-        if rust is False:
+        if rust is False and not include_disabled:
             continue  # rust: false disables the case
         if isinstance(rust, dict):
             expect_warnings = bool(rust.get("expect_warnings", False))
@@ -69,6 +75,7 @@ def load_cases(path: str = TESTS_YML) -> list[dict]:
         tags = {str(k): str(v) for k, v in (case.get("tags") or {}).items()}
         expected_lanes = [_norm_lane(l) for l in case["road"]["lanes"]]
         cases.append({
+            "enabled": rust is not False,
             "case_id": f"case/{i:04d}",
             "way_id": case.get("way_id"),
             "description": case.get("description"),

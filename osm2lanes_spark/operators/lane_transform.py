@@ -216,19 +216,28 @@ def lanes_to_tags_stage(df: DataFrame, check_roundtrip: bool = True) -> DataFram
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
+            # numpy column access instead of pdf.iloc[i] row Series
+            # construction — same conversion the forward stage got in
+            # commit 8d17860 (measured faster); VERDICT r01 #4
+            doc_np = pdf["doc_id"].to_numpy()
+            hw_np = pdf["highway"].to_numpy()
+            lc_np = pdf["lifecycle"].to_numpy()
+            lanes_np = pdf["lanes"].to_numpy()
+            iso_np = pdf["iso_3166_2"].to_numpy() if "iso_3166_2" in pdf else None
+            side_np = pdf["driving_side"].to_numpy() if "driving_side" in pdf else None
             for i in range(len(pdf)):
-                rec = pdf.iloc[i]
-                out = {"doc_id": rec["doc_id"], "tags": None, "error": None}
+                out = {"doc_id": doc_np[i], "tags": None, "error": None}
                 try:
-                    lanes = rec["lanes"]
+                    lanes = lanes_np[i]
                     lanes = [] if lanes is None else list(lanes)
                     road = {
-                        "highway": rec["highway"],
-                        "lifecycle": rec["lifecycle"],
+                        "highway": hw_np[i],
+                        "lifecycle": lc_np[i],
                         "lanes": [_denorm_lane(l) for l in lanes],
                     }
-                    locale = Locale.build(rec.get("iso_3166_2"),
-                                          rec.get("driving_side"))
+                    locale = Locale.build(
+                        iso_np[i] if iso_np is not None else None,
+                        side_np[i] if side_np is not None else None)
                     out["tags"] = lanes_to_tags(road, locale,
                                                 check_roundtrip=check_roundtrip)
                 except Exception as e:

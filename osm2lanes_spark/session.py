@@ -28,6 +28,12 @@ def get_spark(app: str = "osm2lanes-spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # split even a single small parquet file across the cluster: a
+        # 1-file scan otherwise serializes every downstream JVM pipeline
+        # onto one core (round-2 profiling: the whole minhash signature
+        # pass ran single-threaded). Scale-neutral — inputs bigger than
+        # minPartitionNum * maxPartitionBytes are unaffected.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")

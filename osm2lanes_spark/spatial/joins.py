@@ -300,9 +300,15 @@ def knn_join(queries: DataFrame, ways: DataFrame, k: int = 1,
             out.append(C.cover_polyline(pts, level).tolist())
         return pd.Series(out)
 
-    way_index = (ways
+    from ..util import spread
+
+    # materialized once (localCheckpoint) — every expanding-ring round
+    # joins against it, and re-running the covering UDF per round would
+    # dominate the loop
+    way_index = (spread(ways, way_id)
                  .withColumn("cell", F.explode(way_cells_udf(F.col("geometry"))))
-                 .select("cell", way_id, "geometry"))
+                 .select("cell", way_id, "geometry")
+                 .localCheckpoint())
 
     def query_cells(df: DataFrame, ring_k: int) -> DataFrame:
         @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -335,10 +341,12 @@ def knn_join(queries: DataFrame, ways: DataFrame, k: int = 1,
                 .where(F.col("rank") <= k))
 
     # Driver-safe expanding loop (VERDICT r01 #2): finished/remaining splits
-    # are semi/anti joins — never a collect()+isin() round-trip — and each
-    # round's results are localCheckpoint'ed so (a) iteration lineage stays
-    # flat and (b) the final union doesn't recompute every ring. Spent
-    # round state is unpersisted as soon as the next split materializes.
+    # are semi/anti joins — never a collect()+isin() round-trip. Exactly
+    # ONE eager materialization per round (the round's topk,
+    # localCheckpoint'ed): the semi/anti splits stay lazy over it, so the
+    # iteration lineage is flat (each round builds on checkpointed blocks,
+    # max log2(max_ring) shallow joins deep) and the final union never
+    # recomputes a ring. Checkpoint blocks are freed with the session.
     remaining = queries.localCheckpoint()
     finished_parts: list[DataFrame] = []
     ring_k = 1
@@ -358,13 +366,8 @@ def knn_join(queries: DataFrame, ways: DataFrame, k: int = 1,
                 .agg(F.max("dist").alias("_kth"), F.count("*").alias("_n"))
                 .where((F.col("_n") >= k) & (F.col("_kth") <= guarantee))
                 .select(query_id))
-        finished_parts.append(
-            topk.join(done, query_id, "left_semi").localCheckpoint())
-        next_remaining = (remaining.join(done, query_id, "left_anti")
-                          .localCheckpoint())
-        topk.unpersist()
-        remaining.unpersist()
-        remaining = next_remaining
+        finished_parts.append(topk.join(done, query_id, "left_semi"))
+        remaining = remaining.join(done, query_id, "left_anti")
         if remaining.isEmpty():
             break
         ring_k *= 2
@@ -377,7 +380,6 @@ def knn_join(queries: DataFrame, ways: DataFrame, k: int = 1,
                  .drop("geometry")
                  .dropDuplicates([query_id, way_id]))
         finished_parts.append(topk_of(brute))
-    remaining.unpersist()
     if not finished_parts:
         return spark.createDataFrame(
             [], queries.schema.add(way_id, T.StringType())
