@@ -275,10 +275,137 @@ def _q_ann_topk(spark, sf_dir):
 
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
+def _golden_expected_meta():
+    """Fixture metadata for the eq_exp comparator, driver-side (46 rows).
+
+    Returns (inc_by_case, mask_rows): per-case include_separators
+    resolution (test.rs:308-315 is_lane_enabled) and per expected lane the
+    PRESENCE masks of the optional fields — eq_exp treats an absent
+    expected field as a wildcard (test.rs:137-145), so the hash-compared
+    query must null the actual value wherever the expected corpus omits
+    it. Only presence flows from here; every compared VALUE on the Spark
+    side comes from the kernel.
+    """
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    tbl = _pq.read_table(os.path.join(FIXTURE_DIR, "golden.parquet"))
+    inc_by_case, mask_rows = {}, []
+    for case_id, ej, inc_flag in zip(tbl["case_id"].to_pylist(),
+                                     tbl["expected_json"].to_pylist(),
+                                     tbl["include_separators"].to_pylist()):
+        lanes = _json.loads(ej)
+        keep_seps = inc_flag and any(
+            l.get("type") == "separator" for l in lanes)
+        inc_by_case[case_id] = keep_seps
+        kept = [l for l in lanes
+                if l.get("type") != "separator" or keep_seps]
+        for idx, l in enumerate(kept):
+            marks = l.get("markings")
+            mask_rows.append({
+                "case_id": case_id, "lane_idx": idx,
+                "exp_has_width": "width" in l,
+                "exp_has_speed": "max_speed" in l,
+                "exp_has_access": "access" in l,
+                "exp_has_semantic": "semantic" in l,
+                "exp_has_markings": marks is not None,
+                "exp_n_markings": len(marks or []),
+                "color_mask": [("color" in m) for m in (marks or [])],
+                "width_mask": [("width" in m) for m in (marks or [])],
+            })
+    return inc_by_case, mask_rows
+
+
 def _q_lanes_golden(spark, sf_dir):
-    """The flagship transform on the packaged corpus fixture (rows-only:
-    the oracle is the golden corpus itself, asserted in tests/)."""
-    return entry(spark)
+    """Kernel parity THROUGH the driver's hash gate: the transform output
+    exploded to one scalar row per lane, masked to the reference's own
+    eq_exp comparator semantics (test.rs:133-265: expected-absent optional
+    fields are wildcards; markings zip-compare with expected length;
+    separators dropped unless the case both includes and expects them),
+    then hash-compared against the expected corpus (tests.yml →
+    golden.parquet) replayed mechanically in DuckDB json functions. Every
+    compared value comes from the kernel; the fixture contributes only
+    field-presence masks — exactly what the reference's test runner does.
+    """
+    from osm2lanes_spark.operators.lane_transform import tags_to_lanes_stage
+
+    _ensure_workers(spark)
+    inc_by_case, mask_rows = _golden_expected_meta()
+    docs = spark.read.parquet(os.path.join(FIXTURE_DIR, "documents.parquet"))
+    inc = spark.createDataFrame(
+        [(c, bool(v)) for c, v in sorted(inc_by_case.items())],
+        "doc_id string, include_separators boolean")
+    masks = spark.createDataFrame(
+        mask_rows,
+        "case_id string, lane_idx int, exp_has_width boolean, "
+        "exp_has_speed boolean, exp_has_access boolean, "
+        "exp_has_semantic boolean, exp_has_markings boolean, "
+        "exp_n_markings int, color_mask array<boolean>, "
+        "width_mask array<boolean>")
+
+    roads = tags_to_lanes_stage(docs.join(F.broadcast(inc), "doc_id"))
+    lane = F.col("lane")
+    exploded = (roads
+                .select("doc_id",
+                        (F.size("warnings") > 0).alias("has_warnings"),
+                        F.posexplode("lanes").alias("lane_idx", "lane"))
+                .withColumnRenamed("doc_id", "case_id")
+                .join(F.broadcast(masks), ["case_id", "lane_idx"], "left"))
+
+    typ = lane["type"]
+    dir_des = typ.isin("travel", "parking")
+    # markings: zip against the EXPECTED length (shorter expected matches a
+    # longer actual, test.rs Vec eq_exp); per-marking color/width are
+    # themselves presence-masked
+    mark_elem = F.transform(
+        F.sequence(F.lit(0),
+                   F.col("exp_n_markings") - 1),
+        lambda i: F.concat(
+            F.coalesce(F.element_at(lane["markings"], i + 1)["style"],
+                       F.lit("")),
+            F.lit(":"),
+            F.coalesce(F.when(F.element_at("color_mask", i + 1),
+                              F.element_at(lane["markings"], i + 1)["color"]),
+                       F.lit("")),
+            F.lit(":"),
+            F.coalesce(F.when(F.element_at("width_mask", i + 1),
+                              F.round(F.element_at(lane["markings"], i + 1)["width"]
+                                      * 1000).cast("long").cast("string")),
+                       F.lit(""))))
+    markings_sig = F.when(
+        (typ == "separator") & F.col("exp_has_markings"),
+        F.when(lane["markings"].isNull(), F.lit("absent"))
+        .otherwise(F.concat_ws("|", mark_elem)))
+
+    def _mode(m):
+        a = lane["access"][m]
+        return F.concat(F.coalesce(a["access"], F.lit("")), F.lit("/"),
+                        F.coalesce(a["direction"], F.lit("")))
+
+    access_sig = F.when(
+        (typ == "travel") & F.col("exp_has_access"),
+        F.when(lane["access"].isNull(), F.lit("absent"))
+        .otherwise(F.concat_ws("|", *[_mode(m) for m in
+                                      ("foot", "bicycle", "taxi", "bus",
+                                       "motor")])))
+
+    return exploded.select(
+        "case_id", "lane_idx",
+        typ.alias("lane_type"),
+        F.when(dir_des, lane["direction"]).alias("direction"),
+        F.when(dir_des, lane["designated"]).alias("designated"),
+        F.when(typ.isin("travel", "parking", "shoulder")
+               & F.col("exp_has_width"), lane["width"]).alias("width"),
+        F.when((typ == "travel") & F.col("exp_has_speed"),
+               lane["max_speed"]["unit"]).alias("speed_unit"),
+        F.when((typ == "travel") & F.col("exp_has_speed"),
+               lane["max_speed"]["value"]).alias("speed_value"),
+        F.when((typ == "separator") & F.col("exp_has_semantic"),
+               lane["semantic"]).alias("semantic"),
+        markings_sig.alias("markings_sig"),
+        access_sig.alias("access_sig"),
+        "has_warnings")
 
 
 def _q_lanes_roundtrip(spark, sf_dir):
@@ -473,10 +600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _shipped(_q_ann_topk),
         "top_suppliers": _shipped(_q_top_suppliers),
         "customer_set_ops": _shipped(_q_customer_set_ops),
-        # rows-only (no SQL equivalent)
         "road_width": _shipped(_q_road_width),
         "media_refs": _shipped(_q_media_refs),
         "lanes_golden": _shipped(_q_lanes_golden),
+        # rows-only (no SQL equivalent: the reverse kernel itself)
         "lanes_roundtrip": _shipped(_q_lanes_roundtrip),
         "minhash_pairs": _shipped(_q_minhash_pairs),
         "simhash_pairs": _shipped(_q_simhash_pairs),
@@ -692,6 +819,75 @@ def _simhash_oracle(max_hamming: int = 6) -> str:
     """
 
 
+def _lanes_golden_oracle() -> str:
+    """The reference's expected corpus (tests.yml → golden.parquet)
+    replayed in DuckDB json functions — one scalar row per expected lane,
+    mirroring _q_lanes_golden's eq_exp masking exactly: separators dropped
+    (and lanes reindexed) unless the case both includes and expects them;
+    optional fields emitted as stored (absent → NULL, matching the masked
+    Spark side); markings/access as the same deterministic fingerprints.
+    The only logic here is mechanical JSON reshaping; every VALUE comes
+    from the published fixture, so this is an independent replay of what
+    the kernel must produce, not a re-implementation of it."""
+    golden = os.path.join(FIXTURE_DIR, "golden.parquet")
+    modes = ("foot", "bicycle", "taxi", "bus", "motor")
+    access_parts = ",\n             ".join(
+        f"concat(coalesce(json_extract_string(z.lane,'$.access.{m}.access'),''),"
+        f" '/', coalesce(json_extract_string(z.lane,'$.access.{m}.direction'),''))"
+        for m in modes)
+    return f"""
+        WITH g AS (
+          SELECT case_id, expected_json, expect_warnings,
+                 include_separators AND len(list_filter(
+                     from_json(expected_json, '["json"]'),
+                     l -> json_extract_string(l, '$.type') = 'separator')) > 0
+                 AS keep_seps
+          FROM read_parquet('{golden}')
+        ), exploded AS (
+          SELECT case_id, expect_warnings, keep_seps,
+                 unnest(list_transform(from_json(expected_json, '["json"]'),
+                                       (l, i) -> struct_pack(lane := l, idx := i))) AS z
+          FROM g
+        ), kept AS (
+          SELECT case_id, expect_warnings, z,
+                 json_extract_string(z.lane, '$.type') AS lane_type,
+                 CAST(row_number() OVER (PARTITION BY case_id ORDER BY z.idx)
+                      - 1 AS INT) AS lane_idx
+          FROM exploded
+          WHERE json_extract_string(z.lane, '$.type') <> 'separator' OR keep_seps
+        )
+        SELECT case_id, lane_idx, lane_type,
+          CASE WHEN lane_type IN ('travel', 'parking')
+               THEN json_extract_string(z.lane, '$.direction') END AS direction,
+          CASE WHEN lane_type IN ('travel', 'parking')
+               THEN json_extract_string(z.lane, '$.designated') END AS designated,
+          CASE WHEN lane_type IN ('travel', 'parking', 'shoulder')
+               THEN CAST(json_extract(z.lane, '$.width') AS DOUBLE) END AS width,
+          CASE WHEN lane_type = 'travel'
+               THEN json_extract_string(z.lane, '$.max_speed[0]') END AS speed_unit,
+          CASE WHEN lane_type = 'travel'
+               THEN CAST(json_extract(z.lane, '$.max_speed[1]') AS DOUBLE) END AS speed_value,
+          CASE WHEN lane_type = 'separator'
+               THEN json_extract_string(z.lane, '$.semantic') END AS semantic,
+          CASE WHEN lane_type = 'separator'
+                AND json_extract(z.lane, '$.markings') IS NOT NULL
+               THEN array_to_string(list_transform(
+                      from_json(json_extract(z.lane, '$.markings'), '["json"]'),
+                      m -> concat(
+                        coalesce(json_extract_string(m, '$.style'), ''), ':',
+                        coalesce(json_extract_string(m, '$.color'), ''), ':',
+                        coalesce(CAST(CAST(round(CAST(json_extract(m, '$.width') AS DOUBLE) * 1000) AS BIGINT) AS VARCHAR), ''))), '|')
+          END AS markings_sig,
+          CASE WHEN lane_type = 'travel'
+                AND json_extract(z.lane, '$.access') IS NOT NULL
+               THEN concat_ws('|',
+             {access_parts})
+          END AS access_sig,
+          expect_warnings AS has_warnings
+        FROM kept
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
         "pricing_summary": """
@@ -852,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
     }
     # generated oracles (polygon literals / 64-bit vote unrolls / fixture
     # paths are built programmatically — see the _*_oracle helpers above)
+    out["lanes_golden"] = _lanes_golden_oracle()
     out["langid"] = _langid_oracle()
     out["locale_spatial"] = _locale_spatial_oracle()
     out["media_refs"] = _media_refs_oracle()
