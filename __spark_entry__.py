@@ -166,6 +166,24 @@ def _q_grid_binning(spark, sf_dir):
                  F.min("doc_id").alias("min_doc")))
 
 
+def _q_s2_binning(spark, sf_dir):
+    """Tiling on REAL S2 cell ids (north rule: "H3 cells (with S2
+    fallback) in batched Arrow kernels"): derived points → S2 level-12
+    cells via the vectorized `spatial/s2.py` kernel (cube face +
+    quadratic ST + Hilbert lookup tables, canonical bit layout) →
+    per-cell counts. The oracle replays the full algorithm — faces,
+    projection, all eight Hilbert table steps, parent arithmetic — in
+    DuckDB SQL, so the S2 implementation itself is hash-verified."""
+    from osm2lanes_spark.spatial.s2 import s2_encode_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    cell = s2_encode_udf(12)(F.expr(_LON), F.expr(_LAT))
+    return (docs.withColumn("cell", cell)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc")))
+
+
 def _q_knn(spark, sf_dir):
     """kNN via expanding k-ring (J4) — exact vs brute-force oracle."""
     from osm2lanes_spark.spatial.joins import knn_join
@@ -592,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_ranks": _shipped(_q_event_ranks),
         "events_props": _shipped(_q_events_props),
         "grid_binning": _shipped(_q_grid_binning),
+        "s2_binning": _shipped(_q_s2_binning),
         "knn": _shipped(_q_knn),
         "zonal": _shipped(_q_zonal),
         "dedup_exact": _shipped(_q_dedup_exact),
@@ -816,6 +835,76 @@ def _simhash_oracle(max_hamming: int = 6) -> str:
         WHERE list_sum(list_transform(range(1, 65),
               i -> CASE WHEN a.bl[i] <> b.bl[i] THEN 1 ELSE 0 END))
               <= {max_hamming}
+    """
+
+
+def _s2_oracle(level: int = 12) -> str:
+    """Full S2 cell-id replay in DuckDB SQL: lon/lat → unit xyz → cube
+    face + (u,v) → quadratic ST → leaf (i,j) → Hilbert cell id via the
+    same canonical lookup table the numpy kernel uses (embedded as a
+    constant list), then parent arithmetic to ``level``. All integer steps
+    are exact; the float steps (trig/sqrt on the fixture's derived
+    coordinates) are bit-stable across numpy and DuckDB — ``floor`` is
+    explicit because DuckDB CAST(double AS BIGINT) rounds while numpy
+    astype truncates."""
+    from osm2lanes_spark.spatial.s2 import _LOOKUP_POS
+
+    tbl = list(map(int, _LOOKUP_POS))
+    new_lsb = 1 << (2 * (30 - level))
+    minus_lsb = (1 << 64) - new_lsb
+    steps = []
+    prev, prev_n, prev_b = "start", "n_init", "b_init"
+    for k in range(7, -1, -1):
+        idx = (f"({prev_b} + ((i >> {4 * k}) & 15) * 64"
+               f" + ((j >> {4 * k}) & 15) * 4)")
+        steps.append(
+            f", v{k} AS (SELECT *, tbl[{idx} + 1] AS val{k} FROM {prev})"
+            f", s{k} AS (SELECT *, {prev_n} | (CAST(val{k} >> 2 AS UBIGINT)"
+            f" << {8 * k}) AS n{k}, val{k} & 3 AS b{k} FROM v{k})")
+        prev, prev_n, prev_b = f"s{k}", f"n{k}", f"b{k}"
+    return f"""
+        WITH lk AS (SELECT {tbl} AS tbl),
+        pts AS (SELECT doc_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat
+                FROM documents),
+        xyz AS (SELECT doc_id,
+                  cos(radians(lat)) * cos(radians(lon)) AS x,
+                  cos(radians(lat)) * sin(radians(lon)) AS y,
+                  sin(radians(lat)) AS z FROM pts),
+        fuv AS (SELECT doc_id,
+          CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                    THEN CASE WHEN x < 0 THEN 3 ELSE 0 END
+               WHEN abs(y) >= abs(z) THEN CASE WHEN y < 0 THEN 4 ELSE 1 END
+               ELSE CASE WHEN z < 0 THEN 5 ELSE 2 END END AS face,
+          x, y, z FROM xyz),
+        uv AS (SELECT doc_id, face,
+          CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                    WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+          CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                    WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+          FROM fuv),
+        st AS (SELECT doc_id, face,
+          CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u)
+               ELSE 1-0.5*sqrt(1-3*u) END AS s,
+          CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v)
+               ELSE 1-0.5*sqrt(1-3*v) END AS t
+          FROM uv),
+        start AS (SELECT doc_id, face,
+          least(greatest(CAST(floor(s*1073741824) AS BIGINT), 0), 1073741823) AS i,
+          least(greatest(CAST(floor(t*1073741824) AS BIGINT), 0), 1073741823) AS j,
+          CAST(face AS UBIGINT) << 60 AS n_init,
+          face & 1 AS b_init, tbl
+          FROM st, lk)
+        {"".join(steps)},
+        cells AS (
+          SELECT doc_id,
+            CAST(CASE WHEN pid >= 9223372036854775808
+                      THEN CAST(pid AS HUGEINT) - 18446744073709551616
+                      ELSE CAST(pid AS HUGEINT) END AS BIGINT) AS cell
+          FROM (SELECT doc_id,
+                       ((n0 * 2 + 1) & {minus_lsb}) | {new_lsb} AS pid
+                FROM s0))
+        SELECT cell, count(*) AS n_docs, min(doc_id) AS min_doc
+        FROM cells GROUP BY cell
     """
 
 
@@ -1049,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
     # generated oracles (polygon literals / 64-bit vote unrolls / fixture
     # paths are built programmatically — see the _*_oracle helpers above)
     out["lanes_golden"] = _lanes_golden_oracle()
+    out["s2_binning"] = _s2_oracle(level=12)
     out["langid"] = _langid_oracle()
     out["locale_spatial"] = _locale_spatial_oracle()
     out["media_refs"] = _media_refs_oracle()

@@ -1,0 +1,123 @@
+"""S2 cell-id backend (spatial/s2.py): canonical bit layout, hierarchy,
+range co-location, Arrow-kernel parity, and (when bindings exist) a
+bit-for-bit cross-check against the real s2 library.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from osm2lanes_spark.spatial import s2
+
+
+@pytest.fixture(scope="module")
+def rand_points():
+    rng = np.random.default_rng(42)
+    return (rng.uniform(-180, 180, 5000), rng.uniform(-90, 90, 5000))
+
+
+def test_canonical_vectors():
+    """Published S2 facts: the leaf id of (0°, 0°) is 0x1000000000000001
+    (face 0 center), and each axis direction hits its canonical face."""
+    ids = s2.encode(np.array([0.0]), np.array([0.0]), 30)
+    assert hex(int(ids.view(np.uint64)[0])) == "0x1000000000000001"
+    for (lon, lat), face in (((0, 0), 0), ((90, 0), 1), ((0, 90), 2),
+                             ((180, 0), 3), ((-90, 0), 4), ((0, -90), 5)):
+        i = s2.encode(np.array([float(lon)]), np.array([float(lat)]), 30)
+        assert int(i.view(np.uint64)[0] >> np.uint64(61)) == face, (lon, lat)
+
+
+def test_id_structure_and_hierarchy(rand_points):
+    lon, lat = rand_points
+    leaf = s2.encode(lon, lat, 30)
+    leafu = leaf.view(np.uint64)
+    assert (leafu & np.uint64(1) == np.uint64(1)).all()  # leaf trailing bit
+    assert (s2.level_of(leaf) == 30).all()
+    for lvl in (0, 3, 12, 22, 29):
+        p = s2.encode(lon, lat, lvl)
+        assert (s2.level_of(p) == lvl).all()
+        # parent arithmetic == re-encoding at the coarser level
+        assert (s2.parent(leaf, lvl) == p).all()
+        # descendants form one contiguous range containing the leaf
+        rm = s2.range_min(p).view(np.uint64)
+        rx = s2.range_max(p).view(np.uint64)
+        assert ((rm <= leafu) & (leafu <= rx)).all()
+    # nesting: the level-20 range sits inside the level-10 range
+    p10, p20 = s2.encode(lon, lat, 10), s2.encode(lon, lat, 20)
+    assert ((s2.range_min(p10).view(np.uint64)
+             <= s2.range_min(p20).view(np.uint64))
+            & (s2.range_max(p20).view(np.uint64)
+               <= s2.range_max(p10).view(np.uint64))).all()
+
+
+def test_locality():
+    """Nearby points share cells at coarse levels; the id ORDER is a
+    Hilbert curve, so consecutive ids are spatially adjacent — the
+    property repartitionByRange co-location relies on."""
+    a = s2.encode(np.array([13.0]), np.array([52.0]), 12)
+    b = s2.encode(np.array([13.0001]), np.array([52.0001]), 12)
+    assert a[0] == b[0]
+    # walk a tight path: consecutive level-16 ids should mostly repeat or
+    # be near each other in id space (Hilbert locality)
+    lons = np.linspace(13.0, 13.01, 200)
+    lats = np.full(200, 52.0)
+    ids = s2.encode(lons, lats, 16).view(np.uint64)
+    dist_cells = np.abs(np.diff(ids.astype(np.float64)))
+    lsb = float(s2.lsb_for_level(16))
+    assert np.median(dist_cells) <= 2 * lsb
+
+
+def test_s2_cross_check_with_real_library(rand_points):
+    """Bit-for-bit equality with the real S2 bindings — runs only where
+    s2sphere is installed (not in this container); the implementation
+    follows the published algorithm so this is a drop-in check."""
+    s2sphere = pytest.importorskip("s2sphere")
+    lon, lat = (x[:500] for x in rand_points)
+    ours = s2.encode(lon, lat, 30).view(np.uint64)
+    for k in range(500):
+        ll = s2sphere.LatLng.from_degrees(float(lat[k]), float(lon[k]))
+        ref = s2sphere.CellId.from_lat_lng(ll)
+        assert int(ours[k]) == ref.id(), (lon[k], lat[k])
+
+
+def test_arrow_kernel_through_spark(spark):
+    """s2_encode_udf over Arrow batches == the numpy kernel directly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({"lon": rng.uniform(-180, 180, 1000),
+                        "lat": rng.uniform(-90, 90, 1000)})
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = (df.withColumn("cell", s2.s2_encode_udf(12)(F.col("lon"),
+                                                      F.col("lat")))
+           .toPandas().sort_values(["lon", "lat"]))
+    ref = s2.encode(out["lon"].to_numpy(), out["lat"].to_numpy(), 12)
+    assert (out["cell"].to_numpy() == ref).all()
+
+
+def test_range_join_colocation(spark):
+    """The contiguous-range property in action: a point→region assignment
+    via BETWEEN range join on raw int64 ids (how a polygon covering would
+    join at scale), validated against direct parent arithmetic."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-10, 30, 400)
+    lat = rng.uniform(35, 60, 400)
+    leaf = s2.encode(lon, lat, 30)
+    regions = np.unique(s2.encode(lon, lat, 8))  # level-8 covering
+    import pandas as pd
+    pts = spark.createDataFrame(pd.DataFrame({"pid": np.arange(400),
+                                              "leaf": leaf}))
+    reg = spark.createDataFrame(pd.DataFrame({
+        "rid": regions,
+        "lo": s2.range_min(regions), "hi": s2.range_max(regions)}))
+    joined = (pts.join(F.broadcast(reg),
+                       (F.col("leaf") >= F.col("lo"))
+                       & (F.col("leaf") <= F.col("hi")))
+              .select("pid", "rid").toPandas().sort_values("pid"))
+    expect = s2.parent(leaf, 8)
+    assert (joined["rid"].to_numpy() == expect).all()
+    assert len(joined) == 400  # exactly one region per point
