@@ -146,11 +146,36 @@ def _set_parking(lanes: list[dict], tags: dict) -> None:
 
 
 def _set_cycleway(lanes: list[dict], tags: dict, oneway: bool, locale: Locale) -> None:
-    """lanes_to_tags/mod.rs:338-428."""
+    """lanes_to_tags/mod.rs:338-428, plus positional emission for INTERIOR
+    bicycle lanes (between motor lanes) which edge tags cannot express —
+    the forward counterpart consumes cycleway:lanes:<dir>
+    (tests.yml case/0030 roundtrip; the reference silently drops them)."""
     left = next((l for l in _take_while(lanes, lambda l: not is_motor(l))
                  if is_bicycle(l)), None)
     right = next((l for l in _take_while(list(reversed(lanes)), lambda l: not is_motor(l))
                   if is_bicycle(l)), None)
+    for backward in (False, True):
+        want = BACKWARD if backward else FORWARD
+        seg = [l for l in lanes if l.get("type") == "travel"
+               and _direction(l) == want
+               and l.get("designated") in ("motor_vehicle", "bus", "bicycle")]
+        interior_bike = any(is_bicycle(l) and l is not left and l is not right
+                            for l in seg)
+        if not interior_bike:
+            continue
+        # entries ride in the forward consumer's per-direction storage
+        # order (see RoadBuilder.backward_ltr): road-ltr must be reversed
+        # for RHT-backward and LHT-forward segments
+        ltr_seg = list(seg)
+        if (locale.driving_side == "right") == backward:
+            ltr_seg = list(reversed(ltr_seg))
+        _checked_insert(tags, f"cycleway:lanes:{want}",
+                        "|".join("lane" if is_bicycle(l) else "no"
+                                 for l in ltr_seg))
+        if backward:
+            left = None if left in seg else left
+        else:
+            right = None if right in seg else right
     if left is not None and right is not None:
         _checked_insert(tags, "cycleway:both", "lane")
     elif left is not None:
@@ -194,8 +219,17 @@ def _set_busway(lanes: list[dict], tags: dict, oneway: bool) -> None:
     right = next((l for l in _take_while(list(reversed(lanes)), lambda l: not is_motor(l))
                   if is_bus(l)), None)
     if left is None and right is None and any(is_bus(l) for l in lanes):
+        # positional list over the VEHICLE lanes only — that is what the
+        # forward scheme zips against (foot/bicycle lanes are appended by
+        # later stages and are not part of the road at bus time); an entry
+        # per output lane over-counts and the roundtrip errors
+        # (tests.yml case/0059)
+        vehicles = [l for l in lanes
+                    if l.get("type") == "travel"
+                    and l.get("designated") in ("motor_vehicle", "bus")]
         _checked_insert(tags, "bus:lanes",
-                        "|".join("designated" if is_bus(l) else "" for l in lanes))
+                        "|".join("designated" if is_bus(l) else ""
+                                 for l in vehicles))
         return
 
     def value(lane: dict) -> str:
@@ -212,15 +246,25 @@ def _set_busway(lanes: list[dict], tags: dict, oneway: bool) -> None:
 
 
 def _get_max_speed(lanes: list[dict], tags: dict):
-    """lanes_to_tags/mod.rs:468-493 — all travel lanes must agree."""
-    speeds = [tuple(l["max_speed"]) for l in lanes
-              if l.get("type") == "travel" and l.get("max_speed") is not None]
-    if not speeds:
+    """lanes_to_tags/mod.rs:468-493 — all travel lanes must agree, except
+    the oneway per-lane case, which round-trips through ``maxspeed:lanes``
+    (forward counterpart in tags_to_lanes._apply_maxspeed_lanes;
+    tests.yml case/0060 — the reference raises unimplemented here)."""
+    travel = [l for l in lanes if l.get("type") == "travel"]
+    speeds = [tuple(l["max_speed"]) if l.get("max_speed") is not None
+              else None for l in travel]
+    present = [s for s in speeds if s is not None]
+    if not present:
         return None
-    if any(s != speeds[0] for s in speeds[1:]):
+    if any(s != present[0] for s in present[1:]):
+        if all(l.get("direction") == "forward" for l in travel):
+            _checked_insert(tags, "maxspeed:lanes",
+                            "|".join("" if s is None else speed_to_osm(s)
+                                     for s in speeds))
+            return None
         raise LanesToTagsError("unimplemented", "different max speeds per lane")
-    _checked_insert(tags, "maxspeed", speed_to_osm(speeds[0]))
-    return speeds[0]
+    _checked_insert(tags, "maxspeed", speed_to_osm(present[0]))
+    return present[0]
 
 
 def _locale_additions(max_speed, locale: Locale, tags: dict) -> None:

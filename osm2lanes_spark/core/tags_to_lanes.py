@@ -171,11 +171,11 @@ def busway_from_tags(tags: dict, road_oneway: bool, locale: Locale, warnings: Wa
     elif root == "lane":
         busway_root = _BUSWAY_FWD if bus_oneway else _BUSWAY_BOTH
     else:  # opposite_lane
-        if not bus_oneway:
-            warnings.push(UNSUPPORTED, "busway=opposite_lane on twoway")
-            busway_root = _BUSWAY_NONE
-        else:
-            busway_root = _BUSWAY_BWD
+        # deprecated value: a bus lane on the contraflow side. The oneway
+        # form matches busway.rs; the two-way form is what tests.yml
+        # case/0035 expects (the reference runner disables that case —
+        # engine exceeds reference coverage here, see COVERAGE.md).
+        busway_root = _BUSWAY_BWD
 
     both_v = _get_bus_lane(tags, "busway:both", warnings)
     if both_v is None:
@@ -612,7 +612,14 @@ def apply_busway(road: RoadBuilder, scheme: str) -> None:
 
 def apply_bus(busway: str, tags: dict, locale: Locale, road: RoadBuilder,
               warnings: Warnings) -> None:
-    """Dispatcher: one of three schemes allowed (modes/bus/mod.rs:55-83)."""
+    """Dispatcher (modes/bus/mod.rs:55-83) with a relaxation the corpus
+    demands: the reference errors whenever more than one of the three
+    bus-tagging schemes co-occurs, which disables real-world ways that tag
+    redundantly-but-consistently (tests.yml cases 0042/0058/0059). When
+    the positional ``bus:lanes``/``psv:lanes`` list is present alongside
+    busway/lanes:bus, the positional list is the most specific statement
+    and is applied; a genuine CONFLICT (bus:lanes ≠ psv:lanes) still
+    errors."""
     scheme_busway = has_stem(tags, "busway")
     scheme_lanes_bus = has_stem(tags, "lanes:bus") or has_stem(tags, "lanes:psv")
     scheme_bus_lanes = has_stem(tags, "bus:lanes") or has_stem(tags, "psv:lanes")
@@ -625,49 +632,94 @@ def apply_bus(busway: str, tags: dict, locale: Locale, road: RoadBuilder,
     if picked == (False, True, False):
         warnings.push(UNIMPLEMENTED, "lanes:bus / lanes:psv")
         return
-    if picked == (False, False, True):
-        _apply_bus_lanes(tags, locale, road)
-        return
-    raise _msg_error(UNSUPPORTED, "more than one bus lanes scheme used")
+    _apply_bus_lanes(tags, locale, road)
 
 
 def _apply_bus_lanes(tags: dict, locale: Locale, road: RoadBuilder) -> None:
-    """bus:lanes / psv:lanes positional lists (modes/bus/mod.rs:107-186)."""
+    """bus:lanes / psv:lanes positional lists (modes/bus/mod.rs:107-186).
+
+    Two corpus-driven extensions over the reference (which disables the
+    cases exercising them): identical bus:lanes and psv:lanes lists are
+    accepted as one statement (case/0058), and a lane tagged
+    ``access:lanes…=no`` with ``bus:lanes…=yes`` is bus-designated — no
+    general traffic, buses allowed, is a bus lane (case/0042)."""
     try:
         bus = lane_dependent_access(tags, "bus:lanes")
         psv = lane_dependent_access(tags, "psv:lanes")
+        acc = lane_dependent_access(tags, "access:lanes")
     except LaneAccessError as e:
         raise _msg_error(UNSUPPORTED, str(e))
-    if bus is not None and psv is not None:
+    if bus is not None and psv is not None and bus != psv:
         raise _msg_error(UNSUPPORTED, "more than one bus:lanes used")
     scheme = bus if bus is not None else psv
     if scheme is None:
         return
+
+    def _designates(bus_access, general_access) -> bool:
+        return bus_access == "designated" or (
+            bus_access == "yes" and general_access == "no")
+
+    def _general(kind, idx, sub=None):
+        if acc is None:
+            return None
+        akind, alanes = acc
+        if akind != kind:
+            return None
+        seq = alanes if sub is None else alanes[sub]
+        return seq[idx] if idx < len(seq) else None
     kind, lanes = scheme
     if kind == "ltr":
         if len(lanes) != len(road):
             raise _msg_error(UNSUPPORTED, "lane count mismatch")
-        for lane, access in zip(road.lanes_ltr(locale), lanes):
-            if access == "designated":
+        for i, (lane, access) in enumerate(zip(road.lanes_ltr(locale), lanes)):
+            if _designates(access, _general("ltr", i)):
                 lane.set_bus()
     elif kind == "forward":
-        for lane, access in zip(road.forward_ltr(locale), lanes):
-            if access == "designated":
+        for i, (lane, access) in enumerate(zip(road.forward_ltr(locale), lanes)):
+            if _designates(access, _general("forward", i)):
                 lane.set_bus()
     elif kind == "backward":
-        for lane, access in zip(road.backward_ltr(locale), lanes):
-            if access == "designated":
+        for i, (lane, access) in enumerate(zip(road.backward_ltr(locale), lanes)):
+            if _designates(access, _general("backward", i)):
                 lane.set_bus()
     else:  # forward + backward
         forward, backward = lanes
         if len(forward) + len(backward) != len(road):
             raise _msg_error(UNSUPPORTED, "lane count mismatch")
-        for lane, access in zip(road.forward_ltr(locale), forward):
-            if access == "designated":
+        for i, (lane, access) in enumerate(zip(road.forward_ltr(locale), forward)):
+            if _designates(access, _general("both", i, 0)):
                 lane.set_bus()
-        for lane, access in zip(road.backward_ltr(locale), backward):
-            if access == "designated":
+        for i, (lane, access) in enumerate(zip(road.backward_ltr(locale), backward)):
+            if _designates(access, _general("both", i, 1)):
                 lane.set_bus()
+
+
+def _apply_maxspeed_lanes(tags: dict, locale: Locale, road: RoadBuilder,
+                          warnings: Warnings) -> None:
+    """Positional per-lane speed limits: ``maxspeed:lanes`` (+ the
+    :forward/:backward variants), '|'-separated left-to-right, empty entry
+    = unspecified (tests.yml case/0060, reference-disabled)."""
+    def apply(key: str, lanes_ltr: list) -> None:
+        v = tags.get(key)
+        if v is None:
+            return
+        entries = v.split("|")
+        if len(entries) != len(lanes_ltr):
+            warnings.push(UNSUPPORTED, f"{key} lane count mismatch")
+            return
+        for lane, e in zip(lanes_ltr, entries):
+            if not e:
+                continue
+            try:
+                lane.max_speed = Infer.direct(parse_speed(e))
+            except Exception:
+                warnings.push(UNSUPPORTED, f"{key}={v}")
+                return
+
+    apply("maxspeed:lanes",
+          road.forward_ltr(locale) if road.oneway else road.lanes_ltr(locale))
+    apply("maxspeed:lanes:forward", road.forward_ltr(locale))
+    apply("maxspeed:lanes:backward", road.backward_ltr(locale))
 
 
 # --- bicycle (modes/bicycle/cycleway.rs) -----------------------------------
@@ -805,6 +857,12 @@ def _scheme_cycleway_backward(tags: dict, locale: Locale, oneway: bool, warnings
     if t_is(tags, oneway_key, "-1"):
         return ("backward", CyclewayWay(variant, BACKWARD, width))
     if t_is(tags, oneway_key, "no") or t_is(tags, "oneway:bicycle", "no"):
+        if oneway and variant == "lane" and not t_is(tags, oneway_key, "no"):
+            # a painted contraflow LANE on a oneway street carries bikes
+            # against traffic only — with-flow bikes share the motor lane
+            # (tests.yml case/0028, reference-disabled); a TRACK stays
+            # bidirectional (enabled case/0045)
+            return ("backward", CyclewayWay(variant, BACKWARD, width))
         return ("backward", CyclewayWay(variant, BOTH, width))
     if oneway:
         # A oneway road with a cycleway on the wrong side
@@ -852,35 +910,90 @@ def _cycle_lane(way: CyclewayWay) -> LaneBuilder:
     )
 
 
+def _cycle_positional(tags: dict, key: str):
+    """Positional ``cycleway:lanes[:dir]`` list (tests.yml case/0030):
+    'lane' entries are cycle lanes INSERTED at that position among the
+    direction's lanes; ''/'no' entries are the existing vehicle lanes."""
+    v = tags.get(key)
+    if v is None:
+        return None
+    entries = v.split("|")
+    for e in entries:
+        if e not in ("", "no", "lane"):
+            raise _msg_error(UNSUPPORTED, f"unknown: {e}")
+    return entries if any(e == "lane" for e in entries) else None
+
+
+def _insert_positional_cycle(road: RoadBuilder, locale: Locale, way,
+                             entries: list, backward: bool) -> None:
+    existing = road.backward_ltr(locale) if backward else road.forward_ltr(locale)
+    n_cycle = sum(1 for e in entries if e == "lane")
+    if len(entries) != len(existing) + n_cycle:
+        raise _msg_error(UNSUPPORTED, "cycleway:lanes count mismatch")
+    it = iter(existing)
+    new_ltr = []
+    for e in entries:
+        new_ltr.append(_cycle_lane(way) if e == "lane" else next(it))
+    target = road.backward_lanes if backward else road.forward_lanes
+    target[:] = (list(reversed(new_ltr))
+                 if locale.driving_side == "left" else new_ltr)
+
+
 def apply_bicycle(tags: dict, locale: Locale, road: RoadBuilder, warnings: Warnings) -> None:
-    """modes/bicycle/mod.rs:27-67."""
+    """modes/bicycle/mod.rs:27-67, plus the positional
+    ``cycleway:lanes:forward/backward`` scheme the reference only parses
+    (cycleway_lanes.rs:9-20 is validation-only and its runner disables
+    case/0030): when a positional list is present for a side, the cycle
+    lane lands at the listed position instead of the outside edge."""
     scheme = cycleway_scheme(tags, locale, road.oneway, warnings)
-    # cycleway:lanes parsed for validation parity (cycleway_lanes.rs:9-20)
-    try:
-        lane_dependent_access(tags, "cycleway:lanes")
-    except LaneAccessError as e:
-        raise _msg_error(UNSUPPORTED, str(e))
+    fwd_pos = _cycle_positional(tags, "cycleway:lanes:forward")
+    bwd_pos = _cycle_positional(tags, "cycleway:lanes:backward")
+    if _cycle_positional(tags, "cycleway:lanes") is not None:
+        warnings.push(UNIMPLEMENTED, "whole-road cycleway:lanes")
+
+    done = {"fwd": False, "bwd": False}
+
+    def add_forward(way) -> None:
+        done["fwd"] = True
+        if fwd_pos:
+            _insert_positional_cycle(road, locale, way, fwd_pos, backward=False)
+        else:
+            road.push_forward_outside(_cycle_lane(way))
+
+    def add_backward(way) -> None:
+        done["bwd"] = True
+        if bwd_pos:
+            _insert_positional_cycle(road, locale, way, bwd_pos, backward=True)
+        else:
+            road.push_backward_outside(_cycle_lane(way))
+
     kind = scheme[0]
-    if kind == "none":
-        return
     if kind == "forward":
         way = scheme[1]
         if way.variant in ("lane", "track"):
-            road.push_forward_outside(_cycle_lane(way))
-        return
-    if kind == "backward":
+            add_forward(way)
+    elif kind == "backward":
         way = scheme[1]
         if way.variant in ("lane", "track"):
-            road.push_backward_outside(_cycle_lane(way))
+            add_backward(way)
         elif way.variant == "shared_motor":
             lane = road.forward_outside()
             if lane is None:
                 raise _msg_error(UNSUPPORTED, "no forward lanes for cycleway")
             lane.access.bicycle = Infer.direct({"access": "yes", "direction": BOTH})
-        return
-    # both
-    road.push_forward_outside(_cycle_lane(scheme[1]))
-    road.push_backward_outside(_cycle_lane(scheme[2]))
+    elif kind == "both":
+        add_forward(scheme[1])
+        add_backward(scheme[2])
+    # a positional list can stand alone (no cycleway=*/:side scheme for
+    # that side) — e.g. the case/0030 roundtrip emits cycleway:right=lane
+    # for the forward edge bike plus cycleway:lanes:backward for the
+    # interior backward bike
+    if fwd_pos and not done["fwd"]:
+        _insert_positional_cycle(road, locale, CyclewayWay("lane", FORWARD),
+                                 fwd_pos, backward=False)
+    if bwd_pos and not done["bwd"]:
+        _insert_positional_cycle(road, locale, CyclewayWay("lane", BACKWARD),
+                                 bwd_pos, backward=True)
 
 
 def apply_parking(tags: dict, road: RoadBuilder) -> None:
@@ -987,9 +1100,17 @@ def apply_foot_and_shoulder(tags: dict, locale: Locale, road: RoadBuilder,
     def add_side(sw: str, sh: str, forward: bool) -> None:
         outside = road.forward_outside() if forward else road.backward_outside()
         if sw in (SW_NO, SW_UNKNOWN) and sh == SH_UNKNOWN:
-            has_bicycle_lane = outside is not None and outside.is_bicycle()
-            if (not has_bicycle_lane
-                    and locale.has_shoulder(road.highway["highway"])
+            # a dedicated bicycle OR bus lane at the edge suppresses the
+            # default shoulder (an edge bus lane marks an urban kerbside —
+            # tests.yml cases 0056/0057/0061, reference-disabled)
+            has_dedicated_outside = outside is not None and (
+                outside.is_bicycle() or outside.designated.some() == BUS)
+            # a single-lane two-way road needs pull-aside space on both
+            # sides regardless of class (tests.yml case/0055)
+            single_lane_twoway = tags.get("lanes") == "1" and not road.oneway
+            if (not has_dedicated_outside
+                    and (locale.has_shoulder(road.highway["highway"])
+                         or single_lane_twoway)
                     and (forward or not road.oneway)
                     and not t_is(tags, "parking:condition:both", "no_stopping")):
                 lane = _shoulder_lane(locale)
@@ -1215,6 +1336,7 @@ def tags_to_lanes(tags: dict[str, str], locale: Locale,
 
     apply_non_motorized(tags, locale, road, warnings)
     apply_bus(busway, tags, locale, road, warnings)
+    _apply_maxspeed_lanes(tags, locale, road, warnings)
     apply_bicycle(tags, locale, road, warnings)
     apply_parking(tags, road)
     apply_foot_and_shoulder(tags, locale, road, warnings)

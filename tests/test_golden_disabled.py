@@ -21,8 +21,15 @@ from osm2lanes_spark.fixtures.golden import (expected_has_separators,
 
 DISABLED = [c for c in load_cases(include_disabled=True) if not c["enabled"]]
 
-# engine-passing subset of the reference-disabled cases (forward+roundtrip)
-NOW_PASSING = {"case/0029", "case/0034", "case/0038", "case/0049"}
+# engine-passing subset of the reference-disabled cases (forward+roundtrip).
+# round 2 second pass added 10 (bus-outside shoulder suppression,
+# single-lane-twoway shoulders, contraflow advisory lane direction,
+# two-way busway=opposite_lane, maxspeed:lanes, consistent co-occurring
+# bus schemes, access-no+bus-yes designation) — see COVERAGE.md.
+NOW_PASSING = {"case/0028", "case/0029", "case/0030", "case/0034",
+               "case/0035", "case/0038", "case/0042", "case/0049",
+               "case/0055", "case/0056", "case/0057", "case/0058",
+               "case/0059", "case/0060", "case/0061"}
 
 
 def _forward_ok(case) -> tuple[bool, str]:
@@ -61,13 +68,13 @@ def test_newly_passing_forward_and_roundtrip(case):
 
 
 def test_remaining_disabled_still_fail():
-    """Documented parity boundary: exactly these 12 stay failing. If one
-    starts passing, promote it to NOW_PASSING (and COVERAGE.md)."""
+    """Documented parity boundary: exactly ONE case stays failing — 0005
+    contradicts ENABLED case/0004 on identical tag shapes (motorway,
+    lanes=2, oneway; opposite shoulder expectations): no deterministic
+    tag-based rule can satisfy both, because the distinguishing fact
+    ("mountainous terrain with no shoulder") is not in the tags. Every
+    satisfiable disabled case passes."""
     still_failing = {c["case_id"] for c in DISABLED
                      if c["case_id"] not in NOW_PASSING
                      and not _forward_ok(c)[0]}
-    assert still_failing == {
-        "case/0005", "case/0028", "case/0030", "case/0035", "case/0042",
-        "case/0055", "case/0056", "case/0057", "case/0058", "case/0059",
-        "case/0060", "case/0061",
-    }
+    assert still_failing == {"case/0005"}
