@@ -135,8 +135,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
     if include_aux:
         qs = E.queries()
         for name in ("pricing_summary", "region_revenue", "event_ranks",
-                     "grid_binning", "zonal", "dedup_exact", "token_stats",
-                     "ann_topk", "minhash_pairs", "knn"):
+                     "grid_binning", "s2_binning", "zonal", "dedup_exact",
+                     "token_stats", "ann_topk", "minhash_pairs", "knn"):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.agg(F.count("*")).collect()
