@@ -62,6 +62,11 @@ a single round body).""",
 Cell ids are pure JVM bit arithmetic (cell_expr) — the groupBy shuffles
 once on the cell id with partial counts; scan->project->agg all inside
 WholeStageCodegen.""",
+    "s2_binning": """\
+Real S2 cell ids from the Arrow-batched numpy kernel (ArrowEvalPython
+stage — the north rule's prescribed shape for the encode), then one
+partial-agg shuffle on the cell id. The S2 id computation itself is
+hash-verified against a full DuckDB replay (oracle s2_binning).""",
     "zonal": """\
 Raster side aggregates per cell first (partial agg), then equi-joins the
 vector side by cell id — rasterize-then-join, never point-in-polygon per
@@ -100,7 +105,7 @@ def main() -> None:
     grab("lanes_pipeline", lanes_pipeline(docs, all_country_polygons(), level=10))
 
     for name in ("region_revenue", "dedup_exact", "minhash_pairs",
-                 "grid_binning", "zonal"):
+                 "grid_binning", "s2_binning", "zonal"):
         grab(name, qs[name](spark, SF_DIR))
 
     # IVF at the partial-probe config
