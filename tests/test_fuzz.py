@@ -31,12 +31,19 @@ KEYS = ["highway", "lanes", "lanes:forward", "lanes:backward",
         "centre_turn_lane", "access", "bus", "psv", "bicycle",
         "bus:lanes", "psv:lanes", "lanes:bus:forward", "lanes:psv",
         "motorroad", "name", "ref", "lit", "surface",
-        "parking:condition:both"]
+        "parking:condition:both",
+        # round-2 kernel extensions (positional lists + scheme mixes)
+        "maxspeed:lanes", "maxspeed:lanes:forward", "maxspeed:lanes:backward",
+        "cycleway:lanes", "cycleway:lanes:forward", "cycleway:lanes:backward",
+        "access:lanes", "access:lanes:backward", "bus:lanes:backward",
+        "lanes:bus:backward", "cycleway:left:lane"]
 VALUES = ["yes", "no", "both", "left", "right", "lane", "track",
           "opposite", "opposite_lane", "opposite_track", "separate",
           "none", "designated", "1", "2", "3", "0", "-1", "30 mph",
           "50", "designated|", "|designated", "parallel", "roundabout",
-          "no_stopping", "trunk", "shared_lane", "junk value", ""]
+          "no_stopping", "trunk", "shared_lane", "junk value", "",
+          "no|lane|no", "lane|lane", "100|100|80", "a|b", "|", "||",
+          "advisory", "yes|no|yes", "100||", "designated|no"]
 
 
 @st.composite
