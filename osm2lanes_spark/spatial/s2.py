@@ -187,6 +187,142 @@ def range_max(ids: np.ndarray) -> np.ndarray:
     return (u + (lsb - np.uint64(1))).view(np.int64)
 
 
+# ---------------------------------------------------------------------------
+# Inverse transform + region covering (S2RegionCoverer's recursive descent —
+# needs only id arithmetic and the inverse Hilbert tables, no cross-face
+# neighbor math)
+# ---------------------------------------------------------------------------
+
+def to_face_ij(cell_id: int) -> tuple:
+    """Scalar inverse of :func:`from_face_ij`: id → (face, i, j, level) of
+    the cell's MINIMUM leaf (range_min corner)."""
+    u = int(cell_id) & ((1 << 64) - 1)  # two's-complement view of int64 ids
+    face = u >> 61
+    lsb = u & (~u + 1) & ((1 << 64) - 1)
+    level = MAX_LEVEL - (lsb.bit_length() - 1) // 2
+    # minimum-leaf position bits: strip the trailing lsb AND the 3 face
+    # bits (bits 60..62) — leaving them in corrupts the top Hilbert chunk
+    # (consistently enough to survive a from_face_ij round-trip, but the
+    # decoded i/j exceed 2^30 and corner math breaks)
+    pos = ((u - lsb) >> 1) & ((1 << 60) - 1)
+    i = j = 0
+    bits = face & _SWAP_MASK
+    for k in range(7, -1, -1):
+        nbits = (pos >> (k * 2 * _LOOKUP_BITS)) & ((1 << (2 * _LOOKUP_BITS)) - 1)
+        bits += nbits << 2
+        bits = int(_LOOKUP_IJ[bits])
+        i += (bits >> (_LOOKUP_BITS + 2)) << (k * _LOOKUP_BITS)
+        j += ((bits >> 2) & ((1 << _LOOKUP_BITS) - 1)) << (k * _LOOKUP_BITS)
+        bits &= _SWAP_MASK | _INVERT_MASK
+    return face, i, j, level
+
+
+def _st_to_uv(s: float) -> float:
+    """Inverse of the quadratic projection."""
+    if s >= 0.5:
+        return (1.0 / 3.0) * (4.0 * s * s - 1.0)
+    return (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
+
+
+def _face_uv_to_lonlat(face: int, u: float, v: float) -> tuple:
+    """Exact algebraic inverse of :func:`xyz_to_face_uv`'s per-face table
+    (derived by solving each face's u/v ratios, round-trip-tested)."""
+    x, y, z = (
+        (1.0, u, v), (-u, 1.0, v), (-u, -v, 1.0),
+        (-1.0, -v, -u), (v, -1.0, -u), (v, u, -1.0),
+    )[face]
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    return float(lon), float(lat)
+
+
+def cell_lonlat_corners(cell_id: int) -> list:
+    """The 4 (lon, lat) corners of a cell (gnomonic edges — for bbox /
+    intersection tests use with a margin at coarse levels)."""
+    face, i, j, level = to_face_ij(cell_id)
+    size = 1 << (MAX_LEVEL - level)
+    # align to the cell's ij block: the min-ID leaf is not the min-ij
+    # corner (Hilbert orientation varies), but every leaf of the cell
+    # shares the same aligned block
+    i &= ~(size - 1)
+    j &= ~(size - 1)
+    lim = float(1 << MAX_LEVEL)
+    out = []
+    for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1)):
+        u = _st_to_uv((i + di * size) / lim)
+        v = _st_to_uv((j + dj * size) / lim)
+        out.append(_face_uv_to_lonlat(face, u, v))
+    return out
+
+
+def children(cell_id: int) -> list:
+    """The 4 Hilbert-ordered children (id arithmetic)."""
+    u = cell_id & ((1 << 64) - 1)
+    lsb = u & (~u + 1) & ((1 << 64) - 1)
+    if lsb == 1:
+        raise ValueError("leaf cell has no children")
+    child_lsb = lsb >> 2
+    base = u - lsb
+    return [np.int64(np.uint64(base + (2 * k + 1) * child_lsb))
+            for k in range(4)]
+
+
+def _face_cell(face: int) -> int:
+    return int(np.uint64(face) << np.uint64(61)) | (1 << 60)
+
+
+def cover_polygon(points: np.ndarray, level: int,
+                  max_cells: int = 65536) -> np.ndarray:
+    """Conservative S2 covering of a lon/lat polygon at ``level``:
+    recursive descent from the 6 face cells (S2RegionCoverer's shape),
+    keeping every cell whose lon/lat bounding box intersects the
+    polygon's — bbox-over-corner-points with a per-level margin, so the
+    covering errs toward inclusion (cells are gnomonic quads, not lon/lat
+    rects). Candidate joins refine with exact point-in-polygon downstream,
+    exactly like the morton backend (`spatial/cells.py`)."""
+    pts = np.asarray(points, np.float64)
+    plo = pts.min(axis=0)
+    phi = pts.max(axis=0)
+    out = []
+
+    def rect_of(cid):
+        cs = np.array(cell_lonlat_corners(cid), np.float64)
+        lons = cs[:, 0]
+        # antimeridian-crossing cells: treat as full-lon span (conservative)
+        wraps = lons.max() - lons.min() > 180.0
+        _f, _i, _j, lvl = to_face_ij(cid)
+        margin = 90.0 / (1 << lvl)  # curvature slack per subdivision level
+        lo = cs.min(axis=0) - margin
+        hi = cs.max(axis=0) + margin
+        if wraps:
+            lo[0], hi[0] = -180.0, 180.0
+        # faces 2/5 contain the poles: corner lats don't reach them
+        if _f == 2:
+            hi[1] = 90.0
+        if _f == 5:
+            lo[1] = -90.0
+        return lo, hi
+
+    def intersects(lo, hi):
+        return not (hi[0] < plo[0] or lo[0] > phi[0]
+                    or hi[1] < plo[1] or lo[1] > phi[1])
+
+    stack = [_face_cell(f) for f in range(6)]
+    while stack:
+        cid = stack.pop()
+        lo, hi = rect_of(cid)
+        if not intersects(lo, hi):
+            continue
+        _f, _i, _j, lvl = to_face_ij(cid)
+        if lvl >= level:
+            out.append(np.int64(np.uint64(cid & ((1 << 64) - 1))))
+            if len(out) > max_cells:
+                raise ValueError(f"covering exceeds max_cells={max_cells}")
+            continue
+        stack.extend(int(c) for c in children(cid))
+    return np.array(sorted(np.array(out, np.int64).view(np.uint64))).view(np.int64)
+
+
 def s2_encode_udf(level: int):
     """Arrow-batched Spark kernel: (lon, lat) columns → S2 cell id column.
 

@@ -81,6 +81,73 @@ def test_s2_cross_check_with_real_library(rand_points):
         assert int(ours[k]) == ref.id(), (lon[k], lat[k])
 
 
+def test_inverse_and_corners(rand_points):
+    """to_face_ij inverts from_face_ij (leaf), decoded i/j stay within
+    2^30 for parents (the face bits must be masked out of the position
+    field), and every cell's lon/lat corner box contains its points."""
+    lon, lat = (x[:300] for x in rand_points)
+    leaf = s2.encode(lon, lat, 30)
+    for k in range(0, 300, 11):
+        f, i, j, lvl = s2.to_face_ij(int(leaf[k]))
+        assert lvl == 30 and i < (1 << 30) and j < (1 << 30)
+        assert int(s2.from_face_ij(np.array([f]), np.array([i]),
+                                   np.array([j]))[0]) == leaf[k]
+    cells = s2.encode(lon, lat, 12)
+    for k in range(0, 300, 7):
+        cs = np.array(s2.cell_lonlat_corners(int(cells[k])))
+        lons, lats = cs[:, 0], cs[:, 1]
+        if lons.max() - lons.min() > 180:  # antimeridian-crossing cell
+            continue
+        assert lons.min() - 1e-6 <= lon[k] <= lons.max() + 1e-6
+        assert lats.min() - 1e-6 <= lat[k] <= lats.max() + 1e-6
+
+
+def test_children_partition_parent():
+    cid = int(s2.encode(np.array([2.3]), np.array([48.8]), 9)[0])
+    chs = s2.children(cid)
+    assert len(set(int(c) for c in chs)) == 4
+    for ch in chs:
+        assert int(s2.parent(np.array([ch]), 9)[0]) == cid
+    rm = s2.range_min(np.array(chs, np.int64)).view(np.uint64)
+    rx = s2.range_max(np.array(chs, np.int64)).view(np.uint64)
+    assert int(min(rm)) == int(s2.range_min(np.array([cid], np.int64))
+                               .view(np.uint64)[0])
+    assert int(max(rx)) == int(s2.range_max(np.array([cid], np.int64))
+                               .view(np.uint64)[0])
+
+
+def test_cover_polygon_conservative():
+    """Every interior point's cell is in the covering — including polar
+    and antimeridian-adjacent polygons."""
+    rng = np.random.default_rng(5)
+    poly = np.array([[-10, 40], [15, 42], [20, 55], [-5, 58], [-12, 50]],
+                    np.float64)
+
+    def pip(x, y):
+        inside = False
+        n = len(poly)
+        for a in range(n):
+            x0, y0 = poly[a]
+            x1, y1 = poly[(a + 1) % n]
+            if (y0 > y) != (y1 > y) and x < (x1 - x0) * (y - y0) / (y1 - y0) + x0:
+                inside = not inside
+        return inside
+
+    cover = set(int(c) for c in s2.cover_polygon(poly, 8))
+    pl, ph = poly.min(axis=0), poly.max(axis=0)
+    xs = rng.uniform(pl[0], ph[0], 2000)
+    ys = rng.uniform(pl[1], ph[1], 2000)
+    ids = s2.encode(xs, ys, 8)
+    for k in range(2000):
+        if pip(xs[k], ys[k]):
+            assert int(ids[k]) in cover
+    polar = s2.cover_polygon(
+        np.array([[-180, 85], [180, 85], [180, 89.5], [-180, 89.5]],
+                 np.float64), 6)
+    assert int(s2.encode(np.array([30.0]), np.array([87.0]), 6)[0]) \
+        in set(int(c) for c in polar)
+
+
 def test_arrow_kernel_through_spark(spark):
     """s2_encode_udf over Arrow batches == the numpy kernel directly."""
     import pandas as pd
