@@ -93,11 +93,38 @@ def polygon_cells_pdf(polygons: dict[str, np.ndarray], level: int) -> pd.DataFra
     return pd.DataFrame(rows, columns=["cell", "key", "full"])
 
 
+def polygon_cells_pdf_s2(polygons: dict[str, np.ndarray],
+                         level: int) -> pd.DataFrame:
+    """S2-backend covering dim (same shape as :func:`polygon_cells_pdf`).
+
+    The S2 coverer is conservative and unclassified, so every cell is a
+    boundary cell (``full=False`` → every candidate refines through exact
+    PIP; correctness identical to the morton backend, slightly more PIP
+    work)."""
+    from . import s2 as S2
+
+    rows = []
+    for key, ring in polygons.items():
+        cover = S2.cover_polygon(np.asarray(ring, np.float64), level)
+        for cell in cover.tolist():
+            rows.append((cell, key, False))
+    return pd.DataFrame(rows, columns=["cell", "key", "full"])
+
+
+def with_cell_s2(df: DataFrame, level: int, lon: str = "lon",
+                 lat: str = "lat", out: str = "cell") -> DataFrame:
+    """S2 counterpart of :func:`with_cell` (Arrow-batched numpy kernel)."""
+    from .s2 import s2_encode_udf
+
+    return df.withColumn(out, s2_encode_udf(level)(F.col(lon), F.col(lat)))
+
+
 def containment_join(points: DataFrame, polygons: dict[str, np.ndarray],
                      level: int = DEFAULT_LEVEL,
                      strategy: str = "map",
                      salt_buckets: int = 16,
-                     point_id: str = "doc_id") -> DataFrame:
+                     point_id: str = "doc_id",
+                     cell_backend: str = "morton") -> DataFrame:
     """Assign each point the key of the polygon containing it.
 
     points: DataFrame with ``point_id``, ``lon``, ``lat``.
@@ -113,12 +140,29 @@ def containment_join(points: DataFrame, polygons: dict[str, np.ndarray],
     strategy='salted':    explicit replicate-by-salt hash join — the
     fallback shape for dims above the broadcast threshold; the dim is
     replicated ``salt_buckets`` ways so a hot cell spreads over buckets.
+
+    cell_backend='morton' (default) uses the JVM bit-arithmetic quadtree;
+    's2' uses real S2 cell ids (`spatial/s2.py` — Arrow-batched encode +
+    conservative covering; every candidate PIP-refines). Same results
+    either way (tests/test_s2.py pins cross-backend equality); note an
+    S2 level is per cube face, so granularity ≈ the morton level + 2.
     """
     spark: SparkSession = points.sparkSession
+    if cell_backend not in ("morton", "s2"):
+        raise ValueError(f"unknown cell_backend: {cell_backend}")
     if strategy == "map":
+        if cell_backend != "morton":
+            raise ValueError(
+                "strategy='map' fuses the morton covering into the Arrow "
+                "stage; use strategy='broadcast'/'salted' with "
+                "cell_backend='s2'")
         return _containment_map(points, polygons, level, point_id)
-    dim_pdf = polygon_cells_pdf(polygons, level)
-    pts = with_cell(points, level)
+    if cell_backend == "s2":
+        dim_pdf = polygon_cells_pdf_s2(polygons, level)
+        pts = with_cell_s2(points, level)
+    else:
+        dim_pdf = polygon_cells_pdf(polygons, level)
+        pts = with_cell(points, level)
 
     if strategy == "salted":
         salted = dim_pdf.loc[dim_pdf.index.repeat(salt_buckets)].reset_index(drop=True)

@@ -164,6 +164,33 @@ def test_arrow_kernel_through_spark(spark):
     assert (out["cell"].to_numpy() == ref).all()
 
 
+def test_containment_join_s2_backend_matches_morton(spark):
+    """The core containment join with cell_backend='s2' assigns exactly
+    the same polygon keys as the default morton backend."""
+    import pandas as pd
+    from osm2lanes_spark.fixtures.geography import all_country_polygons
+    from osm2lanes_spark.spatial.joins import containment_join
+
+    polys = all_country_polygons()
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({
+        "doc_id": [str(i) for i in range(600)],
+        "lon": rng.uniform(-180, 180, 600),
+        "lat": rng.uniform(-85, 85, 600),
+    })
+    pts = spark.createDataFrame(pdf)
+    morton = {r["doc_id"]: r["key"]
+              for r in containment_join(pts, polys, level=10,
+                                        strategy="broadcast").collect()}
+    s2b = {r["doc_id"]: r["key"]
+           for r in containment_join(pts, polys, level=8,
+                                     strategy="broadcast",
+                                     cell_backend="s2").collect()}
+    assert morton == s2b
+    with pytest.raises(ValueError):
+        containment_join(pts, polys, strategy="map", cell_backend="s2")
+
+
 def test_range_join_colocation(spark):
     """The contiguous-range property in action: a point→region assignment
     via BETWEEN range join on raw int64 ids (how a polygon covering would
