@@ -1,8 +1,9 @@
 """The 16 ``rust: false`` corpus cases the reference's own runner skips
-(test.rs:46-53): the engine attempts all of them and PASSES 4 — forward
+(test.rs:46-53): the engine attempts all of them and PASSES 15 — forward
 AND roundtrip — exceeding reference coverage (VERDICT r01 What's-missing
-#2). The 4 are pinned here as enabled tests (effective tested corpus: 50
-cases); the remaining 12 are pinned as still-failing so a silent behavior
+#2). The 15 are pinned here as enabled tests (effective tested corpus: 61
+cases); the one remaining case is pinned as still-failing (it provably
+contradicts an enabled case on identical tag shapes) so a silent behavior
 change in either direction is caught. Full per-case table: COVERAGE.md
 §"Disabled golden cases".
 """
