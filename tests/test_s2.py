@@ -164,6 +164,33 @@ def test_arrow_kernel_through_spark(spark):
     assert (out["cell"].to_numpy() == ref).all()
 
 
+def test_encode_total_on_edge_coordinates():
+    """Poles, the antimeridian, face boundaries (|lon| = 45/135, lat = 0)
+    and arbitrary floats all yield structurally valid ids at every level —
+    hypothesis-fuzzed plus pinned edge values."""
+    from hypothesis import given, settings, strategies as st
+
+    edges = [-180.0, -135.0, -90.0, -45.0, 0.0, 45.0, 90.0, 135.0, 180.0]
+
+    @given(lon=st.one_of(st.sampled_from(edges),
+                         st.floats(-180, 180, allow_nan=False)),
+           lat=st.one_of(st.sampled_from([-90.0, -45.0, 0.0, 45.0, 90.0]),
+                         st.floats(-90, 90, allow_nan=False)),
+           level=st.integers(0, 30))
+    @settings(max_examples=300, deadline=None)
+    def check(lon, lat, level):
+        cid = s2.encode(np.array([lon]), np.array([lat]), level)
+        u = int(cid.view(np.uint64)[0])
+        assert 0 <= (u >> 61) <= 5            # valid face
+        assert int(s2.level_of(cid)[0]) == level
+        lsb = u & (~u + 1) & ((1 << 64) - 1)
+        assert lsb == s2.lsb_for_level(level)  # trailing-bit level encoding
+        f, i, j, lvl = s2.to_face_ij(int(cid[0]))
+        assert lvl == level and 0 <= i < (1 << 30) and 0 <= j < (1 << 30)
+
+    check()
+
+
 def test_containment_join_s2_backend_matches_morton(spark):
     """The core containment join with cell_backend='s2' assigns exactly
     the same polygon keys as the default morton backend."""
