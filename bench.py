@@ -137,10 +137,17 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
         for name in ("pricing_summary", "region_revenue", "event_ranks",
                      "grid_binning", "s2_binning", "zonal", "dedup_exact",
                      "token_stats", "ann_topk", "minhash_pairs", "knn"):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.agg(F.count("*")).collect()
-            aux[name] = round(time.perf_counter() - t0, 3)
+            # best of 2: a single shot on this shared host swings ±2x with
+            # co-tenant load; min-of-two is the standard attainable-time
+            # estimator and only adds seconds
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                df.agg(F.count("*")).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            aux[name] = round(best, 3)
         # the ANN scale path: IVF at its real partial-probe config (the
         # registered ann_ivf query is the exhaustive-probe oracle flavor)
         from osm2lanes_spark.operators.similarity import ivf_topk
