@@ -163,11 +163,13 @@ def _set_cycleway(lanes: list[dict], tags: dict, oneway: bool, locale: Locale) -
                             for l in seg)
         if not interior_bike:
             continue
-        # entries ride in the forward consumer's per-direction storage
-        # order (see RoadBuilder.backward_ltr): road-ltr must be reversed
-        # for RHT-backward and LHT-forward segments
+        # the forward consumer zips cycleway:lanes:forward against
+        # forward_ltr (road-ltr order in BOTH locales) and
+        # cycleway:lanes:backward against backward_ltr (reversed road-ltr
+        # in BOTH locales) — so reverse iff backward, independent of
+        # driving side
         ltr_seg = list(seg)
-        if (locale.driving_side == "right") == backward:
+        if backward:
             ltr_seg = list(reversed(ltr_seg))
         _checked_insert(tags, f"cycleway:lanes:{want}",
                         "|".join("lane" if is_bicycle(l) else "no"

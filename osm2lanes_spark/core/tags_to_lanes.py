@@ -626,11 +626,15 @@ def apply_bus(busway: str, tags: dict, locale: Locale, road: RoadBuilder,
     picked = (scheme_busway, scheme_lanes_bus, scheme_bus_lanes)
     if picked == (False, False, False):
         return
+    # a lanes:bus / lanes:psv count statement is never applied (the
+    # reference's own path is unimplemented, mod.rs:76-78) — keep the
+    # dropped statement visible regardless of what it co-occurs with
+    if scheme_lanes_bus:
+        warnings.push(UNIMPLEMENTED, "lanes:bus / lanes:psv")
     if scheme_busway and not scheme_bus_lanes:
         apply_busway(road, busway)
         return
     if picked == (False, True, False):
-        warnings.push(UNIMPLEMENTED, "lanes:bus / lanes:psv")
         return
     _apply_bus_lanes(tags, locale, road)
 

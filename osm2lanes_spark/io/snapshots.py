@@ -101,10 +101,7 @@ class SnapshotTable:
                 os.close(fd)
                 break
             except FileExistsError:
-                if (os.path.exists(lock)
-                        and time.time() - os.path.getmtime(lock) > lock_timeout):
-                    os.unlink(lock)  # expire a crashed committer's lock
-                    continue
+                self._try_expire_stale_lock(lock, lock_timeout, snap_id)
                 if time.time() > deadline:
                     raise TimeoutError(f"commit lock busy: {lock}")
                 time.sleep(0.05)
@@ -116,9 +113,42 @@ class SnapshotTable:
                 json.dump(new_manifest, f)
             os.replace(tmp, self._manifest_path)  # atomic commit point
         finally:
-            os.unlink(lock)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:  # pragma: no cover - raced expiry
+                pass
             os.unlink(claim)
         return entry
+
+    def _try_expire_stale_lock(self, lock: str, lock_timeout: float,
+                               nonce: int) -> None:
+        """Expire a crashed committer's lock without the double-unlink race
+        (ADVICE r02 #2): rename-to-unique-name is atomic, so only ONE
+        waiter wins the rename and proceeds to unlink — a fresh lock
+        recreated between another waiter's staleness check and its unlink
+        can no longer be removed by that waiter. The inode captured at the
+        staleness check is re-verified after the rename; a stolen live
+        lock (owner released and a new committer re-acquired inside the
+        stat→rename window) is renamed straight back.
+        """
+        try:
+            st = os.stat(lock)
+        except FileNotFoundError:
+            return  # released — retry acquisition
+        if time.time() - st.st_mtime <= lock_timeout:
+            return  # held and fresh — keep waiting
+        expired = f"{lock}.expired-{os.getpid()}-{nonce}"
+        try:
+            os.rename(lock, expired)
+        except FileNotFoundError:
+            return  # another waiter won the expiry race
+        got = os.stat(expired)
+        # inode alone is insufficient — filesystems reuse inodes on
+        # unlink+create, so identity = (inode, mtime_ns)
+        if (got.st_ino, got.st_mtime_ns) == (st.st_ino, st.st_mtime_ns):
+            os.unlink(expired)  # the same stale file we judged — expire it
+        else:  # pragma: no cover - nanosecond window
+            os.rename(expired, lock)  # stole a live lock — restore it
 
     # --- reads ------------------------------------------------------------
     def _dirs_for(self, snaps: list[dict]) -> list[str]:

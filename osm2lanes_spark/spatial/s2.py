@@ -255,6 +255,24 @@ def cell_lonlat_corners(cell_id: int) -> list:
     return out
 
 
+def _cell_boundary_samples(cell_id: int) -> list:
+    """Corners + edge midpoints of a cell in (lon, lat) — the lon extremum
+    of a gnomonic edge can fall mid-edge at high latitudes, so a
+    corner-only bbox under-covers there (ADVICE r02 #4)."""
+    face, i, j, level = to_face_ij(cell_id)
+    size = 1 << (MAX_LEVEL - level)
+    i &= ~(size - 1)
+    j &= ~(size - 1)
+    lim = float(1 << MAX_LEVEL)
+    out = []
+    for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1),
+                   (0.5, 0), (1, 0.5), (0.5, 1), (0, 0.5)):
+        u = _st_to_uv((i + di * size) / lim)
+        v = _st_to_uv((j + dj * size) / lim)
+        out.append(_face_uv_to_lonlat(face, u, v))
+    return out
+
+
 def children(cell_id: int) -> list:
     """The 4 Hilbert-ordered children (id arithmetic)."""
     u = cell_id & ((1 << 64) - 1)
@@ -286,15 +304,27 @@ def cover_polygon(points: np.ndarray, level: int,
     out = []
 
     def rect_of(cid):
-        cs = np.array(cell_lonlat_corners(cid), np.float64)
+        # corners + edge midpoints: a gnomonic edge's lon extremum can
+        # fall mid-edge at high latitudes (ADVICE r02 #4)
+        cs = np.array(_cell_boundary_samples(cid), np.float64)
         lons = cs[:, 0]
         # antimeridian-crossing cells: treat as full-lon span (conservative)
         wraps = lons.max() - lons.min() > 180.0
         _f, _i, _j, lvl = to_face_ij(cid)
-        margin = 90.0 / (1 << lvl)  # curvature slack per subdivision level
-        lo = cs.min(axis=0) - margin
-        hi = cs.max(axis=0) + margin
-        if wraps:
+        # with corner+midpoint samples the bbox is exact: within a level>=1
+        # cell u and v never change sign, so lon/lat are monotone along
+        # every uv edge (extrema at corners); the only mid-edge extrema are
+        # on level-0 face cells, where the midpoints sit exactly at
+        # u=0 / v=0. Margin is float-slack only — 1/64 cell, lon widened
+        # by 1/cos(lat) toward the poles.
+        lat_margin = 90.0 / (1 << lvl) / 64.0
+        lo = cs.min(axis=0)
+        hi = cs.max(axis=0)
+        max_abs_lat = min(89.0, max(abs(lo[1]), abs(hi[1])) + lat_margin)
+        lon_margin = lat_margin / max(0.02, np.cos(np.deg2rad(max_abs_lat)))
+        lo -= (lon_margin, lat_margin)
+        hi += (lon_margin, lat_margin)
+        if wraps or lon_margin >= 180.0:
             lo[0], hi[0] = -180.0, 180.0
         # faces 2/5 contain the poles: corner lats don't reach them
         if _f == 2:

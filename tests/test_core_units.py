@@ -186,3 +186,30 @@ def test_lane_dependent_access():
         lane_dependent_access(
             {"bus:lanes": "designated|", "bus:lanes:forward": "|designated"},
             "bus:lanes")
+
+
+# --- Interior-bike positional roundtrip (lanes_to_tags.py:_set_cycleway) ----
+
+@pytest.mark.parametrize("side,iso", [("left", "GB"), ("right", "US")])
+@pytest.mark.parametrize("case", ["forward", "backward"])
+def test_interior_bike_positional_roundtrip(side, iso, case):
+    """The cycleway:lanes:<dir> emitter must match the consumer's zip
+    order: forward lists are road-ltr, backward lists reversed road-ltr,
+    in BOTH locales (ADVICE r02 #1 — the old driving-side term inverted
+    LHT output, misplacing the interior bike lane)."""
+    from osm2lanes_spark.core.lanes_to_tags import lanes_to_tags
+    from osm2lanes_spark.core.tags_to_lanes import tags_to_lanes
+
+    loc = Locale.build(iso_3166=iso, driving_side=side)
+    if case == "forward":
+        tags = {"highway": "residential", "oneway": "yes", "lanes": "3",
+                "cycleway:lanes:forward": "no|lane|no|no"}
+    else:
+        tags = {"highway": "residential", "lanes": "4", "lanes:forward": "2",
+                "lanes:backward": "2", "cycleway:lanes:backward": "no|lane|no"}
+    res = tags_to_lanes(tags, loc, include_separators=False)
+    out = lanes_to_tags(res["road"], loc, check_roundtrip=False)
+    key = f"cycleway:lanes:{case}"
+    assert out[key] == tags[key]
+    res2 = tags_to_lanes(out, loc, include_separators=False)
+    assert res2["road"]["lanes"] == res["road"]["lanes"]

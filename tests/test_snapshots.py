@@ -92,3 +92,42 @@ def test_write_table_adapter_fallback(spark, tmp_path):
     assert (e1["id"], e2["id"]) == (1, 2)
     assert read_table(spark, target).count() == 7
     assert read_table_diff(spark, target, e1["id"]).count() == 4
+
+
+def test_stale_lock_expiry_single_winner(spark, tmp_path):
+    """A crashed committer's stale lock is expired exactly once: with two
+    waiters racing the expiry path, only the rename winner unlinks, so a
+    fresh lock recreated in the gap can never be removed by the loser
+    (ADVICE r02 #2)."""
+    import os
+    import time as _t
+
+    table = SnapshotTable(str(tmp_path / "t"))
+    lock = os.path.join(table.path, "_commit.lock")
+    # a crashed committer's lock, 1h stale
+    with open(lock, "w"):
+        pass
+    os.utime(lock, (_t.time() - 3600, _t.time() - 3600))
+    # (inode may be reused by the fresh lock below — identity is (ino, mtime_ns))
+
+    # waiter 1 judged it stale; before it acts, the owner "releases" and a
+    # NEW committer re-acquires (fresh lock, different inode)
+    table._try_expire_stale_lock(lock, lock_timeout=60.0, nonce=1)
+    assert not os.path.exists(lock)
+    with open(lock, "w"):
+        pass
+    fresh_mtime = os.stat(lock).st_mtime_ns
+    # waiter 2 re-runs the expiry check against the FRESH lock: must not
+    # touch it (even if the filesystem reused the stale file's inode)
+    table._try_expire_stale_lock(lock, lock_timeout=60.0, nonce=2)
+    assert os.path.exists(lock) and os.stat(lock).st_mtime_ns == fresh_mtime
+
+    # and a commit still succeeds after a stale lock blocks the path
+    os.unlink(lock)
+    with open(lock, "w"):
+        pass
+    os.utime(lock, (_t.time() - 3600, _t.time() - 3600))
+    df = spark.range(3).withColumnRenamed("id", "v")
+    entry = table.commit(df, lock_timeout=5.0)
+    assert entry["rows"] == 3
+    assert not os.path.exists(lock)
