@@ -3,9 +3,11 @@
 ``entry(spark)`` runs the flagship documents→lanes pipeline on the
 packaged golden fixture; ``queries()`` exposes one entry per implemented
 operator family from SURVEY.md §2 (+ the training-data operators);
-``oracle_sql()`` gives the DuckDB-equivalent SQL for every query whose
-semantics are SQL-expressible. Non-SQL-expressible entries (the lane
-transform itself, LSH pipelines, multimodal) are rows-only checked.
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every query —
+all 26 are hard-oracled (rows+schema+value-hash), including both lane
+kernels: the forward transform via the eq_exp-masked corpus replay
+(``lanes_golden``) and the reverse transform via an independent SQL
+re-derivation over the published lane arrays (``lanes_roundtrip``).
 
 Determinism rules used throughout:
 - derived geometry comes from integer arithmetic on ids (identical in
@@ -427,20 +429,57 @@ def _q_lanes_golden(spark, sf_dir):
 
 
 def _q_lanes_roundtrip(spark, sf_dir):
-    from osm2lanes_spark.operators.lane_transform import (lanes_to_tags_stage,
-                                                          tags_to_lanes_stage)
+    """The reverse transform (SURVEY L1-L10) under the hard oracle: the
+    REAL ``lanes_to_tags`` kernel runs over the published expected lane
+    arrays (golden.parquet) in one Arrow stage and emits the produced tag
+    map as (case_id, tag_key, tag_value) rows; the DuckDB oracle
+    re-derives the same tag map INDEPENDENTLY in SQL (lane-array
+    aggregations: counts, oneway consensus, shoulder/sidewalk/parking edge
+    detection, cycleway/busway emission incl. positional lists, speed
+    consensus + Rust Display formatting, NL locale addition) — reference
+    semantics ``lanes_to_tags/mod.rs:139-526``. A kernel error surfaces as
+    a single ``__error__`` row per case, which the oracle predicts too.
+    The forward∘reverse identity itself stays pinned in pytest
+    (test_golden_kernel.py::test_roundtrip, all 46 + 15 disabled)."""
+    _ensure_workers(spark)
+    golden = spark.read.parquet(os.path.join(FIXTURE_DIR, "golden.parquet"))
+    docs = (spark.read.parquet(os.path.join(FIXTURE_DIR, "documents.parquet"))
+            .select(F.col("doc_id").alias("case_id"),
+                    "iso_3166_2", "driving_side"))
+    src = golden.join(F.broadcast(docs), "case_id").select(
+        "case_id", "expected_json", "expected_highway",
+        "iso_3166_2", "driving_side")
 
-    docs = spark.read.parquet(os.path.join(FIXTURE_DIR, "documents.parquet"))
-    roads = tags_to_lanes_stage(docs).where(F.col("error").isNull())
-    locales = docs.select("doc_id", "iso_3166_2", "driving_side")
-    back = lanes_to_tags_stage(roads.join(locales, "doc_id"),
-                               check_roundtrip=False)
-    return back.select(
-        "doc_id",
-        F.map_contains_key("tags", F.lit("highway")).alias("has_highway"),
-        F.size(F.map_keys(F.coalesce(
-            F.col("tags"), F.create_map().cast("map<string,string>")))).alias("n_tags"),
-        "error")
+    def run(batches):
+        import json as _json
+
+        import pandas as _pd
+
+        from osm2lanes_spark.core.lanes_to_tags import lanes_to_tags
+        from osm2lanes_spark.core.locale import Locale
+
+        for pdf in batches:
+            rows = []
+            for cid, ej, hw, iso, side in zip(
+                    pdf["case_id"], pdf["expected_json"],
+                    pdf["expected_highway"], pdf["iso_3166_2"],
+                    pdf["driving_side"]):
+                lanes = _json.loads(ej)
+                for l in lanes:
+                    if l.get("max_speed") is not None:
+                        l["max_speed"] = tuple(l["max_speed"])
+                try:
+                    tags = lanes_to_tags(
+                        {"highway": hw, "lifecycle": "active", "lanes": lanes},
+                        Locale.build(iso, side), check_roundtrip=False)
+                    rows += [(cid, k, v) for k, v in tags.items()]
+                except Exception as e:
+                    rows.append((cid, "__error__", type(e).__name__))
+            yield _pd.DataFrame(
+                rows, columns=["case_id", "tag_key", "tag_value"])
+
+    return src.mapInPandas(
+        run, "case_id string, tag_key string, tag_value string")
 
 
 def _q_minhash_pairs(spark, sf_dir):
@@ -622,7 +661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "road_width": _shipped(_q_road_width),
         "media_refs": _shipped(_q_media_refs),
         "lanes_golden": _shipped(_q_lanes_golden),
-        # rows-only (no SQL equivalent: the reverse kernel itself)
         "lanes_roundtrip": _shipped(_q_lanes_roundtrip),
         "minhash_pairs": _shipped(_q_minhash_pairs),
         "simhash_pairs": _shipped(_q_simhash_pairs),
@@ -908,6 +946,206 @@ def _s2_oracle(level: int = 12) -> str:
     """
 
 
+
+def _lanes_roundtrip_oracle() -> str:
+    """Independent SQL re-derivation of ``lanes_to_tags`` over the
+    published expected lane arrays (mod.rs:139-526): per-lane field lists
+    via json extraction, then the same aggregation pipeline the kernel
+    runs — motor/bus/bicycle index sets, first/last-motor take_while
+    boundaries, oneway consensus, edge shoulder/sidewalk/parking,
+    cycleway/busway emission (incl. positional ``cycleway:lanes:<dir>`` /
+    ``bus:lanes`` lists and the interior-bike left/right nulling), speed
+    consensus with Rust ``{}``-Display float formatting, and the NL
+    100 kph motorroad addition. Fuzz-verified against the kernel on 400
+    random lane arrays beyond the corpus (tests/test_oracle_parity.py).
+    A kernel abort is predicted as the single ``__error__`` row."""
+    gold = os.path.join(FIXTURE_DIR, "golden.parquet")
+    docs = os.path.join(FIXTURE_DIR, "documents.parquet")
+    return f"""WITH g AS (
+  SELECT gg.case_id, gg.expected_highway,
+         from_json(gg.expected_json, '["json"]') AS lanes,
+         dd.driving_side, dd.iso_3166_2
+  FROM read_parquet('{gold}') gg
+  JOIN read_parquet('{docs}') dd ON dd.doc_id = gg.case_id
+), b AS (
+  SELECT case_id, expected_highway, driving_side, iso_3166_2, lanes,
+         len(lanes) AS nl,
+         list_transform(lanes, l -> json_extract_string(l, '$.type')) AS tp,
+         list_transform(lanes, l -> json_extract_string(l, '$.direction')) AS dr,
+         list_transform(lanes, l -> json_extract_string(l, '$.designated')) AS ds,
+         list_transform(lanes, l -> TRY_CAST(json_extract(l, '$.width') AS DOUBLE)) AS wd,
+         list_transform(lanes, l -> json_extract_string(l, '$.max_speed[0]')) AS su,
+         list_transform(lanes, l -> TRY_CAST(json_extract(l, '$.max_speed[1]') AS DOUBLE)) AS sv
+  FROM g
+), ix AS (
+  SELECT *,
+    [i FOR i IN range(1, nl + 1) IF tp[i] = 'travel' AND ds[i] = 'motor_vehicle'] AS motor_i,
+    [i FOR i IN range(1, nl + 1) IF tp[i] = 'travel' AND ds[i] IN ('motor_vehicle', 'bus')] AS veh_i,
+    [i FOR i IN range(1, nl + 1) IF tp[i] = 'travel' AND ds[i] = 'bus'] AS bus_i,
+    [i FOR i IN range(1, nl + 1) IF tp[i] = 'travel' AND ds[i] = 'bicycle'] AS bike_i,
+    [i FOR i IN range(1, nl + 1) IF tp[i] = 'travel'] AS travel_i
+  FROM b
+), sc AS (
+  SELECT *,
+    len(veh_i) > 0 AS is_road,
+    len(veh_i) AS lane_count,
+    coalesce(list_min(motor_i), nl + 1) AS fm,
+    coalesce(list_max(motor_i), 0) AS lm,
+    len([i FOR i IN motor_i IF dr[i] IS DISTINCT FROM 'forward']) = 0 AS oneway,
+    len([i FOR i IN veh_i IF dr[i] = 'forward']) AS fwd_ct,
+    len([i FOR i IN veh_i IF dr[i] = 'backward']) AS bwd_ct,
+    len([i FOR i IN motor_i IF dr[i] = 'both']) > 0 AS both_ways,
+    [i FOR i IN range(1, nl + 1) IF tp[i] = 'travel' AND dr[i] = 'forward'
+       AND ds[i] IN ('motor_vehicle', 'bus', 'bicycle')] AS seg_f,
+    [i FOR i IN range(1, nl + 1) IF tp[i] = 'travel' AND dr[i] = 'backward'
+       AND ds[i] IN ('motor_vehicle', 'bus', 'bicycle')] AS seg_b,
+    [i FOR i IN travel_i IF su[i] IS NOT NULL] AS spd_i
+  FROM ix
+), sc2 AS (
+  SELECT *,
+    list_min([i FOR i IN bike_i IF i < fm]) AS bl0,
+    list_max([i FOR i IN bike_i IF i > lm]) AS br0,
+    list_min([i FOR i IN bus_i IF i < fm]) AS busl,
+    list_max([i FOR i IN bus_i IF i > lm]) AS busr,
+    len(spd_i) > 0 AS has_spd,
+    len(list_distinct(list_transform(spd_i,
+        i -> concat(su[i], ':', CAST(sv[i] AS VARCHAR))))) > 1 AS spd_differ,
+    len([i FOR i IN travel_i IF dr[i] IS DISTINCT FROM 'forward']) = 0 AS all_fwd
+  FROM sc
+), sc3 AS (
+  SELECT *,
+    len([i FOR i IN seg_f IF ds[i] = 'bicycle'
+         AND i IS DISTINCT FROM bl0 AND i IS DISTINCT FROM br0]) > 0 AS int_f,
+    len([i FOR i IN seg_b IF ds[i] = 'bicycle'
+         AND i IS DISTINCT FROM bl0 AND i IS DISTINCT FROM br0]) > 0 AS int_b
+  FROM sc2
+), sc4 AS (
+  SELECT *,
+    CASE WHEN int_b AND list_contains(seg_b, bl0) THEN NULL ELSE bl0 END AS bl,
+    CASE WHEN int_f AND list_contains(seg_f, br0) THEN NULL ELSE br0 END AS br,
+    CASE WHEN spd_differ OR NOT has_spd THEN NULL
+         ELSE spd_i[1] END AS sp1,
+    has_spd AND spd_differ AND NOT all_fwd AS has_err
+  FROM sc3
+), kv AS (
+  SELECT case_id,
+    CASE WHEN NOT is_road THEN [struct_pack(k := 'highway', v := 'path')]
+    WHEN has_err THEN [struct_pack(k := '__error__', v := 'LanesToTagsError')]
+    ELSE list_filter([
+      struct_pack(k := 'highway', v := expected_highway),
+      struct_pack(k := 'lanes', v := CAST(lane_count AS VARCHAR)),
+      CASE WHEN oneway THEN struct_pack(k := 'oneway', v := 'yes') END,
+      CASE WHEN NOT oneway THEN
+        struct_pack(k := 'lanes:forward', v := CAST(fwd_ct AS VARCHAR)) END,
+      CASE WHEN NOT oneway THEN
+        struct_pack(k := 'lanes:backward', v := CAST(bwd_ct AS VARCHAR)) END,
+      CASE WHEN NOT oneway AND both_ways THEN
+        struct_pack(k := 'lanes:both_ways', v := '1') END,
+      CASE WHEN NOT oneway AND both_ways AND lane_count >= 3 THEN
+        struct_pack(k := 'turn:lanes:both_ways',
+                    v := CASE WHEN driving_side = 'left' THEN 'right' ELSE 'left' END) END,
+      struct_pack(k := 'shoulder', v :=
+        CASE WHEN tp[1] = 'shoulder' AND tp[nl] = 'shoulder' THEN 'both'
+             WHEN tp[1] = 'shoulder' THEN 'left'
+             WHEN tp[nl] = 'shoulder' THEN 'right' ELSE 'no' END),
+      struct_pack(k := 'sidewalk', v :=
+        CASE WHEN tp[1] = 'travel' AND ds[1] = 'foot'
+              AND tp[nl] = 'travel' AND ds[nl] = 'foot' THEN 'both'
+             WHEN tp[1] = 'travel' AND ds[1] = 'foot' THEN 'left'
+             WHEN tp[nl] = 'travel' AND ds[nl] = 'foot' THEN 'right'
+             ELSE 'no' END),
+      -- parking (take_while / skip_while over first motor lane)
+      CASE WHEN len([i FOR i IN range(1, nl + 1) IF tp[i] = 'parking' AND i < fm]) > 0
+            AND len([i FOR i IN range(1, nl + 1) IF tp[i] = 'parking' AND i >= fm]) > 0
+           THEN struct_pack(k := 'parking:lane:both', v := 'parallel')
+           WHEN len([i FOR i IN range(1, nl + 1) IF tp[i] = 'parking' AND i < fm]) > 0
+           THEN struct_pack(k := 'parking:lane:left', v := 'parallel')
+           WHEN len([i FOR i IN range(1, nl + 1) IF tp[i] = 'parking' AND i >= fm]) > 0
+           THEN struct_pack(k := 'parking:lane:right', v := 'parallel') END,
+      CASE WHEN tp[1] = 'separator'
+            AND json_extract_string(lanes[1], '$.markings[0].color') = 'red'
+           THEN struct_pack(k := 'parking:condition:both', v := 'no_stopping') END,
+      -- positional cycleway:lanes for interior bikes (forward ltr, backward reversed ltr)
+      CASE WHEN int_f THEN struct_pack(k := 'cycleway:lanes:forward',
+        v := array_to_string(list_transform(seg_f,
+               i -> CASE WHEN ds[i] = 'bicycle' THEN 'lane' ELSE 'no' END), '|')) END,
+      CASE WHEN int_b THEN struct_pack(k := 'cycleway:lanes:backward',
+        v := array_to_string(list_transform(list_reverse(seg_b),
+               i -> CASE WHEN ds[i] = 'bicycle' THEN 'lane' ELSE 'no' END), '|')) END,
+      -- edge cycleways
+      CASE WHEN bl IS NOT NULL AND br IS NOT NULL THEN
+        struct_pack(k := 'cycleway:both', v := 'lane')
+           WHEN bl IS NOT NULL THEN struct_pack(k := 'cycleway:left', v := 'lane')
+           WHEN br IS NOT NULL THEN struct_pack(k := 'cycleway:right', v := 'lane') END,
+      CASE WHEN oneway AND ((bl IS NOT NULL AND dr[bl] = 'backward')
+                         OR (br IS NOT NULL AND dr[br] = 'backward'))
+           THEN struct_pack(k := 'oneway:bicycle', v := 'no') END,
+      CASE WHEN bl IS NOT NULL AND dr[bl] IS NOT NULL THEN
+        struct_pack(k := 'cycleway:left:oneway', v :=
+          CASE dr[bl] WHEN 'forward' THEN 'yes' WHEN 'backward' THEN '-1' ELSE 'no' END) END,
+      CASE WHEN br IS NOT NULL AND dr[br] IS NOT NULL THEN
+        struct_pack(k := 'cycleway:right:oneway', v :=
+          CASE dr[br] WHEN 'forward' THEN 'yes' WHEN 'backward' THEN '-1' ELSE 'no' END) END,
+      CASE WHEN bl IS NOT NULL AND wd[bl] IS NOT NULL THEN
+        struct_pack(k := 'cycleway:left:width', v :=
+          CASE WHEN wd[bl] = floor(wd[bl])
+               THEN CAST(CAST(wd[bl] AS BIGINT) AS VARCHAR)
+               ELSE CAST(wd[bl] AS VARCHAR) END) END,
+      CASE WHEN br IS NOT NULL AND wd[br] IS NOT NULL THEN
+        struct_pack(k := 'cycleway:right:width', v :=
+          CASE WHEN wd[br] = floor(wd[br])
+               THEN CAST(CAST(wd[br] AS BIGINT) AS VARCHAR)
+               ELSE CAST(wd[br] AS VARCHAR) END) END,
+      -- shared-lane marker (single-lane oneway with bidirectional bike access)
+      CASE WHEN nl = 1 AND oneway AND tp[1] = 'travel'
+            AND json_extract_string(lanes[1], '$.access.bicycle.access') = 'yes'
+            AND json_extract_string(lanes[1], '$.access.bicycle.direction') = 'both'
+           THEN struct_pack(k := 'cycleway', v := 'opposite') END,
+      -- busway
+      CASE WHEN busl IS NULL AND busr IS NULL AND len(bus_i) > 0 THEN
+        struct_pack(k := 'bus:lanes', v := array_to_string(list_transform(veh_i,
+          i -> CASE WHEN ds[i] = 'bus' THEN 'designated' ELSE '' END), '|'))
+           WHEN busl IS NOT NULL AND busr IS NOT NULL THEN
+        struct_pack(k := 'busway:both', v := 'lane')
+           WHEN busl IS NOT NULL THEN
+        struct_pack(k := 'busway:left', v :=
+          CASE WHEN oneway AND dr[busl] = 'backward' THEN 'opposite_lane' ELSE 'lane' END)
+           WHEN busr IS NOT NULL THEN
+        struct_pack(k := 'busway:right', v :=
+          CASE WHEN oneway AND dr[busr] = 'backward' THEN 'opposite_lane' ELSE 'lane' END) END,
+      -- max speed consensus / per-lane list / error
+      CASE WHEN has_spd AND NOT spd_differ THEN
+        struct_pack(k := 'maxspeed', v :=
+          CASE WHEN su[sp1] = 'kph' THEN
+            CASE WHEN sv[sp1] = floor(sv[sp1])
+                 THEN CAST(CAST(sv[sp1] AS BIGINT) AS VARCHAR)
+                 ELSE CAST(sv[sp1] AS VARCHAR) END
+          ELSE concat(
+            CASE WHEN sv[sp1] = floor(sv[sp1])
+                 THEN CAST(CAST(sv[sp1] AS BIGINT) AS VARCHAR)
+                 ELSE CAST(sv[sp1] AS VARCHAR) END, ' ', su[sp1]) END) END,
+      CASE WHEN has_spd AND spd_differ AND all_fwd THEN
+        struct_pack(k := 'maxspeed:lanes', v := array_to_string(list_transform(travel_i,
+          i -> CASE WHEN su[i] IS NULL THEN ''
+                    WHEN su[i] = 'kph' THEN
+                      CASE WHEN sv[i] = floor(sv[i])
+                           THEN CAST(CAST(sv[i] AS BIGINT) AS VARCHAR)
+                           ELSE CAST(sv[i] AS VARCHAR) END
+                    ELSE concat(
+                      CASE WHEN sv[i] = floor(sv[i])
+                           THEN CAST(CAST(sv[i] AS BIGINT) AS VARCHAR)
+                           ELSE CAST(sv[i] AS VARCHAR) END, ' ', su[i]) END), '|')) END,
+      -- NL locale addition
+      CASE WHEN has_spd AND NOT spd_differ AND su[sp1] = 'kph' AND sv[sp1] = 100.0
+            AND split_part(coalesce(iso_3166_2, ''), '-', 1) = 'NL'
+           THEN struct_pack(k := 'motorroad', v := 'yes') END
+    ], x -> x IS NOT NULL) END AS kvs
+  FROM sc4
+)
+SELECT case_id, u.k AS tag_key, u.v AS tag_value
+FROM (SELECT case_id, unnest(kvs) AS u FROM kv)
+"""
+
 def _lanes_golden_oracle() -> str:
     """The reference's expected corpus (tests.yml → golden.parquet)
     replayed in DuckDB json functions — one scalar row per expected lane,
@@ -1144,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_refs"] = _media_refs_oracle()
     out["multimodal_features"] = _multimodal_oracle()
     out["road_width"] = _road_width_oracle()
+    out["lanes_roundtrip"] = _lanes_roundtrip_oracle()
     out["simhash_pairs"] = _simhash_oracle(max_hamming=6)
     # exhaustive-probe IVF provably equals brute force → same oracle
     out["ann_ivf"] = out["ann_topk"]

@@ -174,6 +174,7 @@ def write_fixture_parquet(out_dir: str, replicate: int = 1) -> dict[str, str]:
     golden_tbl = pa.table({
         "case_id": pa.array([c["case_id"] for c in cases], pa.string()),
         "expected_json": pa.array([json.dumps(c["expected_lanes"]) for c in cases], pa.string()),
+        "expected_highway": pa.array([c["expected_highway"] for c in cases], pa.string()),
         "expect_warnings": pa.array([c["expect_warnings"] for c in cases], pa.bool_()),
         "include_separators": pa.array([c["include_separators"] for c in cases], pa.bool_()),
     })
