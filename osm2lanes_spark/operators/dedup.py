@@ -82,10 +82,25 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _input_bytes(df: DataFrame):
+    """Total bytes of the DataFrame's input files (None when not a simple
+    file scan). Filesystem metadata only — no Spark job."""
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        return sum(_os.path.getsize(p.removeprefix("file:")) for p in files)
+    except Exception:
+        return None
+
+
 def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", shingle_n: int = 3,
                             num_hashes: int = 32, bands: int = 8,
-                            threshold: float = 0.6) -> DataFrame:
+                            threshold: float = 0.6, verify: str = "auto",
+                            min_rescan_bytes: int = 4 << 30) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified by exact Jaccard.
 
     Returns (left_id, right_id, jaccard) with left < right, jaccard ≥
@@ -97,7 +112,24 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     aggregation is an optimizer barrier, so nothing re-inlines the shingle
     expression (a naive nested-expression formulation explodes
     combinatorially under CollapseProject).
+
+    ``verify`` picks how candidates are re-shingled for the exact check:
+
+    - ``'rescan'``: join candidates against the full re-shingled corpus.
+      Measured fastest on small/medium corpora (round-2 A/B at sf0.1) —
+      the extra jobs of the alternative cost more than the re-shingle.
+    - ``'candidate_first'``: eagerly checkpoint the candidate pairs,
+      broadcast the distinct candidate ids, and semi-join the corpus
+      BEFORE shingling — the verify pass shingles only candidate docs.
+      The right shape when the corpus scan/shingle dominates (the 100 TB
+      regime) and candidates ≪ corpus.
+    - ``'auto'`` (default): ``'candidate_first'`` when the input is a file
+      scan of at least ``min_rescan_bytes`` (default 4 GiB) AND the
+      candidate ids number under a quarter of the corpus rows (parquet
+      footer count — no data read); ``'rescan'`` otherwise.
     """
+    if verify not in ("auto", "rescan", "candidate_first"):
+        raise ValueError(f"unknown verify mode: {verify!r}")
     rows = num_hashes // bands
     sh = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
@@ -121,9 +153,40 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
             .where(F.col("left_id") < F.col("right_id"))
             .select("left_id", "right_id")
             .dropDuplicates(["left_id", "right_id"]))
+
+    checkpointed = False
+    if verify == "auto":
+        nbytes = _input_bytes(df)
+        verify = "rescan"
+        if nbytes is not None and nbytes >= min_rescan_bytes:
+            # large corpus: worth one candidate materialization + a
+            # footer-only row count to decide
+            cand = cand.localCheckpoint(eager=True)
+            checkpointed = True
+            n_ids = (cand.select(F.col("left_id").alias("id"))
+                     .union(cand.select(F.col("right_id")))
+                     .distinct().count())
+            if n_ids * 4 <= df.count():
+                verify = "candidate_first"
+
+    if verify == "candidate_first":
+        # truncate the LSH lineage so the verify stage never re-runs it
+        if not checkpointed:
+            cand = cand.localCheckpoint(eager=True)
+        ids = (cand.select(F.col("left_id").alias(id_col))
+               .union(cand.select(F.col("right_id"))).distinct())
+        sh_v = (_spread(df.join(F.broadcast(ids), id_col, "left_semi"),
+                        id_col)
+                .select(F.col(id_col).alias("id"),
+                        word_shingles(F.col(text_col), shingle_n)
+                        .alias("shingles")))
+    else:
+        sh_v = sh
     # exact-Jaccard verification only on candidates
-    lsh = sh.select(F.col("id").alias("left_id"), F.col("shingles").alias("lsh"))
-    rsh = sh.select(F.col("id").alias("right_id"), F.col("shingles").alias("rsh"))
+    lsh = sh_v.select(F.col("id").alias("left_id"),
+                      F.col("shingles").alias("lsh"))
+    rsh = sh_v.select(F.col("id").alias("right_id"),
+                      F.col("shingles").alias("rsh"))
     return (cand.join(lsh, "left_id").join(rsh, "right_id")
             .withColumn("jaccard", F.round(jaccard(F.col("lsh"), F.col("rsh")), 6))
             .where(F.col("jaccard") >= threshold)

@@ -286,3 +286,48 @@ def test_simhash_md5_flavor(spark, dup_docs):
                                       max_hamming=7, bands=8,
                                       hash_fn="md5").collect()}
     assert pairs[(1, 2)] == 0  # normalized-identical docs
+
+
+def test_minhash_candidate_first_equals_rescan(spark, sf_dir):
+    """Both verify shapes produce identical pairs on a real file-scan
+    corpus, and the auto gate picks by input size: rescan for a small
+    scan (round-2 A/B showed the re-shingle is cheaper there),
+    candidate_first once the scan dominates (min_rescan_bytes forced to 0
+    here to exercise the large-corpus branch)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rescan = {(r["left_id"], r["right_id"]): r["jaccard"]
+              for r in D.minhash_candidate_pairs(
+                  docs, "doc_id", "text", threshold=0.5,
+                  verify="rescan").collect()}
+    cand_first = {(r["left_id"], r["right_id"]): r["jaccard"]
+                  for r in D.minhash_candidate_pairs(
+                      docs, "doc_id", "text", threshold=0.5,
+                      verify="candidate_first").collect()}
+    assert rescan == cand_first and len(rescan) > 0
+    # auto on a small corpus = rescan (no checkpoint jobs): same output
+    auto_small = {(r["left_id"], r["right_id"]): r["jaccard"]
+                  for r in D.minhash_candidate_pairs(
+                      docs, "doc_id", "text", threshold=0.5).collect()}
+    assert auto_small == rescan
+    # auto with the size gate forced open = candidate_first branch
+    auto_large = {(r["left_id"], r["right_id"]): r["jaccard"]
+                  for r in D.minhash_candidate_pairs(
+                      docs, "doc_id", "text", threshold=0.5,
+                      min_rescan_bytes=0).collect()}
+    assert auto_large == rescan
+
+
+def test_minhash_auto_gate_unit():
+    """_input_bytes returns real sizes for file scans and None for local
+    relations (which must fall back to rescan)."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nbytes = D._input_bytes(docs)
+    assert nbytes == os.path.getsize(f"{sf_dir}/documents.parquet")
+    local = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    assert D._input_bytes(local) is None
