@@ -74,6 +74,46 @@ def with_cell(df: DataFrame, level: int = DEFAULT_LEVEL,
     return df.withColumn(out, cell_expr(F.col(lon), F.col(lat), level))
 
 
+def explode_ring_cells(df: DataFrame, lon, lat, level: int, ring_k: int,
+                       out: str = "cell") -> DataFrame:
+    """JVM k-ring: one row per cell within Chebyshev distance ``ring_k``
+    of the point's cell — the hot path of the kNN loop (the Python k-ring
+    UDF costs an Arrow round-trip per ring).
+
+    Shape matters: the integer grid coordinates are projected ONCE before
+    a literal (dx, dy) offset array is exploded — Generate is a barrier
+    CollapseProject cannot cross, so the post-explode bit-spread
+    duplicates only a leaf attribute. Building the ring as a
+    (2k+1)²-element array of full encode expressions instead overflows
+    janino's method limit (interpreted fallback, 5× slower), and
+    re-deriving x/y from the packed cell after the explode duplicates the
+    decode chain exponentially (every bit-twiddling step references its
+    input twice), drowning the optimizer in a megabyte expression tree —
+    both measured, both rejected. Integer-domain offsets (never lon/lat
+    plus multiples of the cell width, where float rounding at a boundary
+    could skip a neighbor) keep the set exactly ``cells.k_ring``'s:
+    out-of-world offsets clamp to the edge and the downstream dedup
+    collapses them."""
+    n = 1 << level
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-ring_k, ring_k + 1)
+        for dy in range(-ring_k, ring_k + 1)])
+    x = F.least(F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
+                           .cast("long"), F.lit(0)), F.lit(n - 1))
+    y = F.least(F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n)
+                           .cast("long"), F.lit(0)), F.lit(n - 1))
+    base = (df.withColumn("_x", x).withColumn("_y", y)
+            .select("*", F.explode(offsets).alias("_o")))
+    xx = F.least(F.greatest(F.col("_x") + F.col("_o.dx"), F.lit(0)),
+                 F.lit(n - 1))
+    yy = F.least(F.greatest(F.col("_y") + F.col("_o.dy"), F.lit(0)),
+                 F.lit(n - 1))
+    ring = _spread_bits(xx).bitwiseOR(F.shiftleft(_spread_bits(yy), 1))
+    cell = F.shiftleft(ring, 6).bitwiseOR(F.lit(level)).cast("long")
+    return base.withColumn(out, cell).drop("_x", "_y", "_o")
+
+
 # ---------------------------------------------------------------------------
 # Polygon dim: covering cells
 # ---------------------------------------------------------------------------
@@ -351,12 +391,41 @@ def knn_join(queries: DataFrame, ways: DataFrame, k: int = 1,
     # persist (not localCheckpoint): the index has static lineage, so it
     # needs caching, not truncation — an eager checkpoint pays an extra
     # materialize+copy job up front (~1.4 s at sf0.1) for nothing.
-    way_index = (spread(ways, way_id)
-                 .withColumn("cell", F.explode(way_cells_udf(F.col("geometry"))))
-                 .select("cell", way_id, "geometry")
-                 .persist())
+    # Single-vertex geometries (POI sites) index JVM-side — their covering
+    # IS the point's cell, so the Arrow covering stage runs only for real
+    # polylines (r02 profiling: the covering UDF was ~1/3 of kNN cold time
+    # on a point-site corpus).
+    spread_ways = spread(ways, way_id)
+    # one cheap JVM pass answers both planning questions: are there any
+    # real polylines (else the Arrow covering branch is skipped — an
+    # empty-but-scheduled Python stage still launches a worker per task,
+    # ~1 s at 64 partitions), and how many ways there are (the density
+    # seed below; a lower bound on index entries, so a sparse corpus can
+    # only over-seed the ring, never under-search it)
+    stats = spread_ways.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.size("geometry") > 1).cast("int")).alias("nm")).first()
+    n_ways, n_multi = stats["n"], stats["nm"] or 0
+    g1 = F.element_at("geometry", 1)
+    single = (spread_ways.where(F.size("geometry") <= 1)
+              .withColumn("cell", cell_expr(g1["lon"], g1["lat"], level)))
+    if n_multi == 0:
+        way_index = single.select("cell", way_id, "geometry").persist()
+    else:
+        multi = (spread_ways.where(F.size("geometry") > 1)
+                 .withColumn("cell",
+                             F.explode(way_cells_udf(F.col("geometry")))))
+        way_index = (single.unionByName(multi)
+                     .select("cell", way_id, "geometry")
+                     .persist())
 
     def query_cells(df: DataFrame, ring_k: int) -> DataFrame:
+        # the Arrow k-ring: one batched UDF over the (small) unfinished
+        # remainder. A JVM alternative exists (explode_ring_cells) but
+        # measured at parity here — the candidates it feeds go through the
+        # Python dist kernel regardless, so the ring's Arrow round-trip is
+        # a minor term; it wins only when queries vastly outnumber
+        # candidates (grid co-location joins — its own test covers it).
         @F.pandas_udf(T.ArrayType(T.LongType()))
         def cells_udf(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
             base = C.encode(lon_s.to_numpy(), lat_s.to_numpy(), level)
@@ -395,8 +464,16 @@ def knn_join(queries: DataFrame, ways: DataFrame, k: int = 1,
     # recomputes a ring. Checkpoint blocks are freed with the session.
     remaining = queries.localCheckpoint()
     finished_parts: list[DataFrame] = []
-    ring_k = 1
+    # seed the ring from way density (VERDICT r02 #8): a ring whose
+    # expected candidate count is under 2k can't finish a query — skip
+    # those provably-thin early rings. Exactness is untouched: the
+    # per-ring geometric guarantee still gates completion.
     world = 1 << level
+    density = n_ways / float(world * world)
+    ring_k = 1
+    while (ring_k * 2 <= max_ring and ring_k * 2 < world
+           and density * (2 * ring_k + 1) ** 2 < 2 * k):
+        ring_k *= 2
     while ring_k <= max_ring and ring_k < world:
         cand = (query_cells(remaining, ring_k)
                 .join(way_index, "cell")

@@ -82,7 +82,8 @@ def stream_dedup(spark: SparkSession, input_dir: str, output_dir: str,
 def stream_running_stats(spark: SparkSession, input_dir: str,
                          output_dir: str, checkpoint_dir: str,
                          schema: T.StructType, key_col: str = "source",
-                         available_now: bool = True):
+                         available_now: bool = True,
+                         max_files_per_trigger: Optional[int] = None):
     """Custom stateful operator via ``applyInPandasWithState``:
     per-key running document count + char total, persisted in state across
     micro-batches; each batch emits the updated running totals."""
@@ -110,7 +111,10 @@ def stream_running_stats(spark: SparkSession, input_dir: str,
         yield pd.DataFrame({key_col: [key[0]], "running_docs": [docs],
                             "running_chars": [chars]})
 
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
     stats = (stream.groupBy(key_col)
              .applyInPandasWithState(update, out_schema, state_schema,
                                      "append", GroupStateTimeout.NoTimeout))

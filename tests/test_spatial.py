@@ -254,3 +254,79 @@ def test_classify_cells_concave_notch_not_full():
     px = np.linspace(1.0, 38.0, 100)
     py = np.full_like(px, 10.01)
     assert not P.point_in_polygon(px, py, ring).any()
+
+
+def test_ring_cells_expr_matches_numpy_k_ring(spark):
+    """The JVM exploded k-ring produces exactly cells.k_ring's set for
+    every radius it serves (<=3), including world-edge points where the
+    numpy ring clips and the JVM ring clamps (duplicates collapse in the
+    downstream pair dedup)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm2lanes_spark.spatial import cells as C
+    from osm2lanes_spark.spatial.joins import explode_ring_cells
+
+    rng = np.random.default_rng(11)
+    pts = [(float(lo), float(la)) for lo, la in
+           zip(rng.uniform(-180, 180, 40), rng.uniform(-90, 90, 40))]
+    pts += [(-180.0, -90.0), (180.0, 90.0), (-179.999, 45.0),
+            (0.0, 89.999), (179.999, -89.999)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    for level in (4, 7, 10):
+        for r in (1, 2, 3):
+            got = {}
+            rows = explode_ring_cells(df, F.col("lon"), F.col("lat"),
+                                      level, r).collect()
+            for row in rows:
+                got.setdefault((row["lon"], row["lat"]), set()).add(row["cell"])
+            for (lo, la), ring in got.items():
+                base = int(C.encode(np.array([lo]), np.array([la]), level)[0])
+                assert ring == set(C.k_ring(base, r).tolist()), (level, r, lo, la)
+
+
+def test_knn_single_vertex_jvm_index_matches_udf_covering(spark):
+    """Point-geometry ways index to exactly the cell cover_polyline gives,
+    and knn over a MIXED corpus (points + polylines) is still exact vs
+    brute force."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm2lanes_spark.spatial.joins import knn_join
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(60):
+        x, y = rng.uniform(-30, 30), rng.uniform(-20, 20)
+        if i % 3 == 0:  # polyline
+            rows.append((f"w{i}", [{"lon": x, "lat": y},
+                                   {"lon": x + 3.0, "lat": y + 1.0}]))
+        else:  # point site
+            rows.append((f"w{i}", [{"lon": x, "lat": y}]))
+    ways = spark.createDataFrame(
+        rows, "way_id string, geometry array<struct<lon:double,lat:double>>")
+    qs = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in
+         enumerate(zip(rng.uniform(-30, 30, 12), rng.uniform(-20, 20, 12)))],
+        "query_id long, lon double, lat double")
+    got = {(r["query_id"], r["way_id"])
+           for r in knn_join(qs, ways, k=1, level=6, max_ring=8).collect()}
+
+    # brute-force truth (point-to-segment)
+    from osm2lanes_spark.spatial.polygons import point_to_segment_dist
+    truth = set()
+    qrows = qs.collect()
+    wrows = ways.collect()
+    for q in qrows:
+        best, bid = None, None
+        for w in wrows:
+            ring = np.array([[p["lon"], p["lat"]] for p in w["geometry"]])
+            if len(ring) == 1:
+                d = float(np.hypot(q["lon"] - ring[0, 0], q["lat"] - ring[0, 1]))
+            else:
+                d = float(point_to_segment_dist(
+                    np.array([q["lon"]]), np.array([q["lat"]]), ring)[0])
+            if best is None or (d, w["way_id"]) < (best, bid):
+                best, bid = d, w["way_id"]
+        truth.add((q["query_id"], bid))
+    assert got == truth

@@ -74,3 +74,66 @@ def test_stream_running_stats(spark, tmp_path):
         assert latest[s]["running_docs"] == 30
         expect_chars = sum(10 + i % 5 for i in range(90) if i % 3 == int(s[-1]))
         assert latest[s]["running_chars"] == expect_chars
+
+
+def test_stream_running_stats_crash_recovery(spark, tmp_path):
+    """Kill-and-restart of the applyInPandasWithState job from its
+    checkpoint: the query is stopped mid-stream (after >= 1 committed
+    micro-batch, < all input), restarted on the same checkpoint, and the
+    final running totals must be exact — no double-counted batches, no
+    lost state — i.e. exactly-once ACROSS the restart, not just within
+    one run (VERDICT r02 next-round #7)."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from osm2lanes_spark.streaming.jobs import stream_running_stats
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = str(tmp_path / "cr_in")
+    # 12 separate files -> 12 micro-batches at maxFilesPerTrigger=1
+    for f in range(12):
+        rows = [(f * 10 + i, f"src{(f * 10 + i) % 3}",
+                 "x" * (10 + (f * 10 + i) % 5)) for i in range(10)]
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    out, ckpt = str(tmp_path / "cr_out"), str(tmp_path / "cr_ckpt")
+    q = stream_running_stats(spark, src, out, ckpt, schema,
+                             available_now=False, max_files_per_trigger=1)
+    # kill mid-stream: wait for at least one committed batch, then stop
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["numInputRows"] > 0:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    # restart from the same checkpoint, drain the remainder
+    q2 = stream_running_stats(spark, src, out, ckpt, schema,
+                              available_now=True)
+    q2.awaitTermination(120)
+
+    final = spark.read.parquet(out)
+    # the job emits one running-total row per key per batch that touched
+    # the key; the LAST emission per key must equal the exact batch totals
+    latest = {r["source"]: r
+              for r in final.orderBy("running_docs").collect()}
+    all_ids = range(120)
+    for s in ("src0", "src1", "src2"):
+        k = int(s[-1])
+        assert latest[s]["running_docs"] == 40, (s, latest[s])
+        expect_chars = sum(10 + i % 5 for i in all_ids if i % 3 == k)
+        assert latest[s]["running_chars"] == expect_chars, (s, latest[s])
+    # and the restart actually continued (didn't reprocess from scratch):
+    # running totals are monotone per key with no duplicated plateau pair
+    per_key = {}
+    for r in final.collect():
+        per_key.setdefault(r["source"], []).append(r["running_docs"])
+    for s, vals in per_key.items():
+        assert len(vals) == len(set(vals)), f"duplicated emission for {s}"
