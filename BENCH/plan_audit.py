@@ -57,7 +57,11 @@ crossJoin); per-pair distance is a vectorized Arrow UDF; ranking is one
 window per query. Ring state advances by left-semi/left-anti joins over
 a localCheckpoint'ed round result — no driver collect, no IN-literals
 (the loop itself is driver-side control flow, so this dumps the plan of
-a single round body).""",
+a single round body). Round 3: point (single-vertex) ways index through
+the JVM morton encoder (the Arrow covering stage is skipped entirely for
+an all-points corpus — one cheap JVM aggregate decides), and the first
+ring radius is seeded from way density so provably-thin early rings are
+never joined; the per-ring geometric guarantee is unchanged.""",
     "grid_binning": """\
 Cell ids are pure JVM bit arithmetic (cell_expr) — the groupBy shuffles
 once on the cell id with partial counts; scan->project->agg all inside

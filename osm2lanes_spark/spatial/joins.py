@@ -159,6 +159,54 @@ def with_cell_s2(df: DataFrame, level: int, lon: str = "lon",
     return df.withColumn(out, s2_encode_udf(level)(F.col(lon), F.col(lat)))
 
 
+def polygon_cells_pdf_h3(polygons: dict[str, np.ndarray],
+                         res: int) -> pd.DataFrame:
+    """H3-backend covering dim (the north rule's primary cell system —
+    import-gated on the ``h3`` bindings, v4 API; VERDICT r02 #5a).
+
+    Conservative covering = center-inside fill ∪ boundary path cells ∪ a
+    1-ring dilation of both (``polygon_to_cells`` alone keeps only cells
+    whose CENTER is inside, which under-covers boundaries and can miss a
+    sliver polygon entirely). Every cell is a boundary cell
+    (``full=False``) so downstream exact PIP refines each candidate —
+    identical results to the morton/S2 backends."""
+    import h3
+
+    rows = []
+    for key in sorted(polygons):
+        ring = np.asarray(polygons[key], np.float64)
+        latlng = [(float(la), float(lo)) for lo, la in ring]
+        cells = set(h3.polygon_to_cells(h3.LatLngPoly(latlng), res))
+        vcells = [h3.latlng_to_cell(la, lo, res) for la, lo in latlng]
+        boundary = set(vcells)
+        for a, b in zip(vcells, vcells[1:] + vcells[:1]):
+            boundary |= set(h3.grid_path_cells(a, b))
+        for c in list(cells | boundary):
+            cells |= set(h3.grid_disk(c, 1))
+        for c in cells:
+            rows.append((int(np.uint64(h3.str_to_int(c)).astype(np.int64)),
+                         key, False))
+    return pd.DataFrame(rows, columns=["cell", "key", "full"])
+
+
+def with_cell_h3(df: DataFrame, res: int, lon: str = "lon",
+                 lat: str = "lat", out: str = "cell") -> DataFrame:
+    """H3 counterpart of :func:`with_cell` (Arrow-batched; the h3 C calls
+    run per row inside the batch — bindings expose no vector API)."""
+
+    @F.pandas_udf(T.LongType())
+    def _udf(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        import h3
+
+        return pd.Series([
+            int(np.uint64(h3.str_to_int(
+                h3.latlng_to_cell(float(la), float(lo), res)))
+                .astype(np.int64))
+            for lo, la in zip(lon_s, lat_s)])
+
+    return df.withColumn(out, _udf(F.col(lon), F.col(lat)))
+
+
 def containment_join(points: DataFrame, polygons: dict[str, np.ndarray],
                      level: int = DEFAULT_LEVEL,
                      strategy: str = "map",
@@ -183,23 +231,28 @@ def containment_join(points: DataFrame, polygons: dict[str, np.ndarray],
 
     cell_backend='morton' (default) uses the JVM bit-arithmetic quadtree;
     's2' uses real S2 cell ids (`spatial/s2.py` — Arrow-batched encode +
-    conservative covering; every candidate PIP-refines). Same results
-    either way (tests/test_s2.py pins cross-backend equality); note an
-    S2 level is per cube face, so granularity ≈ the morton level + 2.
+    conservative covering); 'h3' uses real H3 cells via the ``h3``
+    bindings where installed (``level`` is then the H3 resolution). Every
+    non-morton candidate PIP-refines, so results are identical across
+    backends (tests/test_s2.py + test_spatial.py pin the equality); note
+    an S2 level is per cube face, so granularity ≈ the morton level + 2.
     """
     spark: SparkSession = points.sparkSession
-    if cell_backend not in ("morton", "s2"):
+    if cell_backend not in ("morton", "s2", "h3"):
         raise ValueError(f"unknown cell_backend: {cell_backend}")
     if strategy == "map":
         if cell_backend != "morton":
             raise ValueError(
                 "strategy='map' fuses the morton covering into the Arrow "
                 "stage; use strategy='broadcast'/'salted' with "
-                "cell_backend='s2'")
+                f"cell_backend={cell_backend!r}")
         return _containment_map(points, polygons, level, point_id)
     if cell_backend == "s2":
         dim_pdf = polygon_cells_pdf_s2(polygons, level)
         pts = with_cell_s2(points, level)
+    elif cell_backend == "h3":
+        dim_pdf = polygon_cells_pdf_h3(polygons, level)
+        pts = with_cell_h3(points, level)
     else:
         dim_pdf = polygon_cells_pdf(polygons, level)
         pts = with_cell(points, level)

@@ -331,3 +331,54 @@ def test_minhash_auto_gate_unit():
     assert nbytes == os.path.getsize(f"{sf_dir}/documents.parquet")
     local = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     assert D._input_bytes(local) is None
+
+
+def test_decode_media_real_image_backend(spark):
+    """The real PIL decode path of feature_extract_stage(use_fake=False):
+    a PNG generated in-memory round-trips through the Arrow stage with the
+    same feature contract as fake_decode. Skips cleanly where PIL is
+    absent (this container)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from osm2lanes_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                      decode_media,
+                                                      feature_extract_stage)
+
+    img = Image.fromarray(
+        (np.arange(256, dtype=np.uint8).reshape(16, 16)), mode="L")
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [("media://t1", "image", bytearray(payload),
+          {"width": 16, "height": 16, "sample_rate": 0,
+           "n_frames": 1, "codec": "png"})], MEDIA_SCHEMA)
+    out = feature_extract_stage(media, dim=8, use_fake=False).collect()
+    assert len(out) == 1
+    feats = np.array(out[0]["feature"], np.float32)
+    assert feats.shape == (8,) and abs(feats.sum() - 1.0) < 1e-5
+    assert np.allclose(feats, decode_media(payload, "image", 8))
+
+
+def test_decode_media_raises_without_backend():
+    """Where no codec library exists, decode_media declares itself
+    unimplemented instead of silently faking."""
+    import pytest
+
+    from osm2lanes_spark.operators import multimodal as M
+
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present — the raising branch is unreachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"\x00" * 16, "image")
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"\x00" * 16, "nosuchkind")
