@@ -534,6 +534,26 @@ def _q_ngram_jaccard(spark, sf_dir):
                                threshold=0.5)
 
 
+
+def _q_dedup_components(spark, sf_dir):
+    """Near-dup clustering (the missing last step of a dedup pipeline):
+    MinHash candidate pairs → connected components via min-label
+    propagation (one equi-join + one map-side-combined min-agg per round,
+    localCheckpoint'ed lineage, convergence by a monotone label-sum
+    witness — no driver-side graph) → full-corpus cluster assignment with
+    the min-id member as the survivor. The oracle recomputes the same
+    clusters from scratch in DuckDB: exact n-gram Jaccard pairs (the
+    proven-equal oracle of minhash_pairs) closed transitively with a
+    recursive CTE."""
+    from osm2lanes_spark.operators.dedup import (dedup_clusters,
+                                                 minhash_candidate_pairs)
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", threshold=0.5)
+    out = dedup_clusters(docs, pairs)
+    return out.select("doc_id", "component", "is_duplicate")
+
+
 def _q_langid(spark, sf_dir):
     from osm2lanes_spark.operators.text import with_langid
 
@@ -667,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _shipped(_q_embedding_neardup),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
+        "dedup_components": _shipped(_q_dedup_components),
         "ann_ivf": _shipped(_q_ann_ivf),
         "multimodal_features": _shipped(_q_multimodal),
         "locale_spatial": _shipped(_q_locale_spatial),
@@ -945,6 +966,47 @@ def _s2_oracle(level: int = 12) -> str:
         FROM cells GROUP BY cell
     """
 
+
+
+
+def _dedup_components_oracle() -> str:
+    """Transitive closure of the exact n-gram Jaccard pair set (the same
+    pair set the engine's MinHash produces — proven equal by the
+    minhash_pairs oracle) via a recursive CTE, min-member per component,
+    singletons mapping to themselves."""
+    return """
+        WITH RECURSIVE t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       ' ') AS toks
+            FROM documents),
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3 THEN
+                       list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      FOR i IN range(1, len(toks) - 1)])
+                   ELSE [array_to_string(toks, ' ')] END AS sh
+            FROM t),
+        pairs AS (
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        edges AS (
+            SELECT left_id AS a, right_id AS b FROM pairs
+            UNION
+            SELECT right_id, left_id FROM pairs),
+        reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS component,
+               d.doc_id <> coalesce(c.component, d.doc_id) AS is_duplicate
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """
 
 
 def _lanes_roundtrip_oracle() -> str:
@@ -1383,6 +1445,7 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_features"] = _multimodal_oracle()
     out["road_width"] = _road_width_oracle()
     out["lanes_roundtrip"] = _lanes_roundtrip_oracle()
+    out["dedup_components"] = _dedup_components_oracle()
     out["simhash_pairs"] = _simhash_oracle(max_hamming=6)
     # exhaustive-probe IVF provably equals brute force → same oracle
     out["ann_ivf"] = out["ann_topk"]

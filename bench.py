@@ -139,7 +139,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
         qs = E.queries()
         for name in ("pricing_summary", "region_revenue", "event_ranks",
                      "grid_binning", "s2_binning", "zonal", "dedup_exact",
-                     "token_stats", "ann_topk", "minhash_pairs", "knn"):
+                     "token_stats", "ann_topk", "minhash_pairs", "knn",
+                     "dedup_components"):
             # best of 2: a single shot on this shared host swings ±2x with
             # co-tenant load; min-of-two is the standard attainable-time
             # estimator and only adds seconds

@@ -360,3 +360,64 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
             .withColumn("cosine", F.round(cos, 6))
             .where(F.col("cosine") >= threshold)
             .select("left_id", "right_id", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, left: str = "left_id",
+                         right: str = "right_id",
+                         max_iter: int = 50) -> DataFrame:
+    """Group near-duplicate pairs into clusters: (id, component) for every
+    id appearing in ``pairs``, where ``component`` is the minimum member
+    id — the canonical dedup survivor key.
+
+    Shape (the 100 TB story): min-label propagation (hash-to-min). Each
+    round is ONE equi-join (edges ⋈ labels) plus ONE map-side-combined
+    min-aggregate; the round result is localCheckpoint'ed so lineage
+    stays flat across iterations. Rounds needed = graph diameter, and
+    near-dup clusters are shallow (pairs come from banded LSH, so a
+    cluster is near-clique); label sums are monotone decreasing, which
+    makes convergence detection a single aggregate instead of a
+    change-join. No driver-side graph, no collect.
+    """
+    e = (pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+         .unionByName(
+             pairs.select(F.col(right).alias("a"), F.col(left).alias("b")))
+         .dropDuplicates(["a", "b"])
+         .localCheckpoint())
+    labels = (e.select(F.col("a").alias("id")).distinct()
+              .select("id", F.col("id").alias("comp"))
+              .localCheckpoint())
+    # labels only ever decrease, so sum(comp) is a strictly decreasing
+    # fixpoint witness (decimal: immune to overflow at any node count)
+    total = labels.agg(
+        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
+    for _ in range(max_iter):
+        nbr = (e.join(labels, e.b == labels.id)
+               .select(F.col("a").alias("id"), "comp"))
+        labels = (labels.unionByName(nbr)
+                  .groupBy("id").agg(F.min("comp").alias("comp"))
+                  .localCheckpoint())
+        new_total = labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
+        if new_total == total:
+            break
+        total = new_total
+    return labels.select("id", F.col("comp").alias("component"))
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   left: str = "left_id", right: str = "right_id") -> DataFrame:
+    """Full-corpus cluster assignment: every row of ``df`` gets a
+    ``component`` (its near-dup cluster's min id; singletons map to
+    themselves) and ``is_duplicate`` (member of a cluster, not its
+    survivor). The standard keep-one-per-cluster filter is then
+    ``~is_duplicate``."""
+    comp = connected_components(pairs, left, right)
+    joined = df.join(comp, df[id_col] == comp.id, "left").drop("id")
+    component = F.coalesce(F.col("component"), F.col(id_col))
+    return (joined
+            .withColumn("component", component)
+            .withColumn("is_duplicate", F.col(id_col) != F.col("component")))

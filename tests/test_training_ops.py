@@ -382,3 +382,57 @@ def test_decode_media_raises_without_backend():
         M.decode_media(b"\x00" * 16, "image")
     with pytest.raises(NotImplementedError):
         M.decode_media(b"\x00" * 16, "nosuchkind")
+
+
+def test_connected_components_known_graph(spark):
+    """Chain, triangle, pair, plus corpus singletons: components are the
+    min member; singletons map to themselves via dedup_clusters."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (21, 20)],                     # pair (reversed order)
+        "left_id long, right_id long")
+    comp = {r["id"]: r["component"]
+            for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20}
+    docs = spark.createDataFrame([(i, f"t{i}") for i in (1, 3, 10, 50, 99)],
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: (r["component"], r["is_duplicate"])
+           for r in D.dedup_clusters(docs, pairs).collect()}
+    assert out == {1: (1, False), 3: (1, True), 10: (10, False),
+                   50: (50, False), 99: (99, False)}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Property check: 300 random edges over 120 nodes — Spark components
+    equal a driver-side union-find ground truth."""
+    import random
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "left_id long, right_id long")
+
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    truth = {n: find(n) for n in nodes}
+    # canonicalize to min member per root
+    roots = {}
+    for n, r in truth.items():
+        roots.setdefault(r, set()).add(n)
+    expect = {n: min(roots[r] | {r}) for n, r in truth.items()}
+    got = {r["id"]: r["component"]
+           for r in D.connected_components(pairs).collect()}
+    assert got == expect
