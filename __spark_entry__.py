@@ -535,6 +535,65 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 
+
+def _q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (part dim + conditional aggregation): share of
+    revenue from promo parts per brand, September 1995."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where((F.col("l_shipdate") >= "1995-09-01")
+                     & (F.col("l_shipdate") < "1995-10-01"))
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.round(F.sum(F.when(F.col("p_type").startswith("PROMO"),
+                                      rev).otherwise(0.0)), 2)
+                 .alias("promo_rev"),
+                 F.round(F.sum(rev), 2).alias("total_rev"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def _q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.py):
+    pure function of the doc id via md5 — reproducible across engines
+    (the oracle replays the same arithmetic), re-runs and backfills land
+    identically. Aggregated per (source, split)."""
+    from osm2lanes_spark.operators.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return (hash_split(docs, "doc_id")
+            .groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+def _q_doc_packing(spark, sf_dir):
+    """Context-window packing (operators/packing.py): documents packed
+    into 2048-token budgets per source by cumulative offset (two window
+    functions, one shuffle). Aggregated per pack."""
+    from osm2lanes_spark.operators.packing import contiguous_packs
+    from osm2lanes_spark.operators.text import tokens
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens(F.col("text"))))
+    packed = contiguous_packs(docs, "n_tokens", budget=2048,
+                              order_col="doc_id", part_col="source")
+    return (packed.groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("pack_tokens")))
+
+
+def _q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid (operators/similarity.py): class
+    prototypes as one partial-aggregated shuffle of (label, dim)."""
+    from osm2lanes_spark.operators.similarity import label_centroids
+
+    emb = (_read(spark, sf_dir, "embeddings")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    out = label_centroids(emb)
+    return out.select("label", "pos", F.round("mean", 6).alias("mean"), "n")
+
+
 def _q_dedup_components(spark, sf_dir):
     """Near-dup clustering (the missing last step of a dedup pipeline):
     MinHash candidate pairs → connected components via min-label
@@ -688,6 +747,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
+        "promo_revenue": _shipped(_q_promo_revenue),
+        "hash_split": _shipped(_q_hash_split),
+        "doc_packing": _shipped(_q_doc_packing),
+        "label_centroids": _shipped(_q_label_centroids),
         "ann_ivf": _shipped(_q_ann_ivf),
         "multimodal_features": _shipped(_q_multimodal),
         "locale_spatial": _shipped(_q_locale_spatial),
@@ -1404,6 +1467,73 @@ def oracle_sql() -> dict[str, str]:
                 EXCEPT
                 SELECT DISTINCT o_custkey AS custkey FROM orders
                 WHERE o_totalprice > 200000) t
+        """,
+        "promo_revenue": """
+            SELECT p_brand,
+                   round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END), 2) AS promo_rev,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'
+            GROUP BY p_brand
+        """,
+        "hash_split": """
+            -- the same md5-derived uniform as operators/sampling.py
+            -- DuckDB 1.0 has no strtol: hex -> int via strpos arithmetic
+            WITH h AS (
+                SELECT source, n_chars,
+                       md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+            u AS (
+                SELECT source, n_chars,
+                       ((strpos('0123456789abcdef', substring(m, 1, 1)) - 1) * 268435456.0
+                      + (strpos('0123456789abcdef', substring(m, 2, 1)) - 1) * 16777216.0
+                      + (strpos('0123456789abcdef', substring(m, 3, 1)) - 1) * 1048576.0
+                      + (strpos('0123456789abcdef', substring(m, 4, 1)) - 1) * 65536.0
+                      + (strpos('0123456789abcdef', substring(m, 5, 1)) - 1) * 4096.0
+                      + (strpos('0123456789abcdef', substring(m, 6, 1)) - 1) * 256.0
+                      + (strpos('0123456789abcdef', substring(m, 7, 1)) - 1) * 16.0
+                      + (strpos('0123456789abcdef', substring(m, 8, 1)) - 1) * 1.0)
+                       / 4294967296.0 AS r
+                FROM h)
+            SELECT source,
+                   CASE WHEN r < 0.8 THEN 'train'
+                        WHEN r < 0.9 THEN 'val' ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM u GROUP BY 1, 2
+        """,
+        "doc_packing": """
+            WITH tok AS (
+                SELECT doc_id, source,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents),
+            packed AS (
+                SELECT source,
+                       CAST(floor((sum(n_tokens) OVER (
+                                PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n_tokens)
+                            / 2048.0) AS BIGINT) AS pack_id,
+                       n_tokens
+                FROM tok)
+            SELECT source, pack_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+            FROM packed GROUP BY source, pack_id
+        """,
+        "label_centroids": """
+            -- DuckDB 1.0 range() is constants-only: unnest value and
+            -- subscript lists side by side (they align positionally)
+            SELECT label, pos, round(avg(v), 6) AS mean, count(*) AS n
+            FROM (
+                SELECT label,
+                       CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
+                       unnest(embedding::DOUBLE[]) AS v
+                FROM embeddings) u
+            GROUP BY label, pos
         """,
         "embedding_neardup": """
             WITH base AS (

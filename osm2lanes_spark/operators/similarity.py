@@ -170,3 +170,22 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .where(F.col("rank") <= k)
             .withColumn("cosine", F.round(F.col("_cos"), 6))
             .select(query_id, corpus_id, "cosine", "rank"))
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label mean vector (class prototype), as (label, pos, mean, n)
+    rows.
+
+    Shape: ``posexplode`` then ``groupBy(label, pos).avg`` — the sums
+    partial-aggregate map-side and exactly ONE shuffle moves (label, pos)
+    partials, so the operator scales with labels × dims, not rows. The
+    row form (rather than re-assembling an array) keeps the agg buffer
+    fixed-width — collect_list buffers fall back to SortAggregate
+    (round-2 lesson) — and downstream consumers re-pivot only the tiny
+    result.
+    """
+    ex = df.select(F.col(label_col).alias("label"),
+                   F.posexplode(vec_col).alias("pos", "v"))
+    return (ex.groupBy("label", "pos")
+            .agg(F.avg("v").alias("mean"), F.count(F.lit(1)).alias("n")))

@@ -436,3 +436,56 @@ def test_connected_components_random_vs_union_find(spark):
     got = {r["id"]: r["component"]
            for r in D.connected_components(pairs).collect()}
     assert got == expect
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from osm2lanes_spark.operators.sampling import hash_split
+
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    assert a == b  # pure function of the id
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 20000 - 0.8) < 0.02
+    assert abs(c["val"] / 20000 - 0.1) < 0.02
+    assert abs(c["test"] / 20000 - 0.1) < 0.02
+    # custom weights renormalize
+    two = hash_split(df, "doc_id", {"a": 3.0, "b": 1.0})
+    c2 = Counter(r["split"] for r in two.collect())
+    assert abs(c2["a"] / 20000 - 0.75) < 0.02
+
+
+def test_contiguous_packs_semantics(spark):
+    from osm2lanes_spark.operators.packing import contiguous_packs
+
+    rows = [(i, "s", 600) for i in range(10)]  # 600 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    got = {r["doc_id"]: r["pack_id"]
+           for r in contiguous_packs(df, "n", budget=2048,
+                                     part_col="source").collect()}
+    # offsets 0,600,...,5400 → pack = offset // 2048
+    assert got == {i: (600 * i) // 2048 for i in range(10)}
+    # no part_col: single global packing
+    got2 = {r["doc_id"]: r["pack_id"]
+            for r in contiguous_packs(df, "n", budget=1200).collect()}
+    assert got2 == {i: (600 * i) // 1200 for i in range(10)}
+
+
+def test_label_centroids_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from osm2lanes_spark.operators.similarity import label_centroids
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    got = {(r["label"], r["pos"]): (r["mean"], r["n"])
+           for r in label_centroids(emb).collect()}
+    pdf = emb.toPandas()
+    for label, grp in pdf.groupby("label"):
+        m = np.stack(grp["embedding"].to_numpy())
+        means = m.mean(axis=0)
+        for pos in range(m.shape[1]):
+            mean, n = got[(label, pos)]
+            assert n == len(grp)
+            assert abs(mean - means[pos]) < 1e-9
