@@ -50,6 +50,33 @@ join-back (never a corpus sort); corpus->centroid assignment is a
 max(struct) partial aggregate (one combined shuffle row per vector);
 probes broadcast onto the assigned corpus so only nprobe/K of the data
 shuffles into the per-query ranking window.""",
+    "promo_revenue": """\
+Part is an explicit BroadcastHashJoin dim (the fact scan is filtered by
+the pushed shipdate range before the join); the conditional promo/total
+sums are ONE partial aggregate — a single exchange on p_brand.""",
+    "hash_split": """\
+The md5-derived split assignment is pure JVM expression work inside
+WholeStageCodegen over the scan — no shuffle until the final (source,
+split) partial aggregate. Determinism = reproducible splits on re-runs
+and backfills with zero coordination.""",
+    "doc_packing": """\
+One exchange total: the window (partitionBy source, orderBy doc_id)
+computes the running token offset, pack_id is arithmetic on it, and the
+per-pack aggregate rides the SAME partitioning (source is a prefix of
+the window key) — no second shuffle. At 100 TB packing is bounded by
+the one sort per source partition.""",
+    "label_centroids": """\
+posexplode then partial-aggregated (label, pos) means: the heavy
+explode stays a narrow map, sums combine map-side, and exactly one
+exchange moves labels x dims partial rows (not vectors). Fixed-width agg
+buffers — no collect_list SortAggregate fallback.""",
+    "dedup_components": """\
+The dumped plan is the final survivor join: converged labels live in
+localCheckpoint'ed blocks (each propagation round was one equi-join +
+one map-side-combined min-agg, lineage truncated per round, convergence
+by a monotone label-sum aggregate — no driver-side graph, no collect).
+The corpus join is a broadcast of the small component table; at 100 TB
+it degrades to a shuffled equi-join on the id, never a cross product.""",
     "knn_round": """\
 One expanding-ring round: queries explode to their k-ring cells and
 equi-join the cached supercover way index (cell = join key, no distance
@@ -109,8 +136,14 @@ def main() -> None:
     grab("lanes_pipeline", lanes_pipeline(docs, all_country_polygons(), level=10))
 
     for name in ("region_revenue", "dedup_exact", "minhash_pairs",
-                 "grid_binning", "s2_binning", "zonal"):
+                 "grid_binning", "s2_binning", "zonal", "promo_revenue",
+                 "hash_split", "doc_packing", "label_centroids"):
         grab(name, qs[name](spark, SF_DIR))
+
+    # components: the dumped plan is the converged labels' final join
+    # back onto the corpus (the propagation rounds are driver-side control
+    # flow over checkpointed blocks, like the knn rings)
+    grab("dedup_components", qs["dedup_components"](spark, SF_DIR))
 
     # IVF at the partial-probe config
     from osm2lanes_spark.operators.similarity import ivf_topk
