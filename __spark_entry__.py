@@ -594,6 +594,49 @@ def _q_label_centroids(spark, sf_dir):
     return out.select("label", "pos", F.round("mean", 6).alias("mean"), "n")
 
 
+
+def _q_ship_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    revenue top-10 with deterministic tie-break — multi-predicate
+    pushdown + top-k over a fact-fact join."""
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1997-03-15")
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1997-03-15")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10))
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Within-doc repetition quality signals (text-analysis family):
+    type-token ratio and top-token share per document, via explode +
+    two partial-aggregated groupBys (fixed-width buffers, no
+    collect_list)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    per_tok = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c"))
+    return (per_tok.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.max("c").alias("top_count"))
+            .select("doc_id", "n_tokens",
+                    F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
+                    .alias("distinct_ratio"),
+                    F.round(F.col("top_count") / F.col("n_tokens"), 6)
+                    .alias("top_token_ratio")))
+
+
 def _q_dedup_components(spark, sf_dir):
     """Near-dup clustering (the missing last step of a dedup pipeline):
     MinHash candidate pairs → connected components via min-label
@@ -751,6 +794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _shipped(_q_hash_split),
         "doc_packing": _shipped(_q_doc_packing),
         "label_centroids": _shipped(_q_label_centroids),
+        "ship_priority": _shipped(_q_ship_priority),
+        "repetition_stats": _shipped(_q_repetition_stats),
         "ann_ivf": _shipped(_q_ann_ivf),
         "multimodal_features": _shipped(_q_multimodal),
         "locale_spatial": _shipped(_q_locale_spatial),
@@ -1534,6 +1579,33 @@ def oracle_sql() -> dict[str, str]:
                        unnest(embedding::DOUBLE[]) AS v
                 FROM embeddings) u
             GROUP BY label, pos
+        """,
+        "ship_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < '1997-03-15'
+              AND l_shipdate > '1997-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents),
+            per_tok AS (
+                SELECT doc_id, tok, count(*) AS c
+                FROM toks GROUP BY doc_id, tok)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(count(*) * 1.0 / sum(c), 6) AS distinct_ratio,
+                   round(max(c) * 1.0 / sum(c), 6) AS top_token_ratio
+            FROM per_tok GROUP BY doc_id
         """,
         "embedding_neardup": """
             WITH base AS (
