@@ -82,3 +82,32 @@ def test_transform_total(tags, side, iso):
     res2 = tags_to_lanes(tags, locale)
     assert res2["road"] == road
     assert len(res2["warnings"]) == len(res["warnings"])
+
+
+@given(tags=tag_maps(),
+       side=st.sampled_from(["left", "right"]),
+       iso=st.sampled_from([None, "US-WA", "GB", "NL"]))
+@settings(max_examples=300, deadline=None)
+def test_reverse_total_after_forward(tags, side, iso):
+    """Forward∘reverse on arbitrary tag shapes: whenever the forward
+    transform succeeds, the reverse transform either (a) round-trips
+    strictly (check_roundtrip=True passes: re-parsing its tags
+    reproduces the exact lane array), or (b) raises a typed
+    LanesToTagsError — never a stray exception. This fuzzes the
+    kernel pair far beyond the curated corpus."""
+    from osm2lanes_spark.core.lanes_to_tags import (LanesToTagsError,
+                                                    lanes_to_tags)
+
+    locale = Locale.build(iso, side)
+    try:
+        res = tags_to_lanes(tags, locale)
+    except RoadError:
+        return
+    road = {"highway": res["road"]["highway"],
+            "lifecycle": res["road"]["lifecycle"],
+            "lanes": res["road"]["lanes"]}
+    try:
+        out = lanes_to_tags(road, locale, check_roundtrip=True)
+    except LanesToTagsError:
+        return  # typed rejection (incl. roundtrip divergence) is valid
+    assert isinstance(out, dict) and out.get("highway")
