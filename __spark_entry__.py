@@ -4,8 +4,8 @@
 packaged golden fixture; ``queries()`` exposes one entry per implemented
 operator family from SURVEY.md §2 (+ the training-data operators);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every query —
-all 26 are hard-oracled (rows+schema+value-hash), including both lane
-kernels: the forward transform via the eq_exp-masked corpus replay
+ALL of them are hard-oracled (rows+schema+value-hash; the driver counts
+the registry, currently 33), including both lane kernels: the forward transform via the eq_exp-masked corpus replay
 (``lanes_golden``) and the reverse transform via an independent SQL
 re-derivation over the published lane arrays (``lanes_roundtrip``).
 

@@ -68,13 +68,14 @@ class SnapshotTable:
                lock_timeout: float = 60.0) -> dict:
         """Write a new snapshot; invisible until the manifest rename lands.
 
-        Concurrency (ADVICE r01 #4): the snapshot id is CLAIMED with an
-        O_EXCL marker (``snap-<id>.claim``) so two committers can never
-        write the same directory, and the manifest read-modify-write runs
-        under a short O_EXCL critical section with stale-lock expiry —
-        a filesystem stand-in for Iceberg's optimistic-retry catalog
-        commit. Data writes happen outside the lock; only the manifest
-        append is serialized.
+        Concurrency (ADVICE r01 #4, hardened r03): the snapshot id is
+        CLAIMED with an O_EXCL marker (``snap-<id>.claim``) so two
+        committers can never write the same directory, and the manifest
+        read-modify-write runs under a kernel flock (crash-safe: a dead
+        holder's lock releases with its fds, so there is no stale-lock
+        heuristic to race on) — a filesystem stand-in for Iceberg's
+        optimistic-retry catalog commit. Data writes happen outside the
+        lock; only the manifest append is serialized.
         """
         # claim a snapshot id nobody else holds
         snap_id = (self.snapshots()[-1]["id"] + 1) if self.snapshots() else 1
@@ -92,20 +93,30 @@ class SnapshotTable:
         entry = {"id": snap_id, "dir": f"snap-{snap_id}", "mode": mode,
                  "rows": rows, "committed_at": time.time()}
         # manifest append under the commit lock (re-read inside: another
-        # committer may have landed between claim and here)
+        # committer may have landed between claim and here).
+        # The lock is a kernel flock, not a sentinel file: acquisition is
+        # atomic, mutual exclusion is guaranteed per open-file-description
+        # (threads AND processes), and a CRASHED holder's lock releases
+        # automatically when the kernel reaps its fds — so no staleness
+        # heuristic exists to race on (ADVICE r02 #2; the round-3 review
+        # showed every expiry-by-unlink/rename protocol admits a window
+        # where two committers enter the critical section). Scope: local
+        # filesystems, which is exactly this parquet fallback's scope —
+        # the real multi-writer path is the Iceberg catalog commit.
+        import fcntl
+
         lock = os.path.join(self.path, "_commit.lock")
         deadline = time.time() + lock_timeout
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                self._try_expire_stale_lock(lock, lock_timeout, snap_id)
-                if time.time() > deadline:
-                    raise TimeoutError(f"commit lock busy: {lock}")
-                time.sleep(0.05)
+        lock_fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
         try:
+            while True:
+                try:
+                    fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.time() > deadline:
+                        raise TimeoutError(f"commit lock busy: {lock}")
+                    time.sleep(0.05)
             snaps = self.snapshots()
             new_manifest = sorted(snaps + [entry], key=lambda s: s["id"])
             tmp = self._manifest_path + f".tmp-{snap_id}"
@@ -113,42 +124,9 @@ class SnapshotTable:
                 json.dump(new_manifest, f)
             os.replace(tmp, self._manifest_path)  # atomic commit point
         finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:  # pragma: no cover - raced expiry
-                pass
+            os.close(lock_fd)  # releases the flock (also on any crash)
             os.unlink(claim)
         return entry
-
-    def _try_expire_stale_lock(self, lock: str, lock_timeout: float,
-                               nonce: int) -> None:
-        """Expire a crashed committer's lock without the double-unlink race
-        (ADVICE r02 #2): rename-to-unique-name is atomic, so only ONE
-        waiter wins the rename and proceeds to unlink — a fresh lock
-        recreated between another waiter's staleness check and its unlink
-        can no longer be removed by that waiter. The inode captured at the
-        staleness check is re-verified after the rename; a stolen live
-        lock (owner released and a new committer re-acquired inside the
-        stat→rename window) is renamed straight back.
-        """
-        try:
-            st = os.stat(lock)
-        except FileNotFoundError:
-            return  # released — retry acquisition
-        if time.time() - st.st_mtime <= lock_timeout:
-            return  # held and fresh — keep waiting
-        expired = f"{lock}.expired-{os.getpid()}-{nonce}"
-        try:
-            os.rename(lock, expired)
-        except FileNotFoundError:
-            return  # another waiter won the expiry race
-        got = os.stat(expired)
-        # inode alone is insufficient — filesystems reuse inodes on
-        # unlink+create, so identity = (inode, mtime_ns)
-        if (got.st_ino, got.st_mtime_ns) == (st.st_ino, st.st_mtime_ns):
-            os.unlink(expired)  # the same stale file we judged — expire it
-        else:  # pragma: no cover - nanosecond window
-            os.rename(expired, lock)  # stole a live lock — restore it
 
     # --- reads ------------------------------------------------------------
     def _dirs_for(self, snaps: list[dict]) -> list[str]:

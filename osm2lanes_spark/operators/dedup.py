@@ -84,14 +84,27 @@ def jaccard(a: Column, b: Column) -> Column:
 
 def _input_bytes(df: DataFrame):
     """Total bytes of the DataFrame's input files (None when not a simple
-    file scan). Filesystem metadata only — no Spark job."""
+    file scan). Metadata only — no Spark job. Goes through the Hadoop
+    FileSystem API so s3a://, hdfs://, gs:// etc. resolve too — a
+    local-only stat would silently disable the large-corpus verify gate
+    exactly where it matters (round-3 review)."""
     import os as _os
 
     try:
         files = df.inputFiles()
         if not files:
             return None
-        return sum(_os.path.getsize(p.removeprefix("file:")) for p in files)
+        total = 0
+        jvm = df.sparkSession._jvm
+        hconf = df.sparkSession._jsc.hadoopConfiguration()
+        for p in files:
+            local = p.removeprefix("file:")
+            if _os.path.exists(local):  # fast path, no JVM round-trip
+                total += _os.path.getsize(local)
+            else:
+                path = jvm.org.apache.hadoop.fs.Path(p)
+                total += path.getFileSystem(hconf).getFileStatus(path).getLen()
+        return total
     except Exception:
         return None
 
@@ -373,14 +386,17 @@ def connected_components(pairs: DataFrame, left: str = "left_id",
     id appearing in ``pairs``, where ``component`` is the minimum member
     id — the canonical dedup survivor key.
 
-    Shape (the 100 TB story): min-label propagation (hash-to-min). Each
-    round is ONE equi-join (edges ⋈ labels) plus ONE map-side-combined
-    min-aggregate; the round result is localCheckpoint'ed so lineage
-    stays flat across iterations. Rounds needed = graph diameter, and
-    near-dup clusters are shallow (pairs come from banded LSH, so a
-    cluster is near-clique); label sums are monotone decreasing, which
-    makes convergence detection a single aggregate instead of a
-    change-join. No driver-side graph, no collect.
+    Shape (the 100 TB story): min-label propagation (hash-to-min) with
+    pointer jumping. Each round is one equi-join (edges ⋈ labels) plus a
+    map-side-combined min-aggregate, followed by a label-of-label
+    shortcut join — the pointer doubling makes convergence logarithmic in
+    the longest path (a 2^50-diameter graph would be needed to exhaust
+    ``max_iter=50``), not linear as plain propagation would be on chain
+    graphs. Round results are localCheckpoint'ed so lineage stays flat;
+    label sums are monotone decreasing, making convergence detection a
+    single aggregate instead of a change-join. No driver-side graph, no
+    collect. A non-converged exit RAISES rather than returning silently
+    split components.
     """
     # materialize the pair source ONCE before mirroring: the union's two
     # branches otherwise each evaluate the full upstream pipeline (e.g.
@@ -400,14 +416,35 @@ def connected_components(pairs: DataFrame, left: str = "left_id",
     for _ in range(max_iter):
         nbr = (e.join(labels, e.b == labels.id)
                .select(F.col("a").alias("id"), "comp"))
-        labels = (labels.unionByName(nbr)
-                  .groupBy("id").agg(F.min("comp").alias("comp"))
+        # checkpoint BEFORE the pointer-jump self-join: hopping a plan
+        # that still contains the union/agg trips Spark's Union constraint
+        # rewrite on the duplicated attributes; a LogicalRDD leaf self-
+        # joins cleanly (and the blocks are wanted for the next round
+        # anyway)
+        prop = (labels.unionByName(nbr)
+                .groupBy("id").agg(F.min("comp").alias("comp"))
+                .localCheckpoint())
+        # pointer jumping: follow the label's own label (comp is always a
+        # node id, so the lookup is the same labels relation)
+        lookup = prop.select(F.col("id").alias("_cid"),
+                             F.col("comp").alias("_ccomp"))
+        labels = (prop.join(lookup, prop.comp == F.col("_cid"), "left")
+                  .select(prop.id,
+                          F.least(prop.comp,
+                                  F.coalesce(F.col("_ccomp"), prop.comp))
+                          .alias("comp"))
                   .localCheckpoint())
         new_total = labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
         if new_total == total:
             break
         total = new_total
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(with pointer jumping this needs a path of length "
+            f"> 2^{max_iter}) — raising instead of returning split "
+            "components")
     return labels.select("id", F.col("comp").alias("component"))
 
 
@@ -418,8 +455,12 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     themselves) and ``is_duplicate`` (member of a cluster, not its
     survivor). The standard keep-one-per-cluster filter is then
     ``~is_duplicate``."""
-    comp = connected_components(pairs, left, right)
-    joined = df.join(comp, df[id_col] == comp.id, "left").drop("id")
+    # rename the component table's key so an id_col literally named "id"
+    # can't collide (drop("id") would remove BOTH columns)
+    comp = (connected_components(pairs, left, right)
+            .withColumnRenamed("id", "__cc_id"))
+    joined = (df.join(comp, df[id_col] == comp.__cc_id, "left")
+              .drop("__cc_id"))
     component = F.coalesce(F.col("component"), F.col(id_col))
     return (joined
             .withColumn("component", component)

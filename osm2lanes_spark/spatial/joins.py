@@ -50,6 +50,22 @@ def _spread_bits(col):
     return out
 
 
+def _grid_xy(lon, lat, level: int):
+    """Clamped integer grid coordinates of (lon, lat) at ``level``."""
+    n = 1 << level
+    x = F.least(F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
+                           .cast("long"), F.lit(0)), F.lit(n - 1))
+    y = F.least(F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n)
+                           .cast("long"), F.lit(0)), F.lit(n - 1))
+    return x, y
+
+
+def _cell_from_xy(x, y, level: int):
+    """Morton-compose grid coordinates into the packed int64 cell id."""
+    morton = _spread_bits(x).bitwiseOR(F.shiftleft(_spread_bits(y), 1))
+    return F.shiftleft(morton, 6).bitwiseOR(F.lit(level)).cast("long")
+
+
 def cell_expr(lon, lat, level: int):
     """int64 cell id of (lon, lat) at ``level`` — whole-stage-codegen'd.
 
@@ -58,13 +74,8 @@ def cell_expr(lon, lat, level: int):
     inside Arrow UDFs (e.g. multi-vertex way geometries); both produce
     identical ids (asserted in tests).
     """
-    n = 1 << level
-    x = F.least(F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
-                           .cast("long"), F.lit(0)), F.lit(n - 1))
-    y = F.least(F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n)
-                           .cast("long"), F.lit(0)), F.lit(n - 1))
-    morton = _spread_bits(x).bitwiseOR(F.shiftleft(_spread_bits(y), 1))
-    return F.shiftleft(morton, 6).bitwiseOR(F.lit(level)).cast("long")
+    x, y = _grid_xy(lon, lat, level)
+    return _cell_from_xy(x, y, level)
 
 
 def with_cell(df: DataFrame, level: int = DEFAULT_LEVEL,
@@ -99,18 +110,14 @@ def explode_ring_cells(df: DataFrame, lon, lat, level: int, ring_k: int,
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
         for dx in range(-ring_k, ring_k + 1)
         for dy in range(-ring_k, ring_k + 1)])
-    x = F.least(F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
-                           .cast("long"), F.lit(0)), F.lit(n - 1))
-    y = F.least(F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n)
-                           .cast("long"), F.lit(0)), F.lit(n - 1))
+    x, y = _grid_xy(lon, lat, level)
     base = (df.withColumn("_x", x).withColumn("_y", y)
             .select("*", F.explode(offsets).alias("_o")))
     xx = F.least(F.greatest(F.col("_x") + F.col("_o.dx"), F.lit(0)),
                  F.lit(n - 1))
     yy = F.least(F.greatest(F.col("_y") + F.col("_o.dy"), F.lit(0)),
                  F.lit(n - 1))
-    ring = _spread_bits(xx).bitwiseOR(F.shiftleft(_spread_bits(yy), 1))
-    cell = F.shiftleft(ring, 6).bitwiseOR(F.lit(level)).cast("long")
+    cell = _cell_from_xy(xx, yy, level)
     return base.withColumn(out, cell).drop("_x", "_y", "_o")
 
 
@@ -164,23 +171,36 @@ def polygon_cells_pdf_h3(polygons: dict[str, np.ndarray],
     """H3-backend covering dim (the north rule's primary cell system —
     import-gated on the ``h3`` bindings, v4 API; VERDICT r02 #5a).
 
-    Conservative covering = center-inside fill ∪ boundary path cells ∪ a
-    1-ring dilation of both (``polygon_to_cells`` alone keeps only cells
-    whose CENTER is inside, which under-covers boundaries and can miss a
-    sliver polygon entirely). Every cell is a boundary cell
-    (``full=False``) so downstream exact PIP refines each candidate —
-    identical results to the morton/S2 backends."""
+    Conservative covering = center-inside fill ∪ densely-sampled boundary
+    cells ∪ a 1-ring dilation of both (``polygon_to_cells`` alone keeps
+    only cells whose CENTER is inside, which under-covers boundaries and
+    can miss a sliver polygon entirely). The boundary is sampled along
+    each edge at half-hex-edge spacing in degrees — NOT via
+    ``grid_path_cells``, whose grid-ij line can deviate from the true
+    lon/lat segment on long edges and raises across icosahedron faces
+    (round-3 review). Degree-based spacing is conservative everywhere: a
+    degree of longitude only shrinks in km toward the poles, so samples
+    get denser in ground distance, never sparser. Every cell is a
+    boundary cell (``full=False``) so downstream exact PIP refines each
+    candidate — identical results to the morton/S2 backends."""
+    import math
+
     import h3
 
+    edge_km = h3.average_hexagon_edge_length(res, unit="km")
+    step_deg = max(edge_km / 111.0 / 2.0, 1e-5)
     rows = []
     for key in sorted(polygons):
         ring = np.asarray(polygons[key], np.float64)
         latlng = [(float(la), float(lo)) for lo, la in ring]
         cells = set(h3.polygon_to_cells(h3.LatLngPoly(latlng), res))
-        vcells = [h3.latlng_to_cell(la, lo, res) for la, lo in latlng]
-        boundary = set(vcells)
-        for a, b in zip(vcells, vcells[1:] + vcells[:1]):
-            boundary |= set(h3.grid_path_cells(a, b))
+        boundary = set()
+        for (la0, lo0), (la1, lo1) in zip(latlng, latlng[1:] + latlng[:1]):
+            seg_len = math.hypot(lo1 - lo0, la1 - la0)
+            n = max(1, int(math.ceil(seg_len / step_deg)))
+            for t in np.linspace(0.0, 1.0, n + 1):
+                boundary.add(h3.latlng_to_cell(la0 + (la1 - la0) * t,
+                                               lo0 + (lo1 - lo0) * t, res))
         for c in list(cells | boundary):
             cells |= set(h3.grid_disk(c, 1))
         for c in cells:

@@ -239,6 +239,11 @@ def _face_uv_to_lonlat(face: int, u: float, v: float) -> tuple:
 def cell_lonlat_corners(cell_id: int) -> list:
     """The 4 (lon, lat) corners of a cell (gnomonic edges — for bbox /
     intersection tests use with a margin at coarse levels)."""
+    return _cell_points(cell_id, ((0, 0), (1, 0), (1, 1), (0, 1)))
+
+
+def _cell_points(cell_id: int, offsets) -> list:
+    """(lon, lat) of fractional (di, dj) offsets on the cell's boundary."""
     face, i, j, level = to_face_ij(cell_id)
     size = 1 << (MAX_LEVEL - level)
     # align to the cell's ij block: the min-ID leaf is not the min-ij
@@ -248,7 +253,7 @@ def cell_lonlat_corners(cell_id: int) -> list:
     j &= ~(size - 1)
     lim = float(1 << MAX_LEVEL)
     out = []
-    for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1)):
+    for di, dj in offsets:
         u = _st_to_uv((i + di * size) / lim)
         v = _st_to_uv((j + dj * size) / lim)
         out.append(_face_uv_to_lonlat(face, u, v))
@@ -259,18 +264,8 @@ def _cell_boundary_samples(cell_id: int) -> list:
     """Corners + edge midpoints of a cell in (lon, lat) — the lon extremum
     of a gnomonic edge can fall mid-edge at high latitudes, so a
     corner-only bbox under-covers there (ADVICE r02 #4)."""
-    face, i, j, level = to_face_ij(cell_id)
-    size = 1 << (MAX_LEVEL - level)
-    i &= ~(size - 1)
-    j &= ~(size - 1)
-    lim = float(1 << MAX_LEVEL)
-    out = []
-    for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1),
-                   (0.5, 0), (1, 0.5), (0.5, 1), (0, 0.5)):
-        u = _st_to_uv((i + di * size) / lim)
-        v = _st_to_uv((j + dj * size) / lim)
-        out.append(_face_uv_to_lonlat(face, u, v))
-    return out
+    return _cell_points(cell_id, ((0, 0), (1, 0), (1, 1), (0, 1),
+                                  (0.5, 0), (1, 0.5), (0.5, 1), (0, 0.5)))
 
 
 def children(cell_id: int) -> list:

@@ -94,40 +94,31 @@ def test_write_table_adapter_fallback(spark, tmp_path):
     assert read_table_diff(spark, target, e1["id"]).count() == 4
 
 
-def test_stale_lock_expiry_single_winner(spark, tmp_path):
-    """A crashed committer's stale lock is expired exactly once: with two
-    waiters racing the expiry path, only the rename winner unlinks, so a
-    fresh lock recreated in the gap can never be removed by the loser
-    (ADVICE r02 #2)."""
+def test_commit_lock_crash_safe(spark, tmp_path):
+    """The manifest commit lock is a kernel flock: a crashed committer
+    (fds closed without an explicit unlock) releases it automatically, so
+    there is no stale-lock heuristic — and no expiry race — at all
+    (ADVICE r02 #2, hardened after the round-3 review showed every
+    unlink/rename expiry protocol admits a double-entry window)."""
+    import fcntl
     import os
-    import time as _t
 
     table = SnapshotTable(str(tmp_path / "t"))
     lock = os.path.join(table.path, "_commit.lock")
-    # a crashed committer's lock, 1h stale
-    with open(lock, "w"):
-        pass
-    os.utime(lock, (_t.time() - 3600, _t.time() - 3600))
-    # (inode may be reused by the fresh lock below — identity is (ino, mtime_ns))
-
-    # waiter 1 judged it stale; before it acts, the owner "releases" and a
-    # NEW committer re-acquires (fresh lock, different inode)
-    table._try_expire_stale_lock(lock, lock_timeout=60.0, nonce=1)
-    assert not os.path.exists(lock)
-    with open(lock, "w"):
-        pass
-    fresh_mtime = os.stat(lock).st_mtime_ns
-    # waiter 2 re-runs the expiry check against the FRESH lock: must not
-    # touch it (even if the filesystem reused the stale file's inode)
-    table._try_expire_stale_lock(lock, lock_timeout=60.0, nonce=2)
-    assert os.path.exists(lock) and os.stat(lock).st_mtime_ns == fresh_mtime
-
-    # and a commit still succeeds after a stale lock blocks the path
-    os.unlink(lock)
-    with open(lock, "w"):
-        pass
-    os.utime(lock, (_t.time() - 3600, _t.time() - 3600))
+    # a "crashed" committer: acquired, then fd closed without unlocking
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    os.close(fd)  # kernel releases the lock here
+    # a live holder DOES block a second acquisition
+    fd2 = os.open(lock, os.O_CREAT | os.O_WRONLY)
+    fcntl.flock(fd2, fcntl.LOCK_EX)
+    fd3 = os.open(lock, os.O_CREAT | os.O_WRONLY)
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        fcntl.flock(fd3, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    os.close(fd3)
+    os.close(fd2)
+    # and a commit succeeds after the "crash"
     df = spark.range(3).withColumnRenamed("id", "v")
     entry = table.commit(df, lock_timeout=5.0)
     assert entry["rows"] == 3
-    assert not os.path.exists(lock)

@@ -317,15 +317,10 @@ def test_minhash_candidate_first_equals_rescan(spark, sf_dir):
     assert auto_large == rescan
 
 
-def test_minhash_auto_gate_unit():
+def test_minhash_auto_gate_unit(spark, sf_dir):
     """_input_bytes returns real sizes for file scans and None for local
     relations (which must fall back to rescan)."""
     import os
-
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     nbytes = D._input_bytes(docs)
     assert nbytes == os.path.getsize(f"{sf_dir}/documents.parquet")
@@ -489,3 +484,20 @@ def test_label_centroids_matches_numpy(spark, sf_dir):
             mean, n = got[(label, pos)]
             assert n == len(grp)
             assert abs(mean - means[pos]) < 1e-9
+
+
+def test_connected_components_long_chain_and_id_collision(spark):
+    """A 60-node chain (diameter ≫ linear-round budget) converges via
+    pointer jumping, and dedup_clusters works when id_col is literally
+    named 'id' (round-3 review findings #1/#4)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "left_id long, right_id long")
+    comp = {r["id"]: r["component"]
+            for r in D.connected_components(chain, max_iter=10).collect()}
+    assert comp == {i: 0 for i in range(61)}
+    docs = spark.createDataFrame([(i, f"t{i}") for i in (0, 30, 60, 99)],
+                                 "id long, text string")
+    out = {r["id"]: (r["component"], r["is_duplicate"])
+           for r in D.dedup_clusters(docs, chain, id_col="id").collect()}
+    assert out == {0: (0, False), 30: (0, True), 60: (0, True),
+                   99: (99, False)}
