@@ -82,6 +82,25 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True iff the optimized plan is just a file relation (possibly under
+    Projects) — no Filter/Join/Aggregate/Generate. Only then do the input
+    files' byte size and the footer-backed ``count()`` honestly describe
+    the DataFrame (a filtered/derived input can report the unfiltered
+    files while a count would run its whole upstream pipeline —
+    ADVICE r03)."""
+    try:
+        node = df._jdf.queryExecution().optimizedPlan()
+        while node.getClass().getSimpleName() == "Project":
+            if node.children().size() != 1:
+                return False
+            node = node.children().apply(0)
+        return (node.children().size() == 0
+                and "Relation" in node.getClass().getSimpleName())
+    except Exception:
+        return False
+
+
 def _input_bytes(df: DataFrame):
     """Total bytes of the DataFrame's input files (None when not a simple
     file scan). Metadata only — no Spark job. Goes through the Hadoop
@@ -136,10 +155,14 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
       BEFORE shingling — the verify pass shingles only candidate docs.
       The right shape when the corpus scan/shingle dominates (the 100 TB
       regime) and candidates ≪ corpus.
-    - ``'auto'`` (default): ``'candidate_first'`` when the input is a file
-      scan of at least ``min_rescan_bytes`` (default 4 GiB) AND the
-      candidate ids number under a quarter of the corpus rows (parquet
-      footer count — no data read); ``'rescan'`` otherwise.
+    - ``'auto'`` (default): ``'candidate_first'`` when the input is a
+      BARE file scan (no filters/joins upstream — otherwise the file
+      size would over-estimate the corpus and the row count would run
+      the upstream pipeline as an extra job) of at least
+      ``min_rescan_bytes`` (default 4 GiB) AND the candidate ids number
+      under a quarter of the corpus rows; ``'rescan'`` otherwise.
+      Derived inputs always rescan — pass ``verify='candidate_first'``
+      explicitly when you know candidates ≪ corpus.
     """
     if verify not in ("auto", "rescan", "candidate_first"):
         raise ValueError(f"unknown verify mode: {verify!r}")
@@ -169,7 +192,7 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
     checkpointed = False
     if verify == "auto":
-        nbytes = _input_bytes(df)
+        nbytes = _input_bytes(df) if _is_bare_scan(df) else None
         verify = "rescan"
         if nbytes is not None and nbytes >= min_rescan_bytes:
             # large corpus: worth one candidate materialization + a
@@ -276,24 +299,35 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 7,
-                  bands: int = 8, hash_fn: str = "xxhash64") -> DataFrame:
+                  bands: int = 8, hash_fn: str = "xxhash64",
+                  allow_partial: bool = False) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via banding.
 
     By pigeonhole, a pair differing in at most ``bands - 1`` bits must
     share at least one band — so with the defaults (8 bands of 8 bits,
     max_hamming 7) the banded output EXACTLY equals a brute-force hamming
-    join; precision is always exact via the popcount verify. Radii above
-    ``bands - 1`` lose the guarantee (recall measured in tests).
+    join; precision is always exact via the popcount verify. When the
+    requested radius exceeds the guarantee of the requested band count,
+    the band count is AUTO-WIDENED to the smallest divisor of 64 whose
+    guarantee (bands - 1) covers ``max_hamming`` — the result stays
+    provably exact; more bands only means more banded candidate rows
+    (still never all-pairs). Radii ≥ 64 have no banding guarantee at all
+    (hamming over 64 bits never exceeds 64) and raise. Pass
+    ``allow_partial=True`` to keep the requested band count instead and
+    accept partial recall above ``bands - 1`` (recall measured in tests).
     """
     assert 64 % bands == 0, "bands must divide 64"
+    if max_hamming > bands - 1 and not allow_partial:
+        widened = next((b for b in (1, 2, 4, 8, 16, 32, 64)
+                        if b > bands and b - 1 >= max_hamming), None)
+        if widened is None:
+            raise ValueError(
+                f"max_hamming={max_hamming} cannot be guaranteed by any "
+                "64-bit banding (max radius 63 with 64 bands); pass "
+                "allow_partial=True for best-effort recall")
+        bands = widened
     width = 64 // bands
     mask = (1 << width) - 1
-    if max_hamming > bands - 1:
-        import warnings
-
-        warnings.warn(
-            f"max_hamming={max_hamming} exceeds the banding guarantee "
-            f"(<= {bands - 1} with {bands} bands): recall is partial")
     sig = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn)
     banded = sig.select(
         "id", "sim",
@@ -392,11 +426,14 @@ def connected_components(pairs: DataFrame, left: str = "left_id",
     shortcut join — the pointer doubling makes convergence logarithmic in
     the longest path (a 2^50-diameter graph would be needed to exhaust
     ``max_iter=50``), not linear as plain propagation would be on chain
-    graphs. Round results are localCheckpoint'ed so lineage stays flat;
-    label sums are monotone decreasing, making convergence detection a
-    single aggregate instead of a change-join. No driver-side graph, no
-    collect. A non-converged exit RAISES rather than returning silently
-    split components.
+    graphs. Round results are localCheckpoint'ed so lineage stays flat.
+    Convergence is detected by an exact change-join between consecutive
+    rounds' checkpointed label leaves (rounds stop when no label moved) —
+    id-type-agnostic, so string doc ids work; a numeric witness (e.g.
+    sum of label ids) would require casting ids, which crashes under ANSI
+    mode and silently nulls out otherwise (ADVICE r03). No driver-side
+    graph, no collect. A non-converged exit RAISES rather than returning
+    silently split components.
     """
     # materialize the pair source ONCE before mirroring: the union's two
     # branches otherwise each evaluate the full upstream pipeline (e.g.
@@ -409,10 +446,6 @@ def connected_components(pairs: DataFrame, left: str = "left_id",
     labels = (e.select(F.col("a").alias("id")).distinct()
               .select("id", F.col("id").alias("comp"))
               .localCheckpoint())
-    # labels only ever decrease, so sum(comp) is a strictly decreasing
-    # fixpoint witness (decimal: immune to overflow at any node count)
-    total = labels.agg(
-        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
     for _ in range(max_iter):
         nbr = (e.join(labels, e.b == labels.id)
                .select(F.col("a").alias("id"), "comp"))
@@ -428,17 +461,24 @@ def connected_components(pairs: DataFrame, left: str = "left_id",
         # node id, so the lookup is the same labels relation)
         lookup = prop.select(F.col("id").alias("_cid"),
                              F.col("comp").alias("_ccomp"))
+        prev = labels
         labels = (prop.join(lookup, prop.comp == F.col("_cid"), "left")
                   .select(prop.id,
                           F.least(prop.comp,
                                   F.coalesce(F.col("_ccomp"), prop.comp))
                           .alias("comp"))
                   .localCheckpoint())
-        new_total = labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
-        if new_total == total:
+        # exact fixpoint test over the two checkpointed leaves: labels
+        # only ever decrease, so "no label changed" == converged; the
+        # equality join works for string ids where any numeric witness
+        # would need a cast (CAST_INVALID_INPUT under ANSI, silent NULL
+        # == NULL false-convergence otherwise — ADVICE r03 high)
+        changed = (labels.join(prev.select(F.col("id").alias("__pid"),
+                                           F.col("comp").alias("__pcomp")),
+                               labels.id == F.col("__pid"))
+                   .where(F.col("comp") != F.col("__pcomp")))
+        if changed.isEmpty():
             break
-        total = new_total
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
@@ -449,12 +489,38 @@ def connected_components(pairs: DataFrame, left: str = "left_id",
 
 
 def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                   left: str = "left_id", right: str = "right_id") -> DataFrame:
+                   left: str = "left_id", right: str = "right_id",
+                   keep: "str | Column" = "min_id") -> DataFrame:
     """Full-corpus cluster assignment: every row of ``df`` gets a
     ``component`` (its near-dup cluster's min id; singletons map to
     themselves) and ``is_duplicate`` (member of a cluster, not its
     survivor). The standard keep-one-per-cluster filter is then
-    ``~is_duplicate``."""
+    ``~is_duplicate``.
+
+    ``keep`` picks the per-cluster survivor (VERDICT r03 #4):
+
+    - ``"min_id"`` (default): the minimum member id — the component key
+      itself; output schema is df.* + (component, is_duplicate).
+    - ``"longest"``: the member with the longest ``text`` column (ties
+      broken by min id) — the usual "keep the best doc" policy.
+    - any :class:`Column`: a score expression over df's columns; the
+      member with the HIGHEST score survives (ties broken by min id).
+
+    Non-default policies add a ``survivor_id`` column (the kept member's
+    id) and define ``is_duplicate`` against it; one extra window over the
+    same (component)-keyed shuffle, no new join.
+    """
+    # the outputs (and the internal join key) must not collide with input
+    # columns — an input already carrying "component" would make the
+    # post-join F.col("component") ambiguous and resolve unpredictably
+    reserved = {"component", "is_duplicate"}
+    if not (isinstance(keep, str) and keep == "min_id"):
+        reserved.add("survivor_id")
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"dedup_clusters output column(s) {sorted(clash)} already exist "
+            "in the input — rename them before calling")
     # rename the component table's key so an id_col literally named "id"
     # can't collide (drop("id") would remove BOTH columns)
     comp = (connected_components(pairs, left, right)
@@ -462,6 +528,20 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     joined = (df.join(comp, df[id_col] == comp.__cc_id, "left")
               .drop("__cc_id"))
     component = F.coalesce(F.col("component"), F.col(id_col))
-    return (joined
-            .withColumn("component", component)
-            .withColumn("is_duplicate", F.col(id_col) != F.col("component")))
+    out = joined.withColumn("component", component)
+    if isinstance(keep, str) and keep == "min_id":
+        return out.withColumn("is_duplicate",
+                              F.col(id_col) != F.col("component"))
+    if isinstance(keep, str):
+        if keep != "longest":
+            raise ValueError(f"unknown keep policy: {keep!r} "
+                             "(expected 'min_id', 'longest', or a Column)")
+        score = F.length(F.col("text"))
+    else:
+        score = keep
+    w = (Window.partitionBy("component")
+         .orderBy(score.desc(), F.col(id_col).asc()))
+    return (out
+            .withColumn("survivor_id", F.first(id_col).over(w))
+            .withColumn("is_duplicate",
+                        F.col(id_col) != F.col("survivor_id")))

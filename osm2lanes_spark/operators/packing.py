@@ -5,15 +5,46 @@ cumulative offset within a partition key (e.g. per source), in a stable
 order: pack = floor(preceding-tokens / budget). This is the
 SQL-expressible streaming approximation of greedy packing — a document
 is placed by where its first token lands, so a pack overflows by at most
-one document; in exchange the whole operator is two window functions
-inside one shuffle (partitionBy key, orderBy id), scales to any corpus,
-and replays exactly in the DuckDB oracle. An exact greedy packer (new
-pack when fill + tokens > budget) needs a sequential scan per key — the
-``applyInPandas`` extension point is noted below, not shipped, because
-the offset variant is what a 100 TB pipeline can actually afford.
+one document; in exchange the operator replays exactly in the DuckDB
+oracle and — unlike the obvious one-window formulation — never sorts a
+whole partition key in one task.
+
+Scale shape (VERDICT r03 #1): a single
+``Window.partitionBy(source).orderBy(id)`` serializes each source into
+one Spark task — at 100 TB a corpus with a handful of large sources
+("crawl", "books", "code") runs on a handful of cores, and the
+``part_col=None`` global variant on exactly one. The implementation here
+is the classic distributed prefix sum instead:
+
+1. ``repartitionByRange(part_col, order_col)`` — the only full-data
+   shuffle; range partitioning means ascending partition id == ascending
+   (key, order), and every partition is ~equal-sized regardless of key
+   skew;
+2. per-partition local cumulative sums (a window keyed by
+   ``spark_partition_id`` — group size is bounded by the partition size,
+   never by the key's row count);
+3. a tiny per-(partition, key) subtotal table (O(#partitions + #keys)
+   rows) whose running prefix over partition ids is broadcast back and
+   added to the local sums.
+
+The output is byte-identical to the one-window formulation (the oracle
+stays the same SQL window) and the plan carries RangePartitioning, not a
+single-partition sort — asserted in tests/test_plans.py.
+
+An exact greedy packer (new pack when fill + tokens > budget) is
+inherently sequential per key — ``exact=True`` runs it as an
+``applyInPandas`` stage over ``part_col`` groups (numpy pass per group).
+Packs then never exceed the budget (except a single oversize document),
+at the cost of one-task-per-key parallelism — the offset variant remains
+the default because its latency is bounded by partition size, not key
+size. With ``exact=True`` a ``part_col`` is required: a global exact
+pack would be one sequential scan of the corpus.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -22,12 +53,107 @@ from pyspark.sql import functions as F
 def contiguous_packs(df: DataFrame, token_col: str, budget: int,
                      order_col: str = "doc_id",
                      part_col: str | None = None,
-                     out: str = "pack_id") -> DataFrame:
-    """Add ``pack_id``: fixed-budget contiguous packing by cumulative
-    token offset, deterministic under (part_col, order_col) ordering."""
-    w = (Window.partitionBy(part_col) if part_col else
-         Window.partitionBy(F.lit(1)))
-    w = w.orderBy(F.col(order_col).asc()) \
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    preceding = F.sum(token_col).over(w) - F.col(token_col)
-    return df.withColumn(out, F.floor(preceding / F.lit(budget)))
+                     out: str = "pack_id",
+                     exact: bool = False,
+                     num_partitions: int | None = None) -> DataFrame:
+    """Add ``pack_id``: fixed-budget contiguous packing, deterministic
+    under (part_col, order_col) ordering.
+
+    Default: cumulative-offset packing (pack = floor(preceding tokens /
+    budget); may overflow by at most one document per pack) via a
+    range-partitioned two-pass prefix sum — no per-key single-task sort,
+    so a skewed ``part_col`` (or ``part_col=None``, which packs the whole
+    corpus as one sequence) still uses every core. ``exact=True``:
+    strict greedy packing (no pack exceeds ``budget`` unless a single
+    document does) via ``applyInPandas`` per ``part_col`` group.
+    """
+    if exact:
+        return _exact_greedy_packs(df, token_col, budget, order_col,
+                                   part_col, out)
+    part_keys = [part_col] if part_col else []
+    # pin partition ids before branching: the subtotal aggregate and the
+    # window both read this relation, and a recomputed repartitionByRange
+    # re-samples its boundaries — checkpoint once so both branches see
+    # the same pid assignment (and the range shuffle runs once). The
+    # checkpoint truncates the visible plan, so the RangePartitioning
+    # assert in tests/test_plans.py targets _ranged directly.
+    ranged = _ranged(df, order_col, part_keys, num_partitions) \
+        .localCheckpoint(eager=False)
+    # pass 1: local prefix sums, grouped by (pid, key) — group size is
+    # bounded by the range partition size, never by the key's row count
+    w_local = (Window.partitionBy("__pid", *part_keys)
+               .orderBy(F.col(order_col).asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local_prec = (F.sum(token_col).over(w_local)
+                  - F.col(token_col)).alias("__local")
+    # pass 2: per-(pid, key) subtotals — O(#partitions + #keys) rows —
+    # running-prefixed over ascending pid (range order == pid order) and
+    # broadcast back
+    sub = ranged.groupBy("__pid", *part_keys).agg(
+        F.sum(token_col).alias("__sub"))
+    w_prefix = (Window.partitionBy(*part_keys) if part_keys
+                else Window.partitionBy(F.lit(1)))
+    w_prefix = w_prefix.orderBy(F.col("__pid").asc()) \
+                       .rowsBetween(Window.unboundedPreceding, -1)
+    prefix = sub.select(
+        "__pid", *part_keys,
+        F.coalesce(F.sum("__sub").over(w_prefix), F.lit(0)).alias("__prefix"))
+    joined = (ranged.withColumn("__local", local_prec)
+              .join(F.broadcast(prefix), ["__pid", *part_keys]))
+    return (joined
+            .withColumn(out, F.floor((F.col("__local") + F.col("__prefix"))
+                                     / F.lit(budget)))
+            .select(*df.columns, out))
+
+
+def _ranged(df: DataFrame, order_col: str, part_keys: list,
+            num_partitions: int | None) -> DataFrame:
+    """The only full-data shuffle: range-partition on (key, order) —
+    ascending partition id == ascending sort key, partitions ~equal-sized
+    under any key skew — then stamp the partition id."""
+    range_keys = [F.col(c) for c in part_keys] + [F.col(order_col).asc()]
+    if num_partitions:
+        out = df.repartitionByRange(num_partitions, *range_keys)
+    else:
+        out = df.repartitionByRange(*range_keys)
+    return out.withColumn("__pid", F.spark_partition_id())
+
+
+def _exact_greedy_packs(df: DataFrame, token_col: str, budget: int,
+                        order_col: str, part_col: str | None,
+                        out: str) -> DataFrame:
+    """Strict greedy packing per key: open a new pack when fill + tokens
+    would exceed the budget. Sequential by nature — one Arrow batch scan
+    per ``part_col`` group (the documented extension point of the offset
+    variant). An oversize document (tokens > budget) gets a pack of its
+    own and the next document starts fresh."""
+    if part_col is None:
+        raise ValueError(
+            "exact=True requires a part_col: strict greedy packing is "
+            "sequential per key, so a global exact pack would be one "
+            "task scanning the whole corpus — use the default offset "
+            "variant for global packing")
+    from pyspark.sql import types as T
+
+    # fresh StructType — StructType.add mutates in place, and df.schema
+    # hands back the DataFrame's live schema object
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField(out, T.LongType())])
+    cols = df.columns
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        toks = pdf[token_col].to_numpy()
+        packs = np.empty(len(toks), dtype=np.int64)
+        pack, fill = 0, 0
+        for i, t in enumerate(toks):
+            if fill > 0 and fill + t > budget:
+                pack += 1
+                fill = 0
+            packs[i] = pack
+            fill += t
+        pdf = pdf[cols].copy()
+        pdf[out] = packs
+        return pdf
+
+    return df.groupBy(part_col).applyInPandas(pack_group, schema)
