@@ -215,6 +215,35 @@ def _q_knn_self_excluded(spark, sf_dir):
     return _q_knn(spark, sf_dir)
 
 
+def _q_knn3(spark, sf_dir):
+    """kNN at k>1 under the hard oracle (VERDICT r03 #7): 3 nearest
+    sites per query, rank included, deterministic (dist, site_id)
+    tie-break — exercises the expanding ring's k-th-distance stopping
+    guarantee and boundary tie handling, which the k=1 query can't."""
+    from osm2lanes_spark.spatial.joins import knn_join
+
+    docs = _read(spark, sf_dir, "documents")
+    pts = docs.select("doc_id",
+                      F.expr(_LON).alias("lon"), F.expr(_LAT).alias("lat"))
+    queries = (pts.where(F.col("doc_id") < 30)
+               .select(F.col("doc_id").alias("query_id"), "lon", "lat"))
+    sites = pts.select(
+        F.col("doc_id").alias("site_id"),
+        F.array(F.struct(F.col("lon"), F.col("lat"))).alias("geometry"))
+    # k=5: self (dist 0) + 3 wanted + 1 slack so a tie at the cutoff
+    # can't exclude the oracle's pick; ranked after the self-drop
+    out = knn_join(queries, sites, k=5, level=4, max_ring=8,
+                   query_id="query_id", way_id="site_id")
+    out = out.where(F.col("query_id") != F.col("site_id"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+                                               F.col("site_id").asc())
+    out = (out.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= 3))
+    return out.select("query_id", F.col("site_id").alias("neighbor_id"),
+                      "rank")
+
+
 def _q_zonal(spark, sf_dir):
     """Raster→vector zonal join (north rule): events rasterized per cell,
     max-aggregated onto document points."""
@@ -773,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_binning": _shipped(_q_grid_binning),
         "s2_binning": _shipped(_q_s2_binning),
         "knn": _shipped(_q_knn),
+        "knn3": _shipped(_q_knn3),
         "zonal": _shipped(_q_zonal),
         "dedup_exact": _shipped(_q_dedup_exact),
         "token_stats": _shipped(_q_token_stats),
@@ -1443,6 +1473,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM pts q JOIN pts s ON s.doc_id <> q.doc_id
                 WHERE q.doc_id < 30) t
             WHERE rn = 1
+        """,
+        "knn3": f"""
+            WITH pts AS (
+                SELECT doc_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM documents)
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.doc_id AS query_id, s.doc_id AS neighbor_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY q.doc_id
+                           ORDER BY (q.lon - s.lon) * (q.lon - s.lon)
+                                  + (q.lat - s.lat) * (q.lat - s.lat) ASC,
+                                    s.doc_id ASC) AS INTEGER) AS rank
+                FROM pts q JOIN pts s ON s.doc_id <> q.doc_id
+                WHERE q.doc_id < 30) t
+            WHERE rank <= 3
         """,
         "zonal": f"""
             WITH raster AS (

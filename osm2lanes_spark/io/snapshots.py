@@ -128,14 +128,83 @@ class SnapshotTable:
             os.unlink(claim)
         return entry
 
+    # --- expiry -----------------------------------------------------------
+    def expire_snapshots(self, keep_last: int,
+                         lock_timeout: float = 60.0) -> dict:
+        """Iceberg-shaped snapshot expiry (VERDICT r03 #8): retain the
+        last ``keep_last`` live snapshots as time-travel points, expire
+        the rest, and DELETE the data directories no retained snapshot's
+        table state can reach (an append dir inside the live chain stays
+        on disk even when its snapshot id is expired — its rows are part
+        of every newer state). ``read_at`` keeps working for every
+        retained id and raises for expired ones; ``read_diff`` raises
+        when the requested range crosses a deleted directory (Iceberg's
+        incremental scan does the same across expired snapshots).
+
+        Runs under the same kernel-flock commit lock as :meth:`commit`,
+        so a concurrent committer and an expirer serialize; directories
+        are removed only AFTER the manifest rename lands (a reader that
+        loaded the pre-expiry manifest can still race the rmtree — the
+        same read-vs-expire window Iceberg has).
+        """
+        import fcntl
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        lock = os.path.join(self.path, "_commit.lock")
+        deadline = time.time() + lock_timeout
+        lock_fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
+        try:
+            while True:
+                try:
+                    fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.time() > deadline:
+                        raise TimeoutError(f"commit lock busy: {lock}")
+                    time.sleep(0.05)
+            snaps = self.snapshots()
+            live = [s for s in snaps if not s.get("expired")]
+            keep_ids = {s["id"] for s in live[-keep_last:]}
+            # data dirs reachable from any RETAINED snapshot's state
+            needed: set[str] = set()
+            for i, s in enumerate(snaps):
+                if s["id"] in keep_ids:
+                    needed.update(self._dirs_for(snaps[:i + 1]))
+            expired, doomed = [], []
+            for s in snaps:
+                if s.get("expired") or s["id"] in keep_ids:
+                    continue
+                s["expired"] = True
+                expired.append(s["id"])
+                if s["dir"] is not None:
+                    d = os.path.join(self.path, s["dir"])
+                    if d not in needed:
+                        doomed.append(d)
+                        s["dir"] = None
+            tmp = self._manifest_path + ".tmp-expire"
+            with open(tmp, "w") as f:
+                json.dump(snaps, f)
+            os.replace(tmp, self._manifest_path)  # atomic commit point
+        finally:
+            os.close(lock_fd)  # releases the flock (also on any crash)
+        for d in doomed:
+            shutil.rmtree(d, ignore_errors=True)
+        return {"expired": expired,
+                "deleted_dirs": [os.path.basename(d) for d in doomed]}
+
     # --- reads ------------------------------------------------------------
     def _dirs_for(self, snaps: list[dict]) -> list[str]:
-        # an overwrite snapshot supersedes everything before it
+        # an overwrite snapshot supersedes everything before it; expired
+        # entries whose directory was deleted (dir None) are unreachable
+        # from any retained state by construction — skip them
         start = 0
         for i, s in enumerate(snaps):
-            if s["mode"] == "overwrite":
+            if s["mode"] == "overwrite" and s["dir"] is not None:
                 start = i
-        return [os.path.join(self.path, s["dir"]) for s in snaps[start:]]
+        return [os.path.join(self.path, s["dir"]) for s in snaps[start:]
+                if s["dir"] is not None]
 
     def read(self, spark: SparkSession) -> DataFrame:
         snaps = self.snapshots()
@@ -144,19 +213,30 @@ class SnapshotTable:
         return spark.read.parquet(*self._dirs_for(snaps))
 
     def read_diff(self, spark: SparkSession, since_snapshot_id: int) -> DataFrame:
-        """Incremental scan: rows appended after ``since_snapshot_id``."""
+        """Incremental scan: rows appended after ``since_snapshot_id``.
+        Raises when the range crosses a snapshot whose data directory was
+        expired away (the diff would silently under-report otherwise)."""
         newer = [s for s in self.snapshots() if s["id"] > since_snapshot_id]
         if not newer:
             return spark.read.parquet(*self._dirs_for(self.snapshots())).limit(0)
+        gone = [s["id"] for s in newer if s["dir"] is None]
+        if gone:
+            raise FileNotFoundError(
+                f"incremental scan since {since_snapshot_id} crosses "
+                f"expired snapshot(s) {gone} in {self.path}")
         return spark.read.parquet(
             *[os.path.join(self.path, s["dir"]) for s in newer])
 
     def read_at(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
-        """Time travel: the table state as of ``snapshot_id``."""
+        """Time travel: the table state as of ``snapshot_id``. Expired
+        snapshot ids are no longer valid time-travel points."""
         upto = [s for s in self.snapshots() if s["id"] <= snapshot_id]
         if not upto:
             raise FileNotFoundError(
                 f"snapshot {snapshot_id} predates {self.path}")
+        if upto[-1].get("expired"):
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} of {self.path} is expired")
         return spark.read.parquet(*self._dirs_for(upto))
 
 

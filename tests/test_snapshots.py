@@ -78,6 +78,87 @@ def test_concurrent_commits_none_lost(spark, tmp_path):
     assert table.read(spark).count() == 20  # all four appends visible
 
 
+def test_expire_snapshots(spark, tmp_path):
+    """expire_snapshots(keep_last=N) (VERDICT r03 #8): retained ids keep
+    read_at; expired ids raise; append dirs inside the live chain stay on
+    disk (their rows are part of every newer state) while dirs behind an
+    overwrite boundary are deleted; read_diff refuses to cross a deleted
+    directory."""
+    import os
+
+    import pytest
+
+    t = SnapshotTable(str(tmp_path / "exp"))
+    t.commit(spark.range(10).toDF("id"))                       # 1 append
+    t.commit(spark.range(10, 20).toDF("id"))                   # 2 append
+    t.commit(spark.range(5).toDF("id"), mode="overwrite")      # 3 overwrite
+    t.commit(spark.range(100, 103).toDF("id"))                 # 4 append
+    t.commit(spark.range(103, 104).toDF("id"))                 # 5 append
+    res = t.expire_snapshots(keep_last=2)
+    assert res["expired"] == [1, 2, 3]
+    # snaps 1+2 sit behind the overwrite → unreachable → dirs deleted;
+    # snap 3 (the overwrite) is the base of every retained state → kept
+    assert sorted(res["deleted_dirs"]) == ["snap-1", "snap-2"]
+    assert not os.path.exists(str(tmp_path / "exp" / "snap-1"))
+    assert os.path.exists(str(tmp_path / "exp" / "snap-3"))
+    # current state intact, retained time travel intact
+    assert t.read(spark).count() == 9
+    assert t.read_at(spark, 4).count() == 8
+    assert t.read_at(spark, 5).count() == 9
+    for gone in (1, 2, 3):
+        with pytest.raises(FileNotFoundError):
+            t.read_at(spark, gone)
+    # diff within the retained range works; crossing a deleted dir raises
+    assert t.read_diff(spark, 4).count() == 1
+    with pytest.raises(FileNotFoundError):
+        t.read_diff(spark, 1)
+    # idempotent + commits keep working with monotone ids
+    assert t.expire_snapshots(keep_last=2)["expired"] == []
+    e = t.commit(spark.range(200, 202).toDF("id"))
+    assert e["id"] == 6
+    assert t.read(spark).count() == 11
+
+
+def test_expire_concurrent_with_commits(spark, tmp_path):
+    """Expiry serializes with committers under the same flock: racing
+    appends and an expire never lose a landed commit or corrupt the
+    manifest."""
+    import threading
+
+    t = SnapshotTable(str(tmp_path / "expr"))
+    for i in range(4):
+        t.commit(spark.range(i * 10, i * 10 + 10).toDF("id"))
+    df = spark.range(1000, 1005).toDF("id")
+    errs = []
+
+    def committer():
+        try:
+            for _ in range(2):
+                t.commit(df)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def expirer():
+        try:
+            for _ in range(3):
+                t.expire_snapshots(keep_last=2)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=f)
+               for f in (committer, committer, expirer)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    snaps = t.snapshots()
+    assert [s["id"] for s in snaps] == list(range(1, 9))
+    # every append's rows are still in the current state (append dirs are
+    # never deleted — no overwrite boundary exists)
+    assert t.read(spark).count() == 4 * 10 + 4 * 5
+
+
 def test_write_table_adapter_fallback(spark, tmp_path):
     """write_table/read_table/read_table_diff route to the parquet
     stand-in when no Iceberg jar is present (the call-site adapter a jar
