@@ -60,11 +60,22 @@ WholeStageCodegen over the scan — no shuffle until the final (source,
 split) partial aggregate. Determinism = reproducible splits on re-runs
 and backfills with zero coordination.""",
     "doc_packing": """\
-One exchange total: the window (partitionBy source, orderBy doc_id)
-computes the running token offset, pack_id is arithmetic on it, and the
-per-pack aggregate rides the SAME partitioning (source is a prefix of
-the window key) — no second shuffle. At 100 TB packing is bounded by
-the one sort per source partition.""",
+Range-partitioned two-pass prefix sum (r04): the only full-data shuffle
+is repartitionByRange(source, doc_id) — equal-sized partitions under any
+source skew — then local cumsums per (range-partition, source) and a
+broadcast O(#partitions + #sources) subtotal-prefix stitch. The r03
+per-source window serialized each source into ONE task (a 90%-skew
+corpus ran on one core: 3.3-5.6x slower at 2-8M docs,
+BENCH/packing_skew.py); byte-identical output, same oracle. The
+checkpointed range stage truncates out of this dump — the
+RangePartitioning assert lives in tests/test_plans.py.""",
+    "doc_packing_exact": """\
+The budget-strict greedy packer: one FlatMapGroupsInPandas over a single
+exchange on source — the greedy recurrence is sequential per key BY
+DEFINITION, so one task per source is the honest shape (declared in the
+operator docstring; a global exact pack is refused). The offset variant
+above is the default exactly because its latency is bounded by partition
+size, not key size.""",
     "label_centroids": """\
 posexplode then partial-aggregated (label, pos) means: the heavy
 explode stays a narrow map, sums combine map-side, and exactly one
@@ -73,10 +84,12 @@ buffers — no collect_list SortAggregate fallback.""",
     "dedup_components": """\
 The dumped plan is the final survivor join: converged labels live in
 localCheckpoint'ed blocks (each propagation round was one equi-join +
-one map-side-combined min-agg, lineage truncated per round, convergence
-by a monotone label-sum aggregate — no driver-side graph, no collect).
-The corpus join is a broadcast of the small component table; at 100 TB
-it degrades to a shuffled equi-join on the id, never a cross product.""",
+one map-side-combined min-agg, lineage truncated per round; convergence
+by an exact change-join between consecutive checkpointed label leaves —
+id-type-agnostic, so string doc ids work — no driver-side graph, no
+collect). The corpus join is a broadcast of the small component table;
+at 100 TB it degrades to a shuffled equi-join on the id, never a cross
+product.""",
     "knn_round": """\
 One expanding-ring round: queries explode to their k-ring cells and
 equi-join the cached supercover way index (cell = join key, no distance
@@ -153,6 +166,8 @@ def main() -> None:
          ivf_topk(emb.where(F.col("vec_id") < 10)
                   .select(F.col("vec_id").alias("query_id"), "embedding"),
                   emb, k=5, n_centroids=16, nprobe=4))
+
+    grab("doc_packing_exact", qs["doc_packing_exact"](spark, SF_DIR))
 
     # the knn result plan (ring rounds already ran as driver-side control
     # flow; the dumped plan shows the checkpointed round unions)

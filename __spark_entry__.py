@@ -612,6 +612,26 @@ def _q_doc_packing(spark, sf_dir):
                  F.sum("n_tokens").alias("pack_tokens")))
 
 
+def _q_doc_packing_exact(spark, sf_dir):
+    """Strict greedy packing (operators/packing.py exact=True): no pack
+    exceeds the 2048-token budget unless a single document does — the
+    budget-strict variant a fixed-context-window pipeline needs
+    (VERDICT r03 #2). Sequential per source by nature (applyInPandas);
+    the oracle replays the greedy recurrence with a DuckDB recursive
+    CTE. Aggregated per pack like doc_packing."""
+    from osm2lanes_spark.operators.packing import contiguous_packs
+    from osm2lanes_spark.operators.text import tokens
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens(F.col("text"))))
+    packed = contiguous_packs(docs, "n_tokens", budget=2048,
+                              order_col="doc_id", part_col="source",
+                              exact=True)
+    return (packed.groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("pack_tokens")))
+
+
 def _q_label_centroids(spark, sf_dir):
     """Per-label embedding centroid (operators/similarity.py): class
     prototypes as one partial-aggregated shuffle of (label, dim)."""
@@ -823,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": _shipped(_q_promo_revenue),
         "hash_split": _shipped(_q_hash_split),
         "doc_packing": _shipped(_q_doc_packing),
+        "doc_packing_exact": _shipped(_q_doc_packing_exact),
         "label_centroids": _shipped(_q_label_centroids),
         "ship_priority": _shipped(_q_ship_priority),
         "repetition_stats": _shipped(_q_repetition_stats),
@@ -1612,6 +1633,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, pack_id, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
             FROM packed GROUP BY source, pack_id
+        """,
+        # the strict greedy recurrence (new pack when fill + tokens would
+        # exceed the budget) replayed exactly: one recursive-CTE step per
+        # row rank, all sources advancing in parallel per iteration
+        "doc_packing_exact": """
+            WITH RECURSIVE tok AS (
+                SELECT doc_id, source,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents),
+            walk AS (
+                SELECT source, rn, doc_id, n_tokens,
+                       CAST(0 AS BIGINT) AS pack_id,
+                       CAST(n_tokens AS BIGINT) AS fill
+                FROM tok WHERE rn = 1
+                UNION ALL
+                SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+                       CASE WHEN w.fill > 0 AND w.fill + t.n_tokens > 2048
+                            THEN w.pack_id + 1 ELSE w.pack_id END,
+                       CASE WHEN w.fill > 0 AND w.fill + t.n_tokens > 2048
+                            THEN CAST(t.n_tokens AS BIGINT)
+                            ELSE w.fill + t.n_tokens END
+                FROM walk w JOIN tok t
+                  ON t.source = w.source AND t.rn = w.rn + 1)
+            SELECT source, pack_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+            FROM walk GROUP BY source, pack_id
         """,
         "label_centroids": """
             -- DuckDB 1.0 range() is constants-only: unnest value and
