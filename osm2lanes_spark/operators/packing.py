@@ -67,6 +67,10 @@ def contiguous_packs(df: DataFrame, token_col: str, budget: int,
     strict greedy packing (no pack exceeds ``budget`` unless a single
     document does) via ``applyInPandas`` per ``part_col`` group.
     """
+    if out in df.columns:
+        raise ValueError(
+            f"output column {out!r} already exists in the input — "
+            "rename it or pass a different out=")
     if exact:
         return _exact_greedy_packs(df, token_col, budget, order_col,
                                    part_col, out)

@@ -536,6 +536,10 @@ def test_exact_greedy_packs(spark):
     # global exact packing is refused (sequential per key by nature)
     with pytest.raises(ValueError, match="part_col"):
         contiguous_packs(uni, "n", 2048, exact=True)
+    # an output-column collision raises instead of silently duplicating
+    with pytest.raises(ValueError, match="pack_id"):
+        contiguous_packs(uni.withColumn("pack_id", F.lit(0)), "n", 2048,
+                         part_col="source")
 
 
 def test_label_centroids_matches_numpy(spark, sf_dir):
