@@ -705,6 +705,23 @@ def _q_dedup_components(spark, sf_dir):
     return out.select("doc_id", "component", "is_duplicate")
 
 
+def _q_dedup_survivors(spark, sf_dir):
+    """Survivor-policy clustering under the hard oracle (VERDICT r03 #4
+    follow-through): same MinHash→components pipeline as
+    dedup_components, but the per-cluster survivor is the LONGEST
+    document (ties → min id) via ``dedup_clusters(keep='longest')`` —
+    the keep-the-best-doc policy a real dedup pipeline uses. The oracle
+    recomputes clusters from scratch (recursive-CTE closure) and picks
+    the survivor with the same (length desc, id asc) window."""
+    from osm2lanes_spark.operators.dedup import (dedup_clusters,
+                                                 minhash_candidate_pairs)
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", threshold=0.5)
+    out = dedup_clusters(docs, pairs, keep="longest")
+    return out.select("doc_id", "component", "survivor_id", "is_duplicate")
+
+
 def _q_langid(spark, sf_dir):
     from osm2lanes_spark.operators.text import with_langid
 
@@ -840,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
+        "dedup_survivors": _shipped(_q_dedup_survivors),
         "promo_revenue": _shipped(_q_promo_revenue),
         "hash_split": _shipped(_q_hash_split),
         "doc_packing": _shipped(_q_doc_packing),
@@ -1165,6 +1183,31 @@ def _dedup_components_oracle() -> str:
                coalesce(c.component, d.doc_id) AS component,
                d.doc_id <> coalesce(c.component, d.doc_id) AS is_duplicate
         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """
+
+
+def _dedup_survivors_oracle() -> str:
+    """Same recursive-CTE closure as the components oracle, then the
+    keep='longest' survivor: per component, the doc with the longest
+    text (ties → min doc_id)."""
+    closure = _dedup_components_oracle()
+    # reuse everything up to the final SELECT, then re-project with the
+    # survivor window
+    head = closure.rsplit("SELECT d.doc_id,", 1)[0]
+    return head + """,
+        grp AS (
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   length(d.text) AS ln
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        surv AS (
+            SELECT doc_id, component, ln,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY ln DESC, doc_id ASC) AS rn
+            FROM grp)
+        SELECT g.doc_id, g.component, s.doc_id AS survivor_id,
+               g.doc_id <> s.doc_id AS is_duplicate
+        FROM grp g JOIN surv s ON s.component = g.component AND s.rn = 1
     """
 
 
@@ -1742,6 +1785,7 @@ def oracle_sql() -> dict[str, str]:
     out["road_width"] = _road_width_oracle()
     out["lanes_roundtrip"] = _lanes_roundtrip_oracle()
     out["dedup_components"] = _dedup_components_oracle()
+    out["dedup_survivors"] = _dedup_survivors_oracle()
     out["simhash_pairs"] = _simhash_oracle(max_hamming=6)
     # exhaustive-probe IVF provably equals brute force → same oracle
     out["ann_ivf"] = out["ann_topk"]
