@@ -66,9 +66,13 @@ source skew — then local cumsums per (range-partition, source) and a
 broadcast O(#partitions + #sources) subtotal-prefix stitch. The r03
 per-source window serialized each source into ONE task (a 90%-skew
 corpus ran on one core: 3.3-5.6x slower at 2-8M docs,
-BENCH/packing_skew.py); byte-identical output, same oracle. The
-checkpointed range stage truncates out of this dump — the
-RangePartitioning assert lives in tests/test_plans.py.""",
+BENCH/packing_skew.py); byte-identical output, same oracle. The range
+stage is localCheckpoint'ed and truncates out of this dump (both
+readers scan the SAME ExistingRDD — load-bearing: exchange reuse does
+NOT deduplicate the two range shuffles because column pruning makes
+them non-canonical, measured round 4, and independent executions
+re-sample boundaries); the RangePartitioning assert lives in
+tests/test_plans.py.""",
     "doc_packing_exact": """\
 The budget-strict greedy packer: one FlatMapGroupsInPandas over a single
 exchange on source — the greedy recurrence is sequential per key BY

@@ -628,11 +628,14 @@ def apply_bus(busway: str, tags: dict, locale: Locale, road: RoadBuilder,
         return
     # a lanes:bus / lanes:psv count statement is never applied (the
     # reference's own path is unimplemented, mod.rs:76-78) — keep the
-    # dropped statement visible, EXCEPT under busway co-occurrence: the
-    # reference's (true, _, false) arm (mod.rs:72) applies busway with no
-    # warning at all, so warning there would diverge from its
-    # expect_warnings output (ADVICE r03)
-    if scheme_lanes_bus and not scheme_busway:
+    # dropped statement visible, EXCEPT where busway is actually applied
+    # instead: the reference's (true, _, false) arm (mod.rs:72) applies
+    # busway with no warning at all, so warning there would diverge from
+    # its expect_warnings output (ADVICE r03). In the all-three arm the
+    # positional list wins (relaxation below) and busway is NOT applied,
+    # so the dropped count statement stays visible (round-4 review).
+    busway_applies = scheme_busway and not scheme_bus_lanes
+    if scheme_lanes_bus and not busway_applies:
         warnings.push(UNIMPLEMENTED, "lanes:bus / lanes:psv")
     if scheme_busway and not scheme_bus_lanes:
         apply_busway(road, busway)

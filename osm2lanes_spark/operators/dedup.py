@@ -310,21 +310,27 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     requested radius exceeds the guarantee of the requested band count,
     the band count is AUTO-WIDENED to the smallest divisor of 64 whose
     guarantee (bands - 1) covers ``max_hamming`` — the result stays
-    provably exact; more bands only means more banded candidate rows
-    (still never all-pairs). Radii ≥ 64 have no banding guarantee at all
-    (hamming over 64 bits never exceeds 64) and raise. Pass
-    ``allow_partial=True`` to keep the requested band count instead and
-    accept partial recall above ``bands - 1`` (recall measured in tests).
+    provably exact. Widening stops at 16 bands (radius 15): beyond
+    that, 1-2-bit bands have a 2-4-value domain, so the "only colliding
+    bands co-shuffle" property degenerates into an all-pairs product
+    (32 bands of 2 bits ≈ N²/4 candidate rows per band — round-4
+    review); radii above 15 therefore RAISE unless
+    ``allow_partial=True`` keeps the requested band count with partial
+    recall (precision is always exact; recall measured in tests).
+    Radius 15 is already past useful near-dup territory on 64-bit
+    SimHash — unrelated docs sit at hamming ≈ 32 ± 4.
     """
     assert 64 % bands == 0, "bands must divide 64"
     if max_hamming > bands - 1 and not allow_partial:
-        widened = next((b for b in (1, 2, 4, 8, 16, 32, 64)
+        widened = next((b for b in (1, 2, 4, 8, 16)
                         if b > bands and b - 1 >= max_hamming), None)
         if widened is None:
             raise ValueError(
-                f"max_hamming={max_hamming} cannot be guaranteed by any "
-                "64-bit banding (max radius 63 with 64 bands); pass "
-                "allow_partial=True for best-effort recall")
+                f"max_hamming={max_hamming} exceeds the exact-banding "
+                "cap (15, at 16 bands of 4 bits — wider banding "
+                "degenerates toward an all-pairs join); pass "
+                "allow_partial=True to keep partial recall at the "
+                "requested band count")
         bands = widened
     width = 64 // bands
     mask = (1 << width) - 1
@@ -490,7 +496,8 @@ def connected_components(pairs: DataFrame, left: str = "left_id",
 
 def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    left: str = "left_id", right: str = "right_id",
-                   keep: "str | Column" = "min_id") -> DataFrame:
+                   keep: "str | Column" = "min_id",
+                   text_col: str = "text") -> DataFrame:
     """Full-corpus cluster assignment: every row of ``df`` gets a
     ``component`` (its near-dup cluster's min id; singletons map to
     themselves) and ``is_duplicate`` (member of a cluster, not its
@@ -501,7 +508,7 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
     - ``"min_id"`` (default): the minimum member id — the component key
       itself; output schema is df.* + (component, is_duplicate).
-    - ``"longest"``: the member with the longest ``text`` column (ties
+    - ``"longest"``: the member with the longest ``text_col`` (ties
       broken by min id) — the usual "keep the best doc" policy.
     - any :class:`Column`: a score expression over df's columns; the
       member with the HIGHEST score survives (ties broken by min id).
@@ -536,7 +543,7 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         if keep != "longest":
             raise ValueError(f"unknown keep policy: {keep!r} "
                              "(expected 'min_id', 'longest', or a Column)")
-        score = F.length(F.col("text"))
+        score = F.length(F.col(text_col))
     else:
         score = keep
     w = (Window.partitionBy("component")

@@ -67,20 +67,31 @@ def contiguous_packs(df: DataFrame, token_col: str, budget: int,
     strict greedy packing (no pack exceeds ``budget`` unless a single
     document does) via ``applyInPandas`` per ``part_col`` group.
     """
-    if out in df.columns:
+    reserved = {out, "__pid", "__local", "__prefix"}
+    clash = reserved.intersection(df.columns)
+    if clash:
         raise ValueError(
-            f"output column {out!r} already exists in the input — "
-            "rename it or pass a different out=")
+            f"column(s) {sorted(clash)} already exist in the input — "
+            "rename them (out= and the __pid/__local/__prefix internals "
+            "are reserved)")
     if exact:
         return _exact_greedy_packs(df, token_col, budget, order_col,
                                    part_col, out)
     part_keys = [part_col] if part_col else []
-    # pin partition ids before branching: the subtotal aggregate and the
-    # window both read this relation, and a recomputed repartitionByRange
-    # re-samples its boundaries — checkpoint once so both branches see
-    # the same pid assignment (and the range shuffle runs once). The
-    # checkpoint truncates the visible plan, so the RangePartitioning
-    # assert in tests/test_plans.py targets _ranged directly.
+    # Both the subtotal aggregate and the window read the ranged
+    # relation, and their partition-id stamps MUST agree — a recomputed
+    # repartitionByRange re-samples its boundaries (seeded by rdd.id),
+    # so two independent executions can assign different pids and
+    # silently mis-stitch the offsets. Exchange reuse does NOT cover
+    # this: column pruning projects the two branches differently below
+    # the exchange, so the two range exchanges are not canonically
+    # equal and neither static nor AQE runtime reuse fires (measured,
+    # round 4 — final adaptive plan ran the range shuffle twice). The
+    # lazy localCheckpoint is therefore load-bearing: one
+    # materialization, both readers see the same pids. Storage note:
+    # this persists one copy of the corpus in block storage for the
+    # lifetime of the returned plan — the price of a deterministic
+    # distributed prefix sum; size partitions via num_partitions.
     ranged = _ranged(df, order_col, part_keys, num_partitions) \
         .localCheckpoint(eager=False)
     # pass 1: local prefix sums, grouped by (pid, key) — group size is
@@ -100,10 +111,17 @@ def contiguous_packs(df: DataFrame, token_col: str, budget: int,
     w_prefix = w_prefix.orderBy(F.col("__pid").asc()) \
                        .rowsBetween(Window.unboundedPreceding, -1)
     prefix = sub.select(
-        "__pid", *part_keys,
+        F.col("__pid").alias("__p_pid"),
+        *[F.col(k).alias(f"__p_{k}") for k in part_keys],
         F.coalesce(F.sum("__sub").over(w_prefix), F.lit(0)).alias("__prefix"))
+    # null-safe key equality: a NULL partition key is a legal group (the
+    # window and the groupBy both keep it) — a plain equi-join would
+    # silently DROP every NULL-keyed row (round-4 review)
+    cond = F.col("__pid") == F.col("__p_pid")
+    for k in part_keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__p_{k}"))
     joined = (ranged.withColumn("__local", local_prec)
-              .join(F.broadcast(prefix), ["__pid", *part_keys]))
+              .join(F.broadcast(prefix), cond))
     return (joined
             .withColumn(out, F.floor((F.col("__local") + F.col("__prefix"))
                                      / F.lit(budget)))

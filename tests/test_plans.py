@@ -68,8 +68,6 @@ def test_packing_range_partitioned_no_single_task(spark, sf_dir):
     from osm2lanes_spark.operators.packing import _ranged, contiguous_packs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # the data shuffle (checkpoint truncates it out of the final plan,
-    # so assert on the factored-out stage)
     ranged = _plan(_ranged(docs, "doc_id", ["source"], None))
     assert "rangepartitioning" in ranged.lower(), ranged
     assert "SinglePartition" not in ranged
@@ -77,6 +75,15 @@ def test_packing_range_partitioned_no_single_task(spark, sf_dir):
         packed = contiguous_packs(docs.withColumn("n", F.length("text")),
                                   "n", budget=2048, part_col=part_col)
         plan = _plan(packed)
+        # both readers (window + subtotal agg) must scan the SAME
+        # materialized range stage (checkpointed ExistingRDD) — a
+        # recomputed repartitionByRange re-samples its boundaries and
+        # the readers' partition ids could diverge; exchange reuse does
+        # not cover this (column pruning makes the two exchanges
+        # non-canonical — measured, round 4), so no live range exchange
+        # may remain in the final plan
+        assert plan.count("Scan ExistingRDD") >= 2, (part_col, plan)
+        assert "rangepartitioning" not in plan.lower(), (part_col, plan)
         # the full-data window is keyed by __pid (bounded group size);
         # the only SinglePartition allowed is the global prefix window
         # over the per-partition SUBTOTAL table (O(#partitions) rows,

@@ -103,9 +103,13 @@ def test_minhash_matches_bruteforce(spark, dup_docs):
 
 
 def test_simhash(spark, dup_docs):
+    # radius 16 is past the exact-banding cap (15): partial recall must
+    # be requested explicitly; h=0 pairs share every band so they are
+    # always recalled
     pairs = {(r["left_id"], r["right_id"]): r["hamming"]
              for r in D.simhash_pairs(dup_docs, "doc_id", "text",
-                                      max_hamming=16).collect()}
+                                      max_hamming=16,
+                                      allow_partial=True).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 0  # normalized-identical
     assert (1, 3) in pairs  # near-dup within radius
 
@@ -536,10 +540,35 @@ def test_exact_greedy_packs(spark):
     # global exact packing is refused (sequential per key by nature)
     with pytest.raises(ValueError, match="part_col"):
         contiguous_packs(uni, "n", 2048, exact=True)
-    # an output-column collision raises instead of silently duplicating
+    # an output-column collision raises instead of silently duplicating;
+    # so do the reserved internals (they would be silently overwritten)
     with pytest.raises(ValueError, match="pack_id"):
         contiguous_packs(uni.withColumn("pack_id", F.lit(0)), "n", 2048,
                          part_col="source")
+    with pytest.raises(ValueError, match="__pid"):
+        contiguous_packs(uni.withColumn("__pid", F.lit(0)), "n", 2048,
+                         part_col="source")
+
+
+def test_contiguous_packs_null_part_keys(spark):
+    """A NULL partition key is a legal group (unsourced docs): the
+    prefix join must be null-safe — a plain equi-join would silently
+    DROP every NULL-keyed row (round-4 review)."""
+    from osm2lanes_spark.operators.packing import contiguous_packs
+
+    rows = ([(i, None, 600) for i in range(8)]
+            + [(100 + i, "s", 600) for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out = contiguous_packs(df, "n", budget=2048, part_col="source",
+                           num_partitions=5).collect()
+    assert len(out) == 12  # nothing dropped
+    got = {r["doc_id"]: r["pack_id"] for r in out}
+    assert got == {**{i: (600 * i) // 2048 for i in range(8)},
+                   **{100 + i: (600 * i) // 2048 for i in range(4)}}
+    # exact path keeps the NULL group too (groupBy retains it)
+    ex = contiguous_packs(df, "n", budget=2048, part_col="source",
+                          exact=True).collect()
+    assert len(ex) == 12
 
 
 def test_label_centroids_matches_numpy(spark, sf_dir):
@@ -613,6 +642,12 @@ def test_dedup_clusters_keep_policy(spark):
               for r in D.dedup_clusters(docs, pairs,
                                         keep=F.col("quality")).collect()}
     assert scored[1] == scored[2] == scored[3] == 2
+    # keep='longest' follows text_col like every other dedup entry point
+    renamed = {r["doc_id"]: r["survivor_id"]
+               for r in D.dedup_clusters(
+                   docs.withColumnRenamed("text", "body"), pairs,
+                   keep="longest", text_col="body").collect()}
+    assert renamed[1] == 2
     with pytest.raises(ValueError, match="keep"):
         D.dedup_clusters(docs, pairs, keep="bogus")
     # min_id default keeps its r03 schema (no survivor_id column)
@@ -661,6 +696,10 @@ def test_simhash_auto_widens_bands(spark, dup_docs):
                for x in D.simhash_pairs(dup_docs, max_hamming=12, bands=8,
                                         allow_partial=True).collect()}
     assert partial <= brute
+    # widening is capped at 16 bands (beyond, 1-2-bit bands degenerate
+    # to an all-pairs join): radius > 15 raises without allow_partial
+    with pytest.raises(ValueError, match="allow_partial"):
+        D.simhash_pairs(dup_docs, max_hamming=16)
     with pytest.raises(ValueError, match="allow_partial"):
         D.simhash_pairs(dup_docs, max_hamming=64)
 
