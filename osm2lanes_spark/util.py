@@ -21,3 +21,44 @@ def spread(df: DataFrame, key_col: str) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target, F.col(key_col))
     return df
+
+
+def _persistent_rdd_ids(sc) -> set:
+    """Ids of currently persisted RDDs (includes localCheckpoint blocks,
+    which ``DataFrame.unpersist`` cannot release — it only uncaches
+    ``persist()`` entries through the cache manager)."""
+    it = sc._jsc.getPersistentRDDs().keySet().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def tracked_checkpoint(df: DataFrame) -> "tuple[DataFrame, set]":
+    """Eagerly localCheckpoint ``df`` and return the checkpointed frame
+    plus the set of RDD ids its blocks landed under, so an iterative
+    operator (pointer jumping, label propagation) can free superseded
+    rounds with :func:`unpersist_blocks` instead of letting every round's
+    table sit in block storage until the plan is GC'd (VERDICT r04 #5).
+
+    The id set is computed as a before/after diff of the context's
+    persistent-RDD registry — the only handle PySpark exposes for a
+    localCheckpoint's storage. Caveat: a concurrent thread checkpointing
+    in the same SparkContext inside this window would be swept into the
+    diff; iterative operators run their rounds sequentially on one
+    thread, so the diff is exact there.
+    """
+    sc = df.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    return out, _persistent_rdd_ids(sc) - before
+
+
+def unpersist_blocks(spark, ids, blocking: bool = False) -> None:
+    """Release the block storage behind RDD ids captured by
+    :func:`tracked_checkpoint`. Ids already gone are skipped."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        r = jmap.get(i)
+        if r is not None:
+            r.unpersist(blocking)

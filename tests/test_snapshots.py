@@ -119,6 +119,31 @@ def test_expire_snapshots(spark, tmp_path):
     assert t.read(spark).count() == 11
 
 
+def test_expire_reclaims_previously_retained_dirs(spark, tmp_path):
+    """A dir retained by an earlier expiry because a live chain still
+    reached it (an append under the current overwrite base) must be
+    reconsidered on the NEXT expiry once a later overwrite makes it
+    unreachable — skipping already-expired manifest entries leaked such
+    directories permanently (ADVICE r04)."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "reclaim"))
+    t.commit(spark.range(10).toDF("id"), mode="overwrite")  # 1 base
+    t.commit(spark.range(10, 15).toDF("id"))                # 2 append
+    res = t.expire_snapshots(keep_last=1)
+    # snap 1 is expired but its dir is the retained state's base → kept
+    assert res["expired"] == [1] and res["deleted_dirs"] == []
+    assert os.path.exists(str(tmp_path / "reclaim" / "snap-1"))
+    # a later overwrite supersedes the whole old chain
+    t.commit(spark.range(3).toDF("id"), mode="overwrite")   # 3
+    res2 = t.expire_snapshots(keep_last=1)
+    # the already-expired snap 1's dir is now unreachable → reclaimed
+    assert sorted(res2["deleted_dirs"]) == ["snap-1", "snap-2"]
+    assert not os.path.exists(str(tmp_path / "reclaim" / "snap-1"))
+    assert not os.path.exists(str(tmp_path / "reclaim" / "snap-2"))
+    assert t.read(spark).count() == 3
+
+
 def test_expire_concurrent_with_commits(spark, tmp_path):
     """Expiry serializes with committers under the same flock: racing
     appends and an expire never lose a landed commit or corrupt the

@@ -82,6 +82,36 @@ def test_exact_dedup(spark, dup_docs):
     assert D.dedup_exact(dup_docs, "doc_id", "text").count() == 5
 
 
+def test_exact_dedup_keep_policies(spark):
+    """exact_duplicates keep= parity with dedup_clusters (VERDICT r04
+    #7): 'longest' keeps the longest RAW text variant of the normalized
+    group (ties → min id); a Column score keeps the highest scorer; the
+    min_id default is unchanged."""
+    rows = [(1, "Hello   World", 5), (2, "hello world", 9),
+            (3, "HELLO WORLD  !", 1), (4, "other text", 2)]
+    # 1-3 normalize to... the trailing "!" differs — make 3 match:
+    rows[2] = (3, "  HELLO    WORLD ", 1)
+    df = spark.createDataFrame(rows, "doc_id int, text string, q int")
+    base = {r["doc_id"]: (r["survivor_id"], r["is_duplicate"])
+            for r in D.exact_duplicates(df, "doc_id", "text").collect()}
+    assert base[1] == (1, False) and base[2] == (1, True)
+    longest = {r["doc_id"]: r["survivor_id"] for r in D.exact_duplicates(
+        df, "doc_id", "text", keep="longest").collect()}
+    assert longest[1] == longest[2] == longest[3] == 3  # longest raw text
+    assert longest[4] == 4
+    scored = {r["doc_id"]: r["survivor_id"] for r in D.exact_duplicates(
+        df, "doc_id", "text", keep=F.col("q")).collect()}
+    assert scored[1] == scored[2] == scored[3] == 2  # q=9 wins
+    kept = sorted(r["doc_id"] for r in D.dedup_exact(
+        df, "doc_id", "text", keep="longest").collect())
+    assert kept == [3, 4]
+    with pytest.raises(ValueError, match="keep policy"):
+        D.exact_duplicates(df, "doc_id", "text", keep="median")
+    with pytest.raises(ValueError, match="survivor_id"):
+        D.exact_duplicates(df.withColumn("survivor_id", F.lit(1)),
+                           "doc_id", "text")
+
+
 def test_minhash_pairs(spark, dup_docs):
     pairs = D.minhash_candidate_pairs(dup_docs, "doc_id", "text",
                                       threshold=0.3).collect()
@@ -537,9 +567,11 @@ def test_exact_greedy_packs(spark):
               for r in contiguous_packs(uni, "n", 2048,
                                         part_col="source").collect()}
     assert exact == offset
-    # global exact packing is refused (sequential per key by nature)
-    with pytest.raises(ValueError, match="part_col"):
-        contiguous_packs(uni, "n", 2048, exact=True)
+    # global exact packing (part_col=None) is supported since r05: the
+    # boundary chase is distributed, not a per-key sequential task
+    guni = {r["doc_id"]: r["pack_id"]
+            for r in contiguous_packs(uni, "n", 2048, exact=True).collect()}
+    assert guni == {i: i // 4 for i in range(40)}
     # an output-column collision raises instead of silently duplicating;
     # so do the reserved internals (they would be silently overwritten)
     with pytest.raises(ValueError, match="pack_id"):
@@ -565,10 +597,58 @@ def test_contiguous_packs_null_part_keys(spark):
     got = {r["doc_id"]: r["pack_id"] for r in out}
     assert got == {**{i: (600 * i) // 2048 for i in range(8)},
                    **{100 + i: (600 * i) // 2048 for i in range(4)}}
-    # exact path keeps the NULL group too (groupBy retains it)
+    # exact path keeps the NULL group too (null-safe joins throughout)
     ex = contiguous_packs(df, "n", budget=2048, part_col="source",
                           exact=True).collect()
     assert len(ex) == 12
+
+
+def test_exact_packs_match_sequential_reference(spark):
+    """The distributed exact packer (prefix-sum boundary jumps + pointer
+    doubling, VERDICT r04 #1) must reproduce the sequential greedy
+    recurrence EXACTLY — including the adversarial shapes the jump
+    formulation could get wrong: zero-token docs (empty intervals,
+    including right after an oversize doc), oversize docs (straddler ==
+    self → successor boundary), packs that fit the budget exactly, and
+    heavy key skew across many range partitions."""
+    from osm2lanes_spark.operators.packing import (
+        _sequential_greedy_reference, contiguous_packs)
+
+    rng = np.random.default_rng(23)
+    for trial, (budget, n) in enumerate([(500, 400), (128, 300), (1, 60)]):
+        toks = rng.integers(0, 180, size=n)
+        toks[rng.integers(0, n, size=n // 12)] = 0          # zero-token
+        toks[rng.integers(0, n, size=n // 15)] = budget * 3  # oversize
+        toks[rng.integers(0, n, size=n // 15)] = budget      # exact fit
+        rows = [(int(i), "crawl" if i % 10 else f"s{i % 4}", int(toks[i]))
+                for i in range(n)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, source string, n long")
+        want = {r["doc_id"]: r["pack_id"]
+                for r in _sequential_greedy_reference(
+                    df, "n", budget, "doc_id", "source").collect()}
+        got = {r["doc_id"]: r["pack_id"]
+               for r in contiguous_packs(df, "n", budget, exact=True,
+                                         part_col="source",
+                                         num_partitions=7).collect()}
+        assert got == want, (trial, budget)
+        # global (part_col=None): reference = single-key wrap
+        want_g = {r["doc_id"]: r["pack_id"]
+                  for r in _sequential_greedy_reference(
+                      df.withColumn("g", F.lit("x")), "n", budget,
+                      "doc_id", "g").collect()}
+        got_g = {r["doc_id"]: r["pack_id"]
+                 for r in contiguous_packs(df, "n", budget, exact=True,
+                                           num_partitions=7).collect()}
+        assert got_g == want_g, (trial, budget)
+    # all-zero-token corpus: one pack per key, no interval owners at all
+    z = spark.createDataFrame([(i, "s" if i % 2 else None, 0)
+                               for i in range(20)],
+                              "doc_id long, source string, n long")
+    got_z = {(r["source"], r["pack_id"])
+             for r in contiguous_packs(z, "n", 100, exact=True,
+                                       part_col="source").collect()}
+    assert got_z == {("s", 0), (None, 0)}
 
 
 def test_label_centroids_matches_numpy(spark, sf_dir):
@@ -620,6 +700,39 @@ def test_connected_components_string_ids(spark):
             for r in D.connected_components(pairs).collect()}
     assert all(comp[f"doc/n{i:02d}#r1"] == "doc/n00#r1" for i in range(13))
     assert comp["z/1"] == comp["z/2"] == "z/1"
+
+
+def test_iterative_ops_bound_block_storage(spark):
+    """Iterative operators must not accumulate every round's checkpoint
+    in block storage (VERDICT r04 #5): after a multi-round run, only the
+    blocks the returned plan still reads may remain persisted."""
+    from osm2lanes_spark.operators.packing import contiguous_packs
+    from osm2lanes_spark.util import _persistent_rdd_ids
+
+    sc = spark.sparkContext
+    before = _persistent_rdd_ids(sc)
+    chain = spark.createDataFrame([(i, i + 1) for i in range(60)],
+                                  "left_id long, right_id long")
+    comp = D.connected_components(chain, max_iter=10)
+    leftover = _persistent_rdd_ids(sc) - before
+    # a 60-chain takes ~6 pointer-jumping rounds; without the frees the
+    # edge table plus every round's prop and labels would linger — only
+    # the final labels leaf may remain
+    assert len(leftover) <= 3, leftover
+    assert comp.count() == 61  # the result is still computable
+
+    before = _persistent_rdd_ids(sc)
+    df = spark.createDataFrame(
+        [(int(i), "s" if i % 7 else None, int(1 + i % 40))
+         for i in range(400)], "doc_id long, source string, n long")
+    packed = contiguous_packs(df, "n", budget=64, part_col="source",
+                              exact=True)
+    leftover = _persistent_rdd_ids(sc) - before
+    # exact packing: base + final borders remain (the returned plan
+    # reads them); the range stage and every doubling round's J/B are
+    # freed eagerly
+    assert len(leftover) <= 4, leftover
+    assert packed.count() == 400
 
 
 def test_dedup_clusters_keep_policy(spark):
