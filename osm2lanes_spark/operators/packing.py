@@ -237,14 +237,21 @@ def _parallel_greedy_packs(ranged: DataFrame, ranged_ids: set, budget: int,
        its own successor. NULL (end of key) propagates through either
        term.
     3. **boundary orbit by pointer doubling**: the boundaries of a key
-       are the f-orbit of its first doc. Maintain the jump table J =
-       f^(2^k) (one self-join per round) and the known-boundary set B
-       (B ∪ J(B) doubles the covered orbit prefix per round) until J(B)
-       adds nothing — log2(max packs per key) rounds, each a
-       well-distributed equi-join; superseded rounds' checkpoint blocks
-       are freed eagerly (the r04 #5 pattern). ``pack_id`` is then the
-       inclusive prefix COUNT of boundary flags minus one — the same
-       two-pass prefix pass over the flag column.
+       are the f-orbit of its first doc. First every (range-partition,
+       key) SEGMENT collapses its internal f-chains to their first
+       out-of-segment element (a vectorized numpy doubling pass per
+       partition — memory bounded by the partition). The distributed
+       doubling then runs on segment-exit jumps: maintain J = exit^(2^k)
+       (one self-join per round, pruned to the reachable entry set) and
+       the known-entry set B (B ∪ J(B) doubles the covered orbit prefix
+       per round) until J(B) adds nothing — log2(max segments per key)
+       rounds ≤ log2(#partitions), each a well-distributed equi-join;
+       superseded rounds' checkpoint blocks are freed eagerly (the r04
+       #5 pattern). Each segment finally recovers its interior
+       boundaries by chasing the full f locally from its unique entry
+       point, and ``pack_id`` is the inclusive prefix COUNT of boundary
+       flags minus one — the same two-pass prefix pass over the flag
+       column.
 
     The output is exactly the sequential greedy assignment (property-
     tested against `_sequential_greedy_reference` on random corpora with
@@ -293,22 +300,48 @@ def _parallel_greedy_packs(ranged: DataFrame, ranged_ids: set, budget: int,
     # this term also makes an oversize pack-opener close at its own
     # successor, with no special arm)
     j0 = (straddle(j1, F.col("__pre"))
-          .select(*part_keys, "__ord", "__j1",
+          .select(*part_keys, "__ord", "__pid", "__j1",
                   F.col("__o_succ").alias("__j2")))
     # f = min of the intersection of the two suffix sets = max(j1, j2);
     # NULL means "past the end of the key" and must propagate (greatest
-    # skips nulls, so guard explicitly)
-    j0 = j0.select(
-        *part_keys, "__ord",
-        F.when(F.col("__j1").isNull() | F.col("__j2").isNull(),
-               F.lit(None).cast(dict(j0.dtypes)["__ord"]))
-        .otherwise(F.greatest("__j1", "__j2")).alias("__jump"))
-
-    jt, jt_ids = tracked_checkpoint(j0)
+    # skips nulls, so guard explicitly). Nulls are then encoded as
+    # (__jval = self, __jend = true) so the Arrow stages below never see
+    # a nullable long column (pandas would silently widen it to float64
+    # and corrupt large doc ids)
+    jump = F.when(F.col("__j1").isNull() | F.col("__j2").isNull(),
+                  F.lit(None).cast(dict(j0.dtypes)["__ord"])) \
+        .otherwise(F.greatest("__j1", "__j2"))
+    j0ck, j0_ids = tracked_checkpoint(
+        j0.select(*part_keys, "__ord", "__pid",
+                  F.coalesce(jump, F.col("__ord")).alias("__jval"),
+                  jump.isNull().alias("__jend")))
     b0 = ranged.groupBy(*part_keys).agg(F.min("__ord").alias("__border"))
     borders, b_ids = tracked_checkpoint(b0)
-    # both readers of the range stage (base, borders) are materialized
+    # every reader of the range and base stages is now materialized
     unpersist_blocks(spark, ranged_ids)
+    unpersist_blocks(spark, base_ids)
+
+    # Segment compression: within each (range-partition, key) segment,
+    # collapse f-chains to their first out-of-segment element with a
+    # vectorized numpy pointer-doubling pass (memory bounded by the
+    # PARTITION — never by the key). The distributed doubling below then
+    # runs on segment-exit jumps, so its round count is
+    # log2(segments-per-key) = log2(#partitions) worst case, instead of
+    # log2(packs-per-key) — at 100 TB that is ~17 rounds instead of ~30,
+    # and the per-round join tables shrink to the reachable entry set.
+    jsegd = _compress_segments(j0ck, part_keys)
+    targets = (jsegd.where(F.col("__jump").isNotNull())
+               .select(*[F.col(k).alias(f"__t_{k}") for k in part_keys],
+                       F.col("__jump").alias("__t_ord")))
+    seeds = borders.select(
+        *[F.col(k).alias(f"__t_{k}") for k in part_keys],
+        F.col("__border").alias("__t_ord"))
+    keepn = targets.unionByName(seeds).dropDuplicates(
+        [f"__t_{k}" for k in part_keys] + ["__t_ord"])
+    kc = F.col("__ord") == F.col("__t_ord")
+    for k in part_keys:
+        kc = kc & F.col(k).eqNullSafe(F.col(f"__t_{k}"))
+    jt, jt_ids = tracked_checkpoint(jsegd.join(keepn, kc, "left_semi"))
     for _ in range(64):
         jr = jt.select(*[F.col(k).alias(f"__j_{k}") for k in part_keys],
                        F.col("__ord").alias("__j_ord"),
@@ -345,23 +378,137 @@ def _parallel_greedy_packs(ranged: DataFrame, ranged_ids: set, budget: int,
             "(part_col, order_col) rows violate the operator contract")
     unpersist_blocks(spark, jt_ids)
 
+    # expand: the doubling found the orbit at segment-entry granularity;
+    # each segment recovers its interior boundaries by chasing the full
+    # f locally from its (unique) entry point. Checkpointed eagerly so
+    # the prefix pass's two branches (window + subtotal) read ONE
+    # materialization instead of running the Arrow stage twice — and so
+    # the f-table and entry-set blocks can be freed now
+    flagged, fl_ids = tracked_checkpoint(
+        _expand_segments(j0ck, borders, part_keys))
+    unpersist_blocks(spark, j0_ids)
+    unpersist_blocks(spark, b_ids)
+    ranked = _two_pass_prefix(flagged, "__flag", "__ord", part_keys)
+    return ranked.withColumn(
+        out, (F.col("__pre") + F.col("__flag") - 1))
+
+
+def _group_iter(pdf: pd.DataFrame, part_keys: list):
+    """Per-key subgroups of one range partition's rows (NULL keys are
+    legal groups; no keys → the whole partition is one segment)."""
+    if not part_keys:
+        return [pdf] if len(pdf) else []
+    return (g for _, g in pdf.groupby(list(part_keys), dropna=False,
+                                      sort=False))
+
+
+def _compress_segments(j0: DataFrame, part_keys: list) -> DataFrame:
+    """Collapse every doc's f-chain to its first element OUTSIDE the
+    doc's (range-partition, key) segment — or to the end-of-key marker —
+    with a numpy pointer-doubling pass per partition (vectorized; the
+    python-level loop runs log2(chain length) times, not once per doc).
+
+    Keyed by ``__pid``, NOT by the partition key: the Arrow group size
+    is bounded by the range partition, so this stage is exactly as
+    skew-proof as the prefix-sum windows. Range partitioning guarantees
+    each (pid, key) subgroup holds a CONTIGUOUS order-range of its key,
+    so "jump target present in the subgroup" == "jump target inside the
+    segment" (membership by exact value — no ordering assumptions).
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType([j0.schema[k] for k in part_keys]
+                          + [j0.schema["__ord"], j0.schema["__jval"],
+                             T.StructField("__jend", T.BooleanType())])
+    out_cols = [*part_keys, "__ord", "__jval", "__jend"]
+
+    def compress(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for g in _group_iter(pdf, part_keys):
+            ords = g["__ord"].to_numpy()
+            jval = g["__jval"].to_numpy()
+            jend = g["__jend"].to_numpy(dtype=bool)
+            idx = pd.Index(ords).get_indexer(jval)
+            # -1 = already terminal: f leaves the segment (or ends)
+            ptr = np.where(jend, -1, idx)
+            res_val, res_end = jval.copy(), jend.copy()
+            # pointer doubling: each round halves unresolved chain depth
+            while (ptr != -1).any():
+                safe = np.where(ptr == -1, 0, ptr)
+                ptr_j = ptr[safe]
+                resolve = (ptr != -1) & (ptr_j == -1)
+                res_val = np.where(resolve, res_val[safe], res_val)
+                res_end = np.where(resolve, res_end[safe], res_end)
+                ptr = np.where(ptr == -1, -1, ptr_j)
+            o = g[[*part_keys, "__ord"]].copy()
+            o["__jval"] = res_val
+            o["__jend"] = res_end
+            frames.append(o)
+        if not frames:
+            return pdf[out_cols].head(0)
+        return pd.concat(frames)
+
+    seg = j0.groupBy("__pid").applyInPandas(compress, schema)
+    return seg.select(*part_keys, "__ord",
+                      F.when(F.col("__jend"), F.lit(None))
+                      .otherwise(F.col("__jval")).alias("__jump"))
+
+
+def _expand_segments(j0: DataFrame, borders: DataFrame,
+                     part_keys: list) -> DataFrame:
+    """Recover every pack boundary from the segment-entry orbit: mark
+    the entry points the doubling found, then chase the FULL f locally
+    within each (range-partition, key) segment, flagging every visited
+    element until the chain leaves the segment. Each boundary lies in
+    exactly one segment and each segment has at most one entry (the
+    orbit is strictly increasing, so it cannot re-enter a contiguous
+    order range), so the per-partition work is O(boundaries in the
+    partition). Returns (part_keys, __ord, __pid, __flag)."""
+    from pyspark.sql import types as T
+
     bmark = borders.select(
         *[F.col(k).alias(f"__b_{k}") for k in part_keys],
         F.col("__border"))
     mk = F.col("__ord") == F.col("__border")
     for k in part_keys:
         mk = mk & F.col(k).eqNullSafe(F.col(f"__b_{k}"))
-    flagged = (base.select(*part_keys, "__ord", "__pid")
-               .join(bmark, mk, "left")
-               .withColumn("__flag",
-                           F.col("__border").isNotNull().cast("long"))
-               .drop("__border", *[f"__b_{k}" for k in part_keys]))
-    # deterministic double-read is safe here (unlike the range stage):
-    # flagged derives only from checkpointed leaves, so the window and
-    # subtotal branches recompute to identical rows and pids
-    ranked = _two_pass_prefix(flagged, "__flag", "__ord", part_keys)
-    return ranked.withColumn(
-        out, (F.col("__pre") + F.col("__flag") - 1))
+    # no broadcast hint: the entry set is one row per (segment, key) —
+    # small for skewed corpora, but with millions of tiny keys it can be
+    # key-cardinality-sized; AQE picks broadcast when it fits
+    marked = (j0.join(bmark, mk, "left")
+              .withColumn("__entry",
+                          F.col("__border").isNotNull().cast("int"))
+              .drop("__border", *[f"__b_{k}" for k in part_keys]))
+    schema = T.StructType([marked.schema[k] for k in part_keys]
+                          + [marked.schema["__ord"],
+                             marked.schema["__pid"],
+                             T.StructField("__flag", T.LongType())])
+    out_cols = [*part_keys, "__ord", "__pid", "__flag"]
+
+    def expand(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for g in _group_iter(pdf, part_keys):
+            ords = g["__ord"].to_numpy()
+            jval = g["__jval"].to_numpy()
+            jend = g["__jend"].to_numpy(dtype=bool)
+            entry = g["__entry"].to_numpy()
+            idx = pd.Index(ords).get_indexer(jval)
+            flags = np.zeros(len(ords), dtype=np.int64)
+            for pos in np.flatnonzero(entry):
+                i = int(pos)
+                while True:
+                    flags[i] = 1
+                    if jend[i] or idx[i] < 0:
+                        break  # chain ends or leaves the segment
+                    i = int(idx[i])
+            o = g[[*part_keys, "__ord", "__pid"]].copy()
+            o["__flag"] = flags
+            frames.append(o)
+        if not frames:
+            return pdf[out_cols].head(0)
+        return pd.concat(frames)
+
+    return marked.groupBy("__pid").applyInPandas(expand, schema)
 
 
 def _sequential_greedy_reference(df: DataFrame, token_col: str, budget: int,

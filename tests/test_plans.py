@@ -100,10 +100,13 @@ def test_exact_packing_plan_distributed(spark, sf_dir):
     """exact=True must not fall back to a per-key sequential stage
     (VERDICT r04 #1): the r04 formulation was one applyInPandas task per
     part_col group — a 90%-skew source serialized onto one core. The r05
-    boundary-chase formulation is pure joins/windows: no
-    FlatMapGroupsInPandas anywhere, the full-data windows keyed by
-    (__pid, key), range partitioning only behind checkpoints, and no
-    SinglePartition exchange over the data."""
+    boundary-chase plan may contain Arrow group stages ONLY keyed by
+    __pid (range-partition id — group size bounded by the partition,
+    never by the key), the full-data windows keyed by (__pid, key),
+    range partitioning only behind checkpoints, and no SinglePartition
+    exchange over the data."""
+    import re
+
     from osm2lanes_spark.operators.packing import contiguous_packs
 
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -112,6 +115,10 @@ def test_exact_packing_plan_distributed(spark, sf_dir):
         packed = contiguous_packs(docs, "n", budget=4096,
                                   part_col=part_col, exact=True)
         plan = _plan(packed)
+        # the returned plan reads the checkpointed flag table — no Arrow
+        # group stage (and in particular no per-KEY one) survives into
+        # it; the construction-time Arrow stages are keyed by __pid,
+        # asserted below on their own plan
         assert "FlatMapGroupsInPandas" not in plan, (part_col, plan)
         assert "rangepartitioning" not in plan.lower(), (part_col, plan)
         assert "hashpartitioning(__pid" in plan, (part_col, plan)
@@ -119,3 +126,18 @@ def test_exact_packing_plan_distributed(spark, sf_dir):
         # single-partition (part_col=None flavor)
         singles = plan.count("Exchange SinglePartition")
         assert singles <= (0 if part_col else 1), (part_col, plan)
+    # the construction-time Arrow stages group by the range-partition id,
+    # never by the user's key: inspect their own (pre-checkpoint) plans
+    from osm2lanes_spark.operators.packing import (
+        _compress_segments, _expand_segments)
+
+    j0 = spark.createDataFrame(
+        [("s", 1, 0, 2, False), ("s", 2, 0, 2, True)],
+        "source string, __ord long, __pid int, __jval long, __jend boolean")
+    borders = spark.createDataFrame([("s", 1)],
+                                    "source string, __border long")
+    for frame in (_compress_segments(j0, ["source"]),
+                  _expand_segments(j0, borders, ["source"])):
+        p = frame._jdf.queryExecution().executedPlan().toString()
+        m = re.findall(r"FlatMapGroupsInPandas \[(\w+)#", p)
+        assert m and all(k == "__pid" for k in m), p
