@@ -842,6 +842,57 @@ def _q_locale_spatial(spark, sf_dir):
     return (out.groupBy("key").agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+def _q_asof_latest_view(spark, sf_dir):
+    """As-of join (operators/temporal.py): every click enriched with the
+    user's most recent prior-or-simultaneous view — the time-axis
+    counterpart of the locale containment join. Union-window plan: one
+    hash shuffle on user_id, no range-join blowup. Oracle: DuckDB's
+    native ASOF LEFT JOIN ((user_id, ts) is unique in the table, so no
+    tiebreak ambiguity)."""
+    from osm2lanes_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    views = (ev.where(F.col("event_type") == "view")
+             .select("user_id", "ts", F.col("event_id").alias("view_id"),
+                     F.col("value").alias("view_value")))
+    joined = asof_join(clicks, views, on="user_id", ts="ts",
+                       tiebreak="view_id")
+    from osm2lanes_spark.operators.temporal import _micros
+    return joined.select(
+        "user_id", "click_id", "view_id", "view_value",
+        (_micros(F.col("ts")) - _micros(F.col("asof_ts"))).alias("gap_us"))
+
+
+def _q_sessions(spark, sf_dir):
+    """Gap-based sessionization (operators/temporal.py): 8-hour gap →
+    per-session event count, span and first event. Integer-microsecond
+    boundary arithmetic so the window replay in SQL is bit-exact."""
+    from osm2lanes_spark.operators.temporal import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    sess = sessionize(ev, key="user_id", ts="ts",
+                      gap_seconds=8 * 3600, tiebreak="event_id")
+    from osm2lanes_spark.operators.temporal import _micros
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (_micros(F.max("ts"))
+                  - _micros(F.min("ts"))).alias("duration_us"),
+                 F.min("event_id").alias("first_event")))
+
+
+def _q_events_rollup(spark, sf_dir):
+    """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
+    total in ONE pass (Spark expands grouping sets map-side; at 100 TB
+    this is one shuffle instead of three)."""
+    ev = _read(spark, sf_dir, "events")
+    return (ev.withColumn("hr", F.hour("ts"))
+            .rollup("event_type", "hr")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
 def _shipped(fn):
     def wrapper(spark, sf_dir):
         _ensure_workers(spark)
@@ -891,6 +942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _shipped(_q_ann_ivf),
         "multimodal_features": _shipped(_q_multimodal),
         "locale_spatial": _shipped(_q_locale_spatial),
+        "asof_latest_view": _shipped(_q_asof_latest_view),
+        "sessions": _shipped(_q_sessions),
+        "events_rollup": _shipped(_q_events_rollup),
     }
 
 
@@ -1824,6 +1878,42 @@ def oracle_sql() -> dict[str, str]:
                                     c.vec_id ASC) AS rank
                 FROM q, c WHERE c.vec_id <> q.query_id) t
             WHERE rank <= 5
+        """,
+        "asof_latest_view": """
+            SELECT c.user_id, c.event_id AS click_id,
+                   v.event_id AS view_id, v.value AS view_value,
+                   epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "sessions": """
+            WITH d AS (
+                SELECT user_id, ts, event_id,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS prev_us
+                FROM events),
+            s AS (
+                SELECT user_id, ts, event_id,
+                       CAST(sum(CASE WHEN prev_us IS NULL
+                                       OR epoch_us(ts) - prev_us > 28800000000
+                                     THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
+                FROM d)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+                   min(event_id) AS first_event
+            FROM s GROUP BY user_id, session_id
+        """,
+        "events_rollup": """
+            SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY ROLLUP(event_type, hr)
         """,
     }
     # generated oracles (polygon literals / 64-bit vote unrolls / fixture

@@ -1,0 +1,177 @@
+"""Temporal operators: as-of join and sessionization.
+
+Two shapes every event/telemetry pipeline needs and Spark SQL lacks as
+built-ins (reference analogue: the locale join of SURVEY §2.4 J1-J2 is
+an *as-of in space*; these are the time-axis counterparts the
+engine's event table consumers ask for).
+
+``asof_join`` — for each left row, the single most recent right row at
+or before (``backward``) / the earliest at or after (``forward``) the
+left timestamp, per key. A naive formulation is a range theta-join
+(quadratic); the scalable formulation used here is the classic
+union-window:
+
+1. tag both sides, union on (key, ts, side, right-payload), left
+   payload carried through (right columns NULL on left rows and vice
+   versa) — no second join-back shuffle;
+2. one hash shuffle on the key feeds a per-key sort by
+   (ts, side, tiebreak) where right rows sort BEFORE left rows at an
+   equal timestamp (ties match: ``l.ts >= r.ts``);
+3. ``last(payload, ignorenulls=True)`` over rows UNBOUNDED PRECEDING
+   propagates the latest right payload to every left row;
+4. filter back to left rows; an optional ``tolerance`` (seconds) nulls
+   matches older than ``l.ts - tolerance``.
+
+Cost at 100 TB: ONE hash exchange on the key plus the per-key window
+sort — the same shuffle the equivalent equi-join would pay, with no
+range-join blowup. Skew caveat: a single hot key serializes into one
+window task (inherent to per-key ordering; mitigate upstream by
+splitting hot keys on a coarse time bucket and as-of joining per
+bucket with the previous bucket's tail replicated).
+
+``sessionize`` — gap-based session ids: lag over the per-key time
+order, flag gaps larger than ``gap``, running sum of flags. Same
+single-shuffle shape. Timestamp arithmetic is integer microseconds
+(``unix_micros`` ↔ DuckDB ``epoch_us``) so oracles reproduce it
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_MATCH_TS = "__asof_ts"
+
+
+def _micros(col: Column) -> Column:
+    """Integer epoch-microseconds of a timestamp. ``unix_micros`` only
+    accepts TIMESTAMP; parquet columns are commonly TIMESTAMP_NTZ, and
+    with the session timezone pinned to UTC the cast is the identity on
+    the wall clock, so this works for both types."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
+              ts: str = "ts", right_ts: str | None = None,
+              direction: str = "backward",
+              tolerance_seconds: float | None = None,
+              tiebreak: str | None = None) -> DataFrame:
+    """As-of join ``left`` to the nearest ``right`` row per key.
+
+    Parameters
+    ----------
+    on : key column(s), present on both sides.
+    ts / right_ts : timestamp columns (``right_ts`` defaults to ``ts``).
+    direction : ``backward`` (latest right with ``r.ts <= l.ts``, the
+        default, ties match) or ``forward`` (earliest with
+        ``r.ts >= l.ts``).
+    tolerance_seconds : if set, matches further than this from the left
+        timestamp come back NULL (the row is kept — left-join shape).
+    tiebreak : optional right column ordering duplicates at one
+        (key, ts); the greatest wins. Without it, duplicate right
+        timestamps within a key pick the physically-last row —
+        nondeterministic, so pass one whenever (key, ts) is not unique.
+
+    Returns the left schema plus every non-key right column (collisions
+    with a left name raise) — NULL where nothing matched.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or ts
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+
+    payload = [c for c in right.columns if c not in keys and c != right_ts]
+    clash = [c for c in payload if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"right payload column(s) {clash} collide with left schema; "
+            "rename before asof_join")
+
+    # Right rows must be visible to an equal-timestamp left row: sort
+    # them first (side 0) for backward, last for forward (where the
+    # window looks FOLLOWING via a descending sort instead).
+    tb = (F.col(tiebreak) if tiebreak is not None
+          else F.lit(0))
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast("long").alias("__tb"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(_MATCH_TS),
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(_SIDE),
+        tb.cast("long").alias("__tb"),
+        *[F.col(c) for c in payload],
+        F.col(right_ts).alias(_MATCH_TS),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys and c != ts],
+    ).select(l_tagged.columns)  # align column order for the union
+
+    unioned = l_tagged.unionByName(r_tagged)
+
+    asc = direction == "backward"
+    # Cumulative last() means the LAST-scanned duplicate wins; ascending
+    # tiebreak makes that the greatest, for either direction.
+    order = [F.col(ts).asc() if asc else F.col(ts).desc(),
+             F.col(_SIDE).asc(),
+             F.col("__tb").asc()]
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in payload
+          and c not in (_MATCH_TS,)],
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+          for c in payload],
+        F.last(F.col(_MATCH_TS), ignorenulls=True).over(w).alias(_MATCH_TS),
+    ).where(F.col(_SIDE) == 1)
+
+    if tolerance_seconds is not None:
+        tol_us = int(round(tolerance_seconds * 1_000_000))
+        delta = (_micros(F.col(ts)) - _micros(F.col(_MATCH_TS)))
+        if direction == "forward":
+            delta = -delta
+        in_tol = F.col(_MATCH_TS).isNotNull() & (delta <= F.lit(tol_us))
+        filled = filled.select(
+            *[c for c in filled.columns if c not in payload
+              and c != _MATCH_TS],
+            *[F.when(in_tol, F.col(c)).alias(c) for c in payload],
+            F.when(in_tol, F.col(_MATCH_TS)).alias(_MATCH_TS),
+        )
+
+    out_ts = _MATCH_TS
+    return (filled
+            .withColumnRenamed(out_ts, "asof_" + right_ts)
+            .drop(_SIDE, "__tb"))
+
+
+def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",
+               gap_seconds: float = 1800.0,
+               tiebreak: str | None = None,
+               out: str = "session_id") -> DataFrame:
+    """Assign gap-based session ids per key.
+
+    A new session starts at the first event of a key and whenever the
+    gap to the previous event exceeds ``gap_seconds`` (strictly).
+    ``out`` is a 1-based BIGINT dense within each key. One hash shuffle
+    on the key; integer-microsecond arithmetic so external systems
+    (and the DuckDB oracle) reproduce boundaries exactly.
+    """
+    gap_us = int(round(gap_seconds * 1_000_000))
+    order = [F.col(ts).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    prev_us = F.lag(_micros(F.col(ts))).over(w)
+    new_sess = F.when(
+        prev_us.isNull()
+        | ((_micros(F.col(ts)) - prev_us) > F.lit(gap_us)),
+        F.lit(1)).otherwise(F.lit(0))
+    running = (Window.partitionBy(key).orderBy(*order)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(out, F.sum(new_sess).over(running).cast("long"))

@@ -1,0 +1,112 @@
+"""Unit tests for operators/temporal.py (as-of join + sessionization).
+
+Scenario tests on tiny frames where the expected matches are hand-
+checkable; the sf0.01 parity vs DuckDB's native ASOF JOIN runs through
+the driver contract (queries ``asof_latest_view`` / ``sessions`` /
+``events_rollup``).
+"""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from osm2lanes_spark.operators.temporal import asof_join, sessionize
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(20), "b"), (2, _ts(5), "c"),
+         (3, _ts(30), "d")],
+        "k int, ts timestamp, l string")
+    right = spark.createDataFrame(
+        [(1, _ts(8), 100), (1, _ts(10), 150), (1, _ts(25), 200),
+         (2, _ts(7), 300)],
+        "k int, ts timestamp, v int")
+    return left, right
+
+
+def test_backward_basic(spark, frames):
+    left, right = frames
+    out = {(r.k, r.l): r.v
+           for r in asof_join(left, right, on="k").collect()}
+    # ties match (l.ts >= r.ts): the 00:10 left row takes the 00:10 right
+    assert out == {(1, "a"): 150, (1, "b"): 150, (2, "c"): None,
+                   (3, "d"): None}
+
+
+def test_forward_basic(spark, frames):
+    left, right = frames
+    out = {(r.k, r.l): r.v
+           for r in asof_join(left, right, on="k",
+                              direction="forward").collect()}
+    assert out == {(1, "a"): 150, (1, "b"): 200, (2, "c"): 300,
+                   (3, "d"): None}
+
+
+def test_tolerance_nulls_far_matches(spark, frames):
+    left, right = frames
+    out = {(r.k, r.l): (r.v, r.asof_ts)
+           for r in asof_join(left, right, on="k",
+                              tolerance_seconds=120).collect()}
+    # "b" at 00:20 only has the 00:10 right (600 s away) → nulled
+    assert out[(1, "a")] == (150, _ts(10))
+    assert out[(1, "b")] == (None, None)
+    assert out[(2, "c")] == (None, None)
+
+
+def test_tiebreak_greatest_wins(spark):
+    left = spark.createDataFrame([(1, _ts(10))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 7, "lo"), (1, _ts(10), 9, "hi"), (1, _ts(10), 8, "mid")],
+        "k int, ts timestamp, pri int, tag string")
+    row = asof_join(left, right, on="k", tiebreak="pri").collect()[0]
+    assert (row.pri, row.tag) == (9, "hi")
+    fwd = asof_join(left, right, on="k", direction="forward",
+                    tiebreak="pri").collect()[0]
+    assert (fwd.pri, fwd.tag) == (9, "hi")
+
+
+def test_payload_collision_raises(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("v", "l"), on="k")
+
+
+def test_bad_direction_raises(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", direction="nearest")
+
+
+def test_asof_single_shuffle_plan(spark, frames):
+    """The union-window formulation must cost ONE data exchange (hash on
+    the key) — no range-join blowup, no join-back shuffle."""
+    left, right = frames
+    plan = (asof_join(left, right, on="k")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_sessionize_gap_strict(spark):
+    # gap == threshold does NOT break the session (strictly greater does)
+    df = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(10)), (1, _ts(20, 1)), (2, _ts(0))],
+        "k int, ts timestamp")
+    out = {(r.k, r.ts.minute): r.session_id
+           for r in sessionize(df, key="k", ts="ts",
+                               gap_seconds=600).collect()}
+    assert out == {(1, 0): 1, (1, 10): 1, (1, 20): 2, (2, 0): 1}
+
+
+def test_sessionize_types(spark):
+    df = spark.createDataFrame([(1, _ts(0))], "k int, ts timestamp")
+    out = sessionize(df, key="k", ts="ts")
+    assert dict(out.dtypes)["session_id"] == "bigint"
