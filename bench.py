@@ -193,6 +193,18 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
     # on identical code); two more trials widen the quiet-window catch
     # at ~8 s bench cost
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+
+    def gc_ms():
+        # cumulative stop-the-world time across all JVM collectors; the
+        # delta over the trials attributes shared-heap pressure (in local
+        # mode every "executor" thread shares ONE driver heap — a real
+        # N→4N cluster adds a heap per executor)
+        beans = (spark._jvm.java.lang.management.ManagementFactory
+                 .getGarbageCollectorMXBeans())
+        return sum(beans.get(i).getCollectionTime()
+                   for i in range(beans.size()))
+
+    gc_before = gc_ms()
     trials = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -202,6 +214,7 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                          F.count(F.col("error")).alias("errors")).collect()[0]
         trials.append(time.perf_counter() - t0)
         assert agg["n"] == n_actual, (agg["n"], n_actual)
+    jvm_gc_ms = gc_ms() - gc_before
     trials.sort()
     # min wall time = the least-interfered trial — the standard estimator
     # of attainable throughput on a shared host
@@ -264,6 +277,7 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
 
     docs.unpersist()
     host = _host_evidence(host_before, _host_snapshot())
+    host["jvm_gc_ms_flagship_trials"] = int(jvm_gc_ms)
     # self-flag: the artifact is either clean or says it is not — a
     # failed pre-gate, or steal drawn during the run itself (this host's
     # throttle is demand-driven, so a clean gate does not guarantee a
