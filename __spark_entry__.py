@@ -596,6 +596,40 @@ def _q_hash_split(spark, sf_dir):
                  F.sum("n_chars").alias("sum_chars")))
 
 
+def _q_mixture(spark, sf_dir):
+    """Per-source mixture sampling (operators/sampling.py): src0 is
+    upweighted 2.25x (every doc twice, 25% thrice), src1 halved, src2
+    dropped, src3 1.75x, the rest kept at 1.0 — the curation->mixture
+    step of a training pipeline, as a pure function of (doc_id, seed) so
+    any engine reproduces the exact multiset. Aggregated per source."""
+    from osm2lanes_spark.operators.sampling import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    mixed = mixture_sample(
+        docs, {"src0": 2.25, "src1": 0.5, "src2": 0.0, "src3": 1.75},
+        source_col="source", id_col="doc_id", seed=7, default_rate=1.0)
+    return (mixed.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("rows_out"),
+                 F.countDistinct("doc_id").alias("docs_kept"),
+                 F.sum("mix_copy").alias("copy_sum"))
+            .orderBy("source"))
+
+
+def _q_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (operators/sampling.py): exactly
+    7 docs per source, ranked by the seeded md5-uniform of the doc id —
+    the eval-subset carve of a training pipeline, reproducible by any
+    engine. The scale path prefilters to ~n survivors per stratum before
+    the window; the oracle replays the selection with one QUALIFY."""
+    from osm2lanes_spark.operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    samp = stratified_sample(docs, 7, strata_col="source",
+                             id_col="doc_id", seed=3)
+    return (samp.select("source", "doc_id", "n_chars")
+            .orderBy("source", "doc_id"))
+
+
 def _q_doc_packing(spark, sf_dir):
     """Context-window packing (operators/packing.py): documents packed
     into 2048-token budgets per source by cumulative offset (two window
@@ -933,6 +967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _shipped(_q_dedup_survivors),
         "promo_revenue": _shipped(_q_promo_revenue),
         "hash_split": _shipped(_q_hash_split),
+        "mixture_sample": _shipped(_q_mixture),
+        "stratified_sample": _shipped(_q_stratified),
         "doc_packing": _shipped(_q_doc_packing),
         "doc_packing_exact": _shipped(_q_doc_packing_exact),
         "doc_packing_exact_global": _shipped(_q_doc_packing_exact_global),
@@ -1733,6 +1769,72 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM u GROUP BY 1, 2
+        """,
+        "mixture_sample": """
+            -- operators/sampling.py mixture_sample: the seeded
+            -- md5-uniform (doc_id || ':7'), per-source rate CASE,
+            -- floor(rate) + Bernoulli(frac) copies via unnest(range(n))
+            -- (range(0) = [] drops the row, mirroring the empty-array
+            -- explode)
+            WITH h AS (
+                SELECT doc_id, source,
+                       md5(CAST(doc_id AS VARCHAR) || ':7') AS m
+                FROM documents),
+            u AS (
+                SELECT doc_id, source,
+                       ((strpos('0123456789abcdef', substring(m, 1, 1)) - 1) * 268435456.0
+                      + (strpos('0123456789abcdef', substring(m, 2, 1)) - 1) * 16777216.0
+                      + (strpos('0123456789abcdef', substring(m, 3, 1)) - 1) * 1048576.0
+                      + (strpos('0123456789abcdef', substring(m, 4, 1)) - 1) * 65536.0
+                      + (strpos('0123456789abcdef', substring(m, 5, 1)) - 1) * 4096.0
+                      + (strpos('0123456789abcdef', substring(m, 6, 1)) - 1) * 256.0
+                      + (strpos('0123456789abcdef', substring(m, 7, 1)) - 1) * 16.0
+                      + (strpos('0123456789abcdef', substring(m, 8, 1)) - 1) * 1.0)
+                       / 4294967296.0 AS r
+                FROM h),
+            c AS (
+                SELECT doc_id, source, r,
+                       CASE source WHEN 'src0' THEN 2.25
+                                   WHEN 'src1' THEN 0.5
+                                   WHEN 'src2' THEN 0.0
+                                   WHEN 'src3' THEN 1.75
+                                   ELSE 1.0 END AS rate
+                FROM u),
+            e AS (
+                SELECT doc_id, source,
+                       unnest(range(CAST(FLOOR(rate) AS BIGINT)
+                                    + CASE WHEN r < rate - FLOOR(rate)
+                                           THEN 1 ELSE 0 END)) AS mix_copy
+                FROM c)
+            SELECT source,
+                   count(*) AS rows_out,
+                   count(DISTINCT doc_id) AS docs_kept,
+                   CAST(sum(mix_copy) AS BIGINT) AS copy_sum
+            FROM e GROUP BY source ORDER BY source
+        """,
+        "stratified_sample": """
+            -- operators/sampling.py stratified_sample: seeded
+            -- md5-uniform rank within each source, first 7 win
+            WITH h AS (
+                SELECT source, doc_id, n_chars,
+                       md5(CAST(doc_id AS VARCHAR) || ':3') AS m
+                FROM documents),
+            u AS (
+                SELECT source, doc_id, n_chars,
+                       ((strpos('0123456789abcdef', substring(m, 1, 1)) - 1) * 268435456.0
+                      + (strpos('0123456789abcdef', substring(m, 2, 1)) - 1) * 16777216.0
+                      + (strpos('0123456789abcdef', substring(m, 3, 1)) - 1) * 1048576.0
+                      + (strpos('0123456789abcdef', substring(m, 4, 1)) - 1) * 65536.0
+                      + (strpos('0123456789abcdef', substring(m, 5, 1)) - 1) * 4096.0
+                      + (strpos('0123456789abcdef', substring(m, 6, 1)) - 1) * 256.0
+                      + (strpos('0123456789abcdef', substring(m, 7, 1)) - 1) * 16.0
+                      + (strpos('0123456789abcdef', substring(m, 8, 1)) - 1) * 1.0)
+                       / 4294967296.0 AS r
+                FROM h)
+            SELECT source, doc_id, n_chars FROM u
+            QUALIFY row_number() OVER (PARTITION BY source
+                                       ORDER BY r, doc_id) <= 7
+            ORDER BY source, doc_id
         """,
         "doc_packing": """
             WITH tok AS (

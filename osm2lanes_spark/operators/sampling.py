@@ -11,7 +11,9 @@ cumulative weights.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,3 +46,130 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     expr = (F.lit(labels[-1]) if expr is None
             else expr.otherwise(labels[-1]))
     return df.withColumn(out, expr)
+
+
+def mixture_sample(df: DataFrame, rates: dict[str, float],
+                   source_col: str = "source", id_col: str = "doc_id",
+                   seed: int = 0, default_rate: float = 1.0,
+                   copy_col: str = "mix_copy") -> DataFrame:
+    """Deterministic per-source mixture sampling with fractional repeats.
+
+    The standard step between curation and packing in an LLM training
+    pipeline: each source gets a target rate — ``0.5`` keeps half its
+    rows, ``2.25`` emits every row twice plus a 25 % chance of a third
+    copy (epoch weighting). A row of rate ``r`` is emitted
+    ``floor(r) + Bernoulli(frac(r))`` times, the Bernoulli drawn from
+    the md5-uniform of ``(id, seed)`` — the same pure-function-of-id
+    property as :func:`hash_split` (re-runs and late shards agree with
+    no coordination), but *seeded*, so mixture decisions are independent
+    of split assignment. ``copy_col`` is the 0-based copy index
+    (distinguishes repeats downstream, e.g. for pack shuffling).
+
+    Entirely JVM-side: a literal CASE for the rate, one md5, one
+    ``explode(sequence)`` — no shuffle, no Python; rows with zero copies
+    vanish via the empty-array explode. Sources absent from ``rates``
+    get ``default_rate``.
+    """
+    for s, r in rates.items():
+        if r < 0:
+            raise ValueError(f"negative rate {r} for source {s!r}")
+    if default_rate < 0:
+        raise ValueError(f"negative default_rate {default_rate}")
+    if copy_col in df.columns:
+        raise ValueError(f"column {copy_col!r} already exists in the input")
+    rate = None
+    for s in rates:  # insertion order — deterministic CASE chain
+        cond = F.col(source_col) == F.lit(s)
+        r = F.lit(float(rates[s]))
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = (F.lit(float(default_rate)) if rate is None
+            else rate.otherwise(F.lit(float(default_rate))))
+    u = hash_uniform(F.concat(F.col(id_col).cast("string"),
+                              F.lit(f":{seed}")))
+    copies = (F.floor(rate).cast("long")
+              + (u < (rate - F.floor(rate))).cast("long"))
+    seq = (F.when(copies > F.lit(0),
+                  F.sequence(F.lit(0).cast("long"), copies - F.lit(1)))
+           .otherwise(F.array().cast("array<long>")))
+    return df.withColumn(copy_col, F.explode(seq))
+
+
+def stratified_sample(df: DataFrame, n: int, strata_col: str = "source",
+                      id_col: str = "doc_id", seed: int = 0,
+                      prefilter: bool = True,
+                      _margin: float | None = None) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, deterministically.
+
+    Rows are ranked within each stratum by the seeded md5-uniform of the
+    id (ties broken by the id itself), and the first ``n`` win — a pure
+    function of (id, seed), so the same eval subset falls out of any
+    engine, any re-run, any shard arrival order.
+
+    Scale shape: the naive formulation is one ``row_number`` window per
+    stratum — a hot stratum (90 % of a crawl under one source) sorts on
+    ONE task. With ``prefilter=True`` (default) the operator first
+    aggregates per-stratum counts (tiny table, broadcast back) and keeps
+    only rows with ``u <= (n + 6*sqrt(n) + 12) / count`` before the
+    window — the expected survivor set is ~``n`` per stratum regardless
+    of stratum size, so the window sorts thousands of rows, not
+    billions. The margin makes undershoot astronomically unlikely
+    (< exp(-12) per stratum by a Chernoff bound), but exactness is never
+    left to chance: strata whose survivor count came up short of
+    ``min(n, count)`` are re-run unfiltered and unioned in (a second
+    tiny job touching only the unlucky strata; almost always empty).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    reserved = {"__u", "__rn", "__s", "__cnt", "__thr", "__got",
+                "__g_s", "__short_s"}
+    clash = sorted(reserved.intersection(df.columns))
+    if clash:
+        raise ValueError(f"column(s) {clash} already exist in the input "
+                         "— the __-prefixed internals are reserved")
+    u = hash_uniform(F.concat(F.col(id_col).cast("string"),
+                              F.lit(f":{seed}"))).alias("__u")
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.col("__u").asc(), F.col(id_col).asc()))
+
+    def top_n(frame: DataFrame) -> DataFrame:
+        return (frame.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= n).drop("__rn", "__u"))
+
+    hashed = df.withColumn("__u", u)
+    if not prefilter:
+        return top_n(hashed)
+    counts = (df.groupBy(strata_col)
+              .agg(F.count(F.lit(1)).alias("__cnt")))
+    margin = float(n + 6.0 * math.sqrt(n) + 12.0) if _margin is None \
+        else float(_margin)  # test hook: force the undershoot fallback
+    thresh = F.least(F.lit(1.0), F.lit(margin) / F.col("__cnt"))
+    keyed = counts.select(
+        F.col(strata_col).alias("__s"),
+        F.col("__cnt"), thresh.alias("__thr"))
+    cand = (hashed.join(F.broadcast(keyed),
+                        F.col(strata_col).eqNullSafe(F.col("__s")))
+            .where(F.col("__u") <= F.col("__thr")))
+    picked = top_n(cand.drop("__s", "__cnt", "__thr"))
+    # exactness check: any stratum whose candidate pool undershot
+    # min(n, count) re-runs unfiltered (almost always no stratum does).
+    # LEFT join from the counts table so a stratum with an EMPTY
+    # candidate pool (absent from cand entirely) is also caught
+    got = (cand.groupBy(F.col("__s").alias("__g_s"))
+           .agg(F.count(F.lit(1)).alias("__got")))
+    short = (keyed.join(got, F.col("__s").eqNullSafe(F.col("__g_s")),
+                        "left")
+             .where(F.coalesce(F.col("__got"), F.lit(0))
+                    < F.least(F.lit(n), F.col("__cnt")))
+             .select(F.col("__s").alias("__short_s")))
+    short_rows = [r["__short_s"] for r in short.collect()]
+    if not short_rows:
+        return picked
+    # NULL is a legal stratum: isin() yields NULL for a NULL column, so
+    # coalesce to keep non-short NULL-strata rows under the negation
+    non_null = [s for s in short_rows if s is not None]
+    is_short = (F.coalesce(F.col(strata_col).isin(non_null), F.lit(False))
+                if non_null else F.lit(False))
+    if None in short_rows:
+        is_short = is_short | F.col(strata_col).isNull()
+    return (picked.where(~is_short)
+            .unionByName(top_n(hashed.where(is_short))))

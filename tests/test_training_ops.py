@@ -485,6 +485,109 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert abs(c2["a"] / 20000 - 0.75) < 0.02
 
 
+def test_mixture_sample_exact_multiset(spark):
+    from osm2lanes_spark.operators.sampling import mixture_sample
+    import hashlib
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"a": 2.25, "b": 0.5, "c": 0.0}
+    got = mixture_sample(df, rates, id_col="doc_id", seed=7,
+                         default_rate=1.0).collect()
+
+    def u(i):
+        m = hashlib.md5(f"{i}:7".encode()).hexdigest()
+        return int(m[:8], 16) / 2**32
+
+    import math
+    expect = {}
+    for i, s in rows:
+        r = rates[s]
+        n = int(math.floor(r)) + (1 if u(i) < r - math.floor(r) else 0)
+        if n:
+            expect[i] = n
+    counts = {}
+    for row in got:
+        counts[row["doc_id"]] = counts.get(row["doc_id"], 0) + 1
+        assert 0 <= row["mix_copy"] < expect[row["doc_id"]]
+    assert counts == expect  # exact multiset, engine-independent
+    # copy indices are each of 0..n-1 exactly once
+    copies = {}
+    for row in got:
+        copies.setdefault(row["doc_id"], []).append(row["mix_copy"])
+    assert all(sorted(v) == list(range(len(v))) for v in copies.values())
+    # c (rate 0) fully dropped
+    assert all(r["source"] != "c" for r in got)
+
+
+def test_mixture_sample_guards(spark):
+    from osm2lanes_spark.operators.sampling import mixture_sample
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError, match="negative rate"):
+        mixture_sample(df, {"a": -0.5})
+    with _pytest.raises(ValueError, match="already exists"):
+        mixture_sample(df.withColumn("mix_copy", F.lit(0)), {"a": 1.0})
+    # default_rate=0 with empty rates drops everything
+    assert mixture_sample(df, {}, default_rate=0.0).count() == 0
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from osm2lanes_spark.operators.sampling import stratified_sample
+    import hashlib
+
+    # strata: 'big' 600 rows, 'small' 4 rows (< n), NULL stratum 40 rows
+    rows = ([(i, "big") for i in range(600)]
+            + [(1000 + i, "small") for i in range(4)]
+            + [(2000 + i, None) for i in range(40)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def u(i):
+        m = hashlib.md5(f"{i}:5".encode()).hexdigest()
+        return int(m[:8], 16) / 2**32
+
+    expect = {}
+    for s in ("big", "small", None):
+        ids = [i for i, src in rows if src == s]
+        ids.sort(key=lambda i: (u(i), i))
+        expect[s] = set(ids[:10])
+
+    got = stratified_sample(df, 10, strata_col="source",
+                            id_col="doc_id", seed=5).collect()
+    by_s = {}
+    for r in got:
+        by_s.setdefault(r["source"], set()).add(r["doc_id"])
+    assert by_s == {k: v for k, v in expect.items() if v}
+    assert len(by_s["big"]) == 10 and len(by_s["small"]) == 4
+    assert len(by_s[None]) == 10
+
+    # prefilter path == naive windowed path
+    naive = stratified_sample(df, 10, strata_col="source",
+                              id_col="doc_id", seed=5,
+                              prefilter=False).collect()
+    assert {(r["source"], r["doc_id"]) for r in naive} \
+        == {(r["source"], r["doc_id"]) for r in got}
+
+
+def test_stratified_sample_undershoot_fallback(spark):
+    from osm2lanes_spark.operators.sampling import stratified_sample
+
+    # _margin=0.05 makes the prefilter threshold tiny for the 200-row
+    # stratum, forcing the exactness fallback to re-run it unfiltered;
+    # the result must STILL be exactly n per stratum
+    rows = ([(i, "a") for i in range(200)]
+            + [(500 + i, "b") for i in range(30)]
+            + [(900 + i, None) for i in range(25)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    forced = stratified_sample(df, 8, strata_col="source",
+                               id_col="doc_id", seed=1, _margin=0.05)
+    clean = stratified_sample(df, 8, strata_col="source",
+                              id_col="doc_id", seed=1, prefilter=False)
+    assert {(r["source"], r["doc_id"]) for r in forced.collect()} \
+        == {(r["source"], r["doc_id"]) for r in clean.collect()}
+
+
 def test_contiguous_packs_semantics(spark):
     from osm2lanes_spark.operators.packing import contiguous_packs
 
