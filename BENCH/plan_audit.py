@@ -19,6 +19,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 NOTES = {
+    "mixture_sample": """\
+The mixture itself is shuffle-free: rate CASE, md5-uniform, and
+explode(sequence) all run inside the scan's WholeStageCodegen (explode
+breaks codegen into Generate but stays in the same narrow stage); the
+only Exchange is the final per-source aggregate, partial-combined
+map-side. At 100 TB the operator adds zero data movement to whatever
+consumes it.""",
+    "stratified_sample": """\
+Two tiny jobs + one window: per-stratum counts aggregate (rows =
+#strata), broadcast back (BroadcastHashJoin — no shuffle of the corpus),
+prefilter to ~n survivors per stratum, then the row_number window sorts
+only survivors — a 90%-hot stratum contributes ~n rows to its window
+task instead of its full size. The undershoot fallback plan only exists
+for strata the Chernoff margin missed (driver-checked; empty in
+practice).""",
+    "asof_latest_view": """\
+Union-window as-of join: both sides are tagged and unioned (no join
+node at all), then ONE hash Exchange on the key feeds the per-key sort
+and the last(ignorenulls) propagation — the same single shuffle an
+equi-join would pay, with no range-join quadratic blowup. Plan-asserted
+single Exchange in tests/test_plans.py.""",
+    "sessions": """\
+One hash Exchange on user_id shared by the lag and the running-sum
+windows (same partitioning, one sort); session boundaries are integer-
+microsecond arithmetic inside codegen.""",
     "lanes_pipeline": """\
 ONE Python stage, ZERO Exchange: span assembly (Catalyst HOFs), the JVM
 morton-cell encode, and the Arrow-batched tags_to_lanes kernel with fused
@@ -163,7 +188,9 @@ def main() -> None:
 
     for name in ("region_revenue", "dedup_exact", "minhash_pairs",
                  "grid_binning", "s2_binning", "zonal", "promo_revenue",
-                 "hash_split", "doc_packing", "label_centroids"):
+                 "hash_split", "doc_packing", "label_centroids",
+                 "mixture_sample", "stratified_sample",
+                 "asof_latest_view", "sessions"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join
