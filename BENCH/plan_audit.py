@@ -40,6 +40,13 @@ node at all), then ONE hash Exchange on the key feeds the per-key sort
 and the last(ignorenulls) propagation — the same single shuffle an
 equi-join would pay, with no range-join quadratic blowup. Plan-asserted
 single Exchange in tests/test_plans.py.""",
+    "asof_bucketed": """\
+The skew-safe flavor: the main window's Exchange keys include the time
+bucket (hashpartitioning(user_id, __bkt)), so one hot user spreads over
+its hours instead of serializing; the extra subtree is the carry
+computation — a row_number over (key, bucket) on the right side plus a
+bucket-granularity as-of whose window table has one row per occupied
+(key, bucket), bounded by time-span/bucket regardless of skew.""",
     "sessions": """\
 One hash Exchange on user_id shared by the lag and the running-sum
 windows (same partitioning, one sort); session boundaries are integer-
@@ -190,7 +197,7 @@ def main() -> None:
                  "grid_binning", "s2_binning", "zonal", "promo_revenue",
                  "hash_split", "doc_packing", "label_centroids",
                  "mixture_sample", "stratified_sample",
-                 "asof_latest_view", "sessions"):
+                 "asof_latest_view", "asof_bucketed", "sessions"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

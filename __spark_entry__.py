@@ -899,6 +899,28 @@ def _q_asof_latest_view(spark, sf_dir):
         (_micros(F.col("ts")) - _micros(F.col("asof_ts"))).alias("gap_us"))
 
 
+def _q_asof_bucketed(spark, sf_dir):
+    """The SKEW-SAFE as-of path (bucket_seconds: the final window
+    partitions by (user_id, hour-bucket) and carry-in state flows
+    through a bucket-level as-of over the tiny per-bucket extreme-row
+    table) under the SAME DuckDB native-ASOF oracle as
+    ``asof_latest_view`` — hard evidence the hot-key formulation is
+    output-identical, not merely property-tested."""
+    from osm2lanes_spark.operators.temporal import _micros, asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    views = (ev.where(F.col("event_type") == "view")
+             .select("user_id", "ts", F.col("event_id").alias("view_id"),
+                     F.col("value").alias("view_value")))
+    joined = asof_join(clicks, views, on="user_id", ts="ts",
+                       tiebreak="view_id", bucket_seconds=3600.0)
+    return joined.select(
+        "user_id", "click_id", "view_id", "view_value",
+        (_micros(F.col("ts")) - _micros(F.col("asof_ts"))).alias("gap_us"))
+
+
 def _q_sessions(spark, sf_dir):
     """Gap-based sessionization (operators/temporal.py): 8-hour gap →
     per-session event count, span and first event. Integer-microsecond
@@ -979,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _shipped(_q_multimodal),
         "locale_spatial": _shipped(_q_locale_spatial),
         "asof_latest_view": _shipped(_q_asof_latest_view),
+        "asof_bucketed": _shipped(_q_asof_bucketed),
         "sessions": _shipped(_q_sessions),
         "events_rollup": _shipped(_q_events_rollup),
     }
@@ -1982,6 +2005,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "asof_latest_view": """
+            SELECT c.user_id, c.event_id AS click_id,
+                   v.event_id AS view_id, v.value AS view_value,
+                   epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "asof_bucketed": """
+            -- same oracle as asof_latest_view: the bucketed engine path
+            -- must be output-identical to the plain one
             SELECT c.user_id, c.event_id AS click_id,
                    v.event_id AS view_id, v.value AS view_value,
                    epoch_us(c.ts) - epoch_us(v.ts) AS gap_us

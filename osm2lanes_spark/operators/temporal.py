@@ -24,10 +24,18 @@ union-window:
 
 Cost at 100 TB: ONE hash exchange on the key plus the per-key window
 sort — the same shuffle the equivalent equi-join would pay, with no
-range-join blowup. Skew caveat: a single hot key serializes into one
-window task (inherent to per-key ordering; mitigate upstream by
-splitting hot keys on a coarse time bucket and as-of joining per
-bucket with the previous bucket's tail replicated).
+range-join blowup. Skew: with the default ``bucket_seconds=None`` a
+single hot key serializes into one window task (inherent to per-key
+ordering). Passing ``bucket_seconds`` activates the skew-safe
+formulation: both sides are split on (key, floor(ts/bucket)), the
+"carry-in" match for each left bucket (the latest right row in any
+EARLIER bucket) is computed by a *bucket-level* as-of join over the
+tiny per-(key, bucket) last-right table — the same two-level
+global/local decomposition as the packing operator's distributed
+prefix sum — and injected as a sentinel row that sorts before
+everything in its bucket. The final window partitions by
+(key, bucket), so a hot key's work spreads across time buckets;
+output is identical to the unbucketed path (property-tested).
 
 ``sessionize`` — gap-based session ids: lag over the per-key time
 order, flag gaps larger than ``gap``, running sum of flags. Same
@@ -57,7 +65,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
               ts: str = "ts", right_ts: str | None = None,
               direction: str = "backward",
               tolerance_seconds: float | None = None,
-              tiebreak: str | None = None) -> DataFrame:
+              tiebreak: str | None = None,
+              bucket_seconds: float | None = None) -> DataFrame:
     """As-of join ``left`` to the nearest ``right`` row per key.
 
     Parameters
@@ -73,6 +82,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
         (key, ts); the greatest wins. Without it, duplicate right
         timestamps within a key pick the physically-last row —
         nondeterministic, so pass one whenever (key, ts) is not unique.
+    bucket_seconds : if set, the skew-safe formulation (module
+        docstring): the final window partitions by (key,
+        floor(ts/bucket)), so a hot key spreads across time buckets
+        instead of serializing onto one task; carry-in state flows
+        through a bucket-granularity as-of join over the tiny
+        per-(key, bucket) extreme-row table. Identical output.
+        Timestamps must be non-null on both sides (carry sentinels use
+        NULL ordering internally).
 
     Returns the left schema plus every non-key right column (collisions
     with a left name raise) — NULL where nothing matched.
@@ -113,15 +130,33 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
           for c in left.columns if c not in keys and c != ts],
     ).select(l_tagged.columns)  # align column order for the union
 
-    unioned = l_tagged.unionByName(r_tagged)
+    part_keys = list(keys)
+    if bucket_seconds is not None:
+        bucket_us = int(round(bucket_seconds * 1_000_000))
+        if bucket_us < 1:
+            raise ValueError(f"bucket_seconds too small: {bucket_seconds}")
+        bkt = F.floor(_micros(F.col(ts)) / F.lit(bucket_us))
+        l_tagged = l_tagged.withColumn("__bkt", bkt)
+        r_tagged = r_tagged.withColumn("__bkt", bkt)
+        carry = _carry_rows(l_tagged, r_tagged, left, keys, ts,
+                            payload, direction)
+        unioned = (l_tagged.unionByName(r_tagged)
+                   .unionByName(carry))
+        part_keys = keys + ["__bkt"]
+    else:
+        unioned = l_tagged.unionByName(r_tagged)
 
     asc = direction == "backward"
     # Cumulative last() means the LAST-scanned duplicate wins; ascending
-    # tiebreak makes that the greatest, for either direction.
-    order = [F.col(ts).asc() if asc else F.col(ts).desc(),
+    # tiebreak makes that the greatest, for either direction. Carry
+    # sentinels ride on a NULL timestamp, which must sort FIRST under
+    # both directions (nulls_first explicitly — desc defaults to
+    # nulls_last).
+    order = [F.col(ts).asc_nulls_first() if asc
+             else F.col(ts).desc_nulls_first(),
              F.col(_SIDE).asc(),
              F.col("__tb").asc()]
-    w = (Window.partitionBy(*keys).orderBy(*order)
+    w = (Window.partitionBy(*part_keys).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = unioned.select(
         *[c for c in unioned.columns if c not in payload
@@ -147,7 +182,61 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     out_ts = _MATCH_TS
     return (filled
             .withColumnRenamed(out_ts, "asof_" + right_ts)
-            .drop(_SIDE, "__tb"))
+            .drop(_SIDE, "__tb", "__bkt"))
+
+
+def _carry_rows(l_tagged: DataFrame, r_tagged: DataFrame, left: DataFrame,
+                keys: list, ts: str, payload: list,
+                direction: str) -> DataFrame:
+    """One sentinel row per (key, left-bucket): the right row a left row
+    at the very start (backward) / end (forward) of the bucket would
+    match — i.e. the latest right row in any EARLIER bucket (resp.
+    earliest in any LATER one).
+
+    Computed without touching full data twice: a row_number picks each
+    (key, right-bucket)'s extreme right row (the only row of that bucket
+    that can ever carry), and a *bucket-granularity* recursive
+    :func:`asof_join` (default unbucketed path) matches left buckets to
+    those extremes on the bucket index. That table has one row per
+    (key, occupied bucket) — bounded by time-span/bucket, not by row
+    count — so its per-key window is safe even for the hot key that
+    motivated bucketing. Shaped exactly like ``l_tagged``: left payload
+    NULL, side -1, ``ts`` NULL (sorts first in its bucket's window)."""
+    backward = direction == "backward"
+    # the bucket's extreme right row: last-scanned under the main
+    # window's order within its own bucket (greatest (ts, tb) for
+    # backward; least ts then greatest tb for forward)
+    pick = Window.partitionBy(*keys, "__bkt").orderBy(
+        F.col(ts).desc() if backward else F.col(ts).asc(),
+        F.col("__tb").desc())
+    rext = (r_tagged.withColumn("__rn", F.row_number().over(pick))
+            .where(F.col("__rn") == 1)
+            .select(*keys, F.col("__bkt").alias("__rbkt"),
+                    *[F.col(c).alias(f"__c{i}")
+                      for i, c in enumerate(payload)],
+                    F.col(_MATCH_TS).alias("__carry_ts"),
+                    F.col("__tb").alias("__carry_tb")))
+    # "__lbkt", not "__bkt": the recursive call drops a "__bkt" column
+    # from ITS output (it is this function's own internal name)
+    lbuck = (l_tagged.select(*keys, F.col("__bkt").alias("__lbkt"))
+             .distinct()
+             .withColumn("__q", F.col("__lbkt")
+                         + F.lit(-1 if backward else 1)))
+    m = asof_join(lbuck, rext, on=keys, ts="__q", right_ts="__rbkt",
+                  direction=direction)
+    matched = m.where(F.col("__carry_ts").isNotNull())
+    cols = []
+    for c in left.columns:
+        if c in keys:
+            cols.append(F.col(c))
+        else:
+            cols.append(F.lit(None).cast(left.schema[c].dataType).alias(c))
+    cols += [F.lit(-1).alias(_SIDE),
+             F.col("__carry_tb").alias("__tb"),
+             *[F.col(f"__c{i}").alias(c) for i, c in enumerate(payload)],
+             F.col("__carry_ts").alias(_MATCH_TS),
+             F.col("__lbkt").alias("__bkt")]
+    return matched.select(*cols)
 
 
 def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",

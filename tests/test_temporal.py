@@ -95,6 +95,59 @@ def test_asof_single_shuffle_plan(spark, frames):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_bucketed_carry_across_empty_buckets(spark, frames):
+    """bucket_seconds=60 puts every fixture row in its own minute
+    bucket; the (1, 00:20) left row's match lives 10 empty buckets back
+    and must arrive via the carry sentinel."""
+    left, right = frames
+    out = {(r.k, r.l): r.v
+           for r in asof_join(left, right, on="k",
+                              bucket_seconds=60).collect()}
+    assert out == {(1, "a"): 150, (1, "b"): 150, (2, "c"): None,
+                   (3, "d"): None}
+    fwd = {(r.k, r.l): r.v
+           for r in asof_join(left, right, on="k", direction="forward",
+                              bucket_seconds=60).collect()}
+    assert fwd == {(1, "a"): 150, (1, "b"): 200, (2, "c"): 300,
+                   (3, "d"): None}
+
+
+def test_bucketed_equals_plain_randomized(spark):
+    """The skew-safe path must be OUTPUT-IDENTICAL to the plain path:
+    400x300 random rows with a hot key, duplicate timestamps (tiebreak
+    resolves), both directions, with and without tolerance."""
+    import random
+
+    rnd = random.Random(42)
+    lrows = [(rnd.choice([1, 1, 1, 1, 2, 3]),
+              _ts(rnd.randrange(60), rnd.randrange(60)), f"l{i}")
+             for i in range(400)]
+    rrows = [(rnd.choice([1, 1, 1, 2, 4]),
+              _ts(rnd.randrange(60), rnd.randrange(60)), i)
+             for i in range(300)]
+    left = spark.createDataFrame(lrows, "k int, ts timestamp, l string")
+    right = spark.createDataFrame(rrows, "k int, ts timestamp, v int")
+    for direction in ("backward", "forward"):
+        for tol in (None, 180):
+            kw = dict(on="k", direction=direction,
+                      tolerance_seconds=tol, tiebreak="v")
+            plain = asof_join(left, right, **kw).collect()
+            buck = asof_join(left, right, bucket_seconds=120,
+                             **kw).collect()
+            canon = lambda rows: sorted(
+                (r.k, r.ts, r.l, r.v, r.asof_ts) for r in rows)
+            assert canon(plain) == canon(buck), (direction, tol)
+
+
+def test_bucketed_window_partitions_by_bucket(spark, frames):
+    """The point of bucketing: the main window's partition spec includes
+    the bucket, so a hot key cannot serialize onto one task."""
+    left, right = frames
+    plan = (asof_join(left, right, on="k", bucket_seconds=60)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "__bkt" in plan  # bucket participates in the partitioning
+
+
 def test_sessionize_gap_strict(spark):
     # gap == threshold does NOT break the session (strictly greater does)
     df = spark.createDataFrame(
