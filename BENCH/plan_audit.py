@@ -20,12 +20,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 NOTES = {
     "mixture_sample": """\
-The mixture itself is shuffle-free: rate CASE, md5-uniform, and
-explode(sequence) all run inside the scan's WholeStageCodegen (explode
-breaks codegen into Generate but stays in the same narrow stage); the
-only Exchange is the final per-source aggregate, partial-combined
-map-side. At 100 TB the operator adds zero data movement to whatever
-consumes it.""",
+The mixture operator contributes ZERO exchanges: rate CASE, md5-uniform
+and explode(sequence) run in the scan's narrow stage (Generate splits
+the codegen span but not the stage). All three Exchanges in this plan
+belong to the DEMO aggregation, not the operator: two-phase
+count-distinct (partial by (source, doc_id), then merge by source) plus
+the orderBy range sort — each partial-combined map-side first. At
+100 TB the operator adds zero data movement to whatever consumes it.""",
     "stratified_sample": """\
 Two tiny jobs + one window: per-stratum counts aggregate (rows =
 #strata), broadcast back (BroadcastHashJoin — no shuffle of the corpus),
