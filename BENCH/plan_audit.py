@@ -48,6 +48,13 @@ its hours instead of serializing; the extra subtree is the carry
 computation — a row_number over (key, bucket) on the right side plus a
 bucket-granularity as-of whose window table has one row per occupied
 (key, bucket), bounded by time-span/bucket regardless of skew.""",
+    "sessions_scale": """\
+The skew-safe sessionize: repartitionByRange on (user, ts, event) gives
+equal-sized partitions under any user skew; the per-(partition, user)
+windows are bounded by partition size, and both the lag and the session
+prefix count cross partition borders through ONE broadcast-joined tiny
+subtotal table (one row per partition-user segment). No per-user task
+anywhere; the checkpointed range stage truncates out of this dump.""",
     "sessions": """\
 One hash Exchange on user_id shared by the lag and the running-sum
 windows (same partitioning, one sort); session boundaries are integer-
@@ -198,7 +205,8 @@ def main() -> None:
                  "grid_binning", "s2_binning", "zonal", "promo_revenue",
                  "hash_split", "doc_packing", "label_centroids",
                  "mixture_sample", "stratified_sample",
-                 "asof_latest_view", "asof_bucketed", "sessions"):
+                 "asof_latest_view", "asof_bucketed", "sessions",
+                 "sessions_scale"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

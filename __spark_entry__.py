@@ -938,6 +938,25 @@ def _q_sessions(spark, sf_dir):
                  F.min("event_id").alias("first_event")))
 
 
+def _q_sessions_scale(spark, sf_dir):
+    """The SCALE-SAFE sessionize path (range-partitioned two-pass prefix
+    of gap flags — no per-user window task; the packing operator's
+    global/local decomposition applied to session counting) under the
+    SAME SQL window-replay oracle as ``sessions`` — hard evidence the
+    distributed formulation is output-identical."""
+    from osm2lanes_spark.operators.temporal import _micros, sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    sess = sessionize(ev, key="user_id", ts="ts",
+                      gap_seconds=8 * 3600, tiebreak="event_id",
+                      scale_safe=True)
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (_micros(F.max("ts"))
+                  - _micros(F.min("ts"))).alias("duration_us"),
+                 F.min("event_id").alias("first_event")))
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -1003,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_view": _shipped(_q_asof_latest_view),
         "asof_bucketed": _shipped(_q_asof_bucketed),
         "sessions": _shipped(_q_sessions),
+        "sessions_scale": _shipped(_q_sessions_scale),
         "events_rollup": _shipped(_q_events_rollup),
     }
 
@@ -2025,6 +2045,30 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "sessions": """
+            WITH d AS (
+                SELECT user_id, ts, event_id,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS prev_us
+                FROM events),
+            s AS (
+                SELECT user_id, ts, event_id,
+                       CAST(sum(CASE WHEN prev_us IS NULL
+                                       OR epoch_us(ts) - prev_us > 28800000000
+                                     THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
+                FROM d)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+                   min(event_id) AS first_event
+            FROM s GROUP BY user_id, session_id
+        """,
+        "sessions_scale": """
+            -- same oracle as sessions: the scale-safe engine path must
+            -- be output-identical to the windowed one
             WITH d AS (
                 SELECT user_id, ts, event_id,
                        lag(epoch_us(ts)) OVER (

@@ -242,19 +242,36 @@ def _carry_rows(l_tagged: DataFrame, r_tagged: DataFrame, left: DataFrame,
 def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",
                gap_seconds: float = 1800.0,
                tiebreak: str | None = None,
-               out: str = "session_id") -> DataFrame:
+               out: str = "session_id",
+               scale_safe: bool = False,
+               num_partitions: int | None = None) -> DataFrame:
     """Assign gap-based session ids per key.
 
     A new session starts at the first event of a key and whenever the
     gap to the previous event exceeds ``gap_seconds`` (strictly).
-    ``out`` is a 1-based BIGINT dense within each key. One hash shuffle
-    on the key; integer-microsecond arithmetic so external systems
-    (and the DuckDB oracle) reproduce boundaries exactly.
+    ``out`` is a 1-based BIGINT dense within each key. Integer-
+    microsecond arithmetic so external systems (and the DuckDB oracle)
+    reproduce boundaries exactly.
+
+    Default path: one hash shuffle on the key, per-key lag + running-sum
+    windows — a hot key serializes into one window task. With
+    ``scale_safe=True`` the hot-key caveat is gone: session ids are a
+    prefix COUNT of gap flags, so the operator reuses the packing
+    operator's range-partitioned two-pass decomposition
+    (:mod:`osm2lanes_spark.operators.packing`): repartitionByRange
+    (key, ts, tiebreak) gives ~equal partitions under ANY key skew; the
+    lag crosses partition borders through a tiny per-(partition, key)
+    last-timestamp table; the flag prefix sum crosses them through the
+    same table's flag subtotals — two broadcast-sized stitches, no
+    per-key task anywhere. Output is identical (property-tested).
     """
     gap_us = int(round(gap_seconds * 1_000_000))
     order = [F.col(ts).asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
+    if scale_safe:
+        return _sessionize_distributed(df, key, ts, gap_us, tiebreak,
+                                       out, num_partitions)
     w = Window.partitionBy(key).orderBy(*order)
     prev_us = F.lag(_micros(F.col(ts))).over(w)
     new_sess = F.when(
@@ -264,3 +281,99 @@ def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",
     running = (Window.partitionBy(key).orderBy(*order)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return df.withColumn(out, F.sum(new_sess).over(running).cast("long"))
+
+
+def _sessionize_distributed(df: DataFrame, key: str, ts: str, gap_us: int,
+                            tiebreak: str | None, out: str,
+                            num_partitions: int | None) -> DataFrame:
+    """Range-partitioned sessionize: no per-key window task.
+
+    1. repartitionByRange on (key, ts[, tiebreak]) and stamp the
+       partition id — partitions are ~equal-sized regardless of key
+       skew, and ascending pid order == ascending (key, ts) order.
+       localCheckpoint pins the relation: the per-row branch and the
+       two subtotal branches must agree on partition ids (re-executed
+       range shuffles re-sample their boundaries — the packing
+       operator's measured pitfall).
+    2. local lag per (__pid, key); each partition's FIRST row of a key
+       takes its predecessor timestamp from the tiny per-(pid, key)
+       aggregate table, lag'd over ascending pid within the key and
+       broadcast back. Gap flags are then exact everywhere.
+    3. session id = inclusive prefix COUNT of flags = local running
+       count + the broadcast running total of earlier partitions' flag
+       counts — the same two-pass prefix sum as step 2, reusing one
+       subtotal table for both stitches.
+    """
+    reserved = {"__pid", "__mic", "__prev", "__flag", "__loc", out}
+    clash = sorted(reserved.intersection(df.columns))
+    if clash:
+        raise ValueError(f"column(s) {clash} already exist in the input "
+                         "— rename them (out= and __-prefixed internals "
+                         "are reserved)")
+    range_cols = [F.col(key), F.col(ts).asc()]
+    order = [F.col(ts).asc()]
+    if tiebreak is not None:
+        range_cols.append(F.col(tiebreak).asc())
+        order.append(F.col(tiebreak).asc())
+    ranged = (df.repartitionByRange(num_partitions, *range_cols)
+              if num_partitions else df.repartitionByRange(*range_cols))
+    ranged = (ranged.withColumn("__pid", F.spark_partition_id())
+              .withColumn("__mic", _micros(F.col(ts)))
+              .localCheckpoint(eager=False))
+
+    w_local = Window.partitionBy("__pid", key).orderBy(*order)
+    prev_local = F.lag("__mic").over(w_local)
+    flag_if = lambda prev: F.when(  # noqa: E731
+        prev.isNull() | ((F.col("__mic") - prev) > F.lit(gap_us)),
+        F.lit(1)).otherwise(F.lit(0))
+
+    # tiny table: one row per (partition, key) — O(#partitions + #keys)
+    # rows. __last stitches the lag; __flags stitches the prefix count.
+    # Local flags must be projected BEFORE the aggregate (a window
+    # function cannot appear inside agg()).
+    local_flagged = ranged.withColumn("__loc", flag_if(prev_local))
+    sub = (local_flagged
+           .groupBy("__pid", key)
+           .agg(F.max("__mic").alias("__last"),
+                F.min("__mic").alias("__first_mic"),
+                F.sum("__loc").alias("__locsum")))
+    # __locsum is WRONG for the prefix stitch by exactly the boundary
+    # row: the first row of a (pid, key) group flags 1 locally (its lag
+    # is NULL) even when the true predecessor (previous pid's last
+    # event) is within the gap. True flag count of a group =
+    # local count - 1 + boundary_flag(prev pid's __last) — the boundary
+    # flag depends only on the PREDECESSOR partition's last timestamp,
+    # never on that partition's own stitching, so the fix composes
+    # exactly.
+    w_key = Window.partitionBy(key).orderBy(F.col("__pid").asc())
+    prev_last = F.lag("__last").over(w_key)
+    boundary_flag = F.when(
+        prev_last.isNull()
+        | ((F.col("__first_mic") - prev_last) > F.lit(gap_us)),
+        F.lit(1)).otherwise(F.lit(0))
+    fixed = sub.select(
+        F.col("__pid").alias("__p_pid"),
+        F.col(key).alias("__p_key"),
+        prev_last.alias("__prev_last"),
+        (F.col("__locsum") - 1 + boundary_flag).alias("__flags"))
+    fixed = fixed.withColumn(
+        "__flags_before",
+        F.coalesce(
+            F.sum("__flags").over(
+                Window.partitionBy("__p_key").orderBy(F.col("__p_pid").asc())
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+
+    cond = (F.col("__pid") == F.col("__p_pid")) \
+        & F.col(key).eqNullSafe(F.col("__p_key"))
+    joined = ranged.join(F.broadcast(fixed), cond)
+    prev_mic = F.coalesce(F.lag("__mic").over(w_local),
+                          F.col("__prev_last"))
+    flag = flag_if(prev_mic)
+    w_run = (Window.partitionBy("__pid", key).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    session = (F.sum(flag).over(w_run) + F.col("__flags_before"))
+    return (joined
+            .withColumn(out, session.cast("long"))
+            .drop("__pid", "__mic", "__p_pid", "__p_key", "__prev_last",
+                  "__flags", "__flags_before"))

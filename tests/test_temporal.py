@@ -159,6 +159,39 @@ def test_sessionize_gap_strict(spark):
     assert out == {(1, 0): 1, (1, 10): 1, (1, 20): 2, (2, 0): 1}
 
 
+def test_sessionize_scale_safe_boundary_rows(spark):
+    """Events 10 min apart, gap 600 s (ties stay), forced through 5 tiny
+    range partitions: partition-boundary rows must NOT open sessions."""
+    df = spark.createDataFrame(
+        [(1, _ts(10 * i)) for i in range(6)] + [(2, _ts(0)), (2, _ts(59))],
+        "k int, ts timestamp")
+    out = {(r.k, r.ts.minute): r.session_id
+           for r in sessionize(df, key="k", ts="ts", gap_seconds=600,
+                               scale_safe=True, num_partitions=5).collect()}
+    assert out == {(1, 0): 1, (1, 10): 1, (1, 20): 1, (1, 30): 1,
+                   (1, 40): 1, (1, 50): 1, (2, 0): 1, (2, 59): 2}
+
+
+def test_sessionize_scale_safe_equals_plain_randomized(spark):
+    """scale_safe=True must be output-identical to the windowed path:
+    500 random events, one hot key, duplicate timestamps (tiebreak),
+    many partition boundaries."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(rnd.choice([1, 1, 1, 1, 2, 3]),
+             _ts(rnd.randrange(60), rnd.choice([0, 30])), i)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, i int")
+    kw = dict(key="k", ts="ts", gap_seconds=240, tiebreak="i")
+    plain = {(r.k, r.i): r.session_id
+             for r in sessionize(df, **kw).collect()}
+    safe = {(r.k, r.i): r.session_id
+            for r in sessionize(df, scale_safe=True, num_partitions=11,
+                                **kw).collect()}
+    assert plain == safe
+
+
 def test_sessionize_types(spark):
     df = spark.createDataFrame([(1, _ts(0))], "k int, ts timestamp")
     out = sessionize(df, key="k", ts="ts")
