@@ -163,3 +163,48 @@ def stream_event_window_counts(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sessions(spark: SparkSession, input_dir: str,
+                    output_dir: str, checkpoint_dir: str,
+                    gap: str = "30 minutes",
+                    watermark: str = "30 minutes",
+                    schema: Optional[T.StructType] = None,
+                    available_now: bool = True):
+    """Watermarked gap-based session aggregation per user — the
+    Structured Streaming expression of
+    :func:`osm2lanes_spark.operators.temporal.sessionize`.
+
+    ``session_window(ts, gap)`` merges events whose gaps are within
+    ``gap`` into one growing window per user; a session finalizes (and
+    emits, append mode) once the watermark passes gap-beyond its last
+    event. Batch/stream boundary-semantics note: ``session_window``
+    closes a session when the next event is ``>= gap`` away, while the
+    batch ``sessionize`` breaks strictly ``> gap`` — identical for
+    continuous timestamps, off-by-one when a gap equals the threshold
+    exactly (documented here rather than papered over; pick a gap a
+    microsecond larger to match batch exactly)."""
+    schema = schema or T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    events = (spark.readStream.schema(schema).parquet(input_dir)
+              .withWatermark("ts", watermark))
+    sessions = (events
+                .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.round(F.sum("value"), 2).alias("sum_value"))
+                .select(F.col("w.start").alias("session_start"),
+                        F.col("w.end").alias("session_end"),
+                        "user_id", "n_events", "sum_value"))
+    writer = (sessions.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -137,3 +137,37 @@ def test_stream_running_stats_crash_recovery(spark, tmp_path):
         per_key.setdefault(r["source"], []).append(r["running_docs"])
     for s, vals in per_key.items():
         assert len(vals) == len(set(vals)), f"duplicated emission for {s}"
+
+
+def test_stream_sessions(spark, tmp_path):
+    from osm2lanes_spark.streaming.jobs import stream_sessions
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: two bursts separated by a 2-hour silence -> two sessions;
+    # user 2: one burst
+    for i in range(10):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, "click", 1.0))
+    for i in range(10):
+        rows.append((100 + i, base + dt.timedelta(hours=3, minutes=i),
+                     1, "click", 1.0))
+    for i in range(5):
+        rows.append((200 + i, base + dt.timedelta(minutes=2 * i),
+                     2, "view", 2.0))
+    # a late straggler far past everything seals the earlier sessions
+    rows.append((999, base + dt.timedelta(hours=9), 2, "view", 0.0))
+    src = str(tmp_path / "sess_in")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.parquet(src)
+    q = stream_sessions(spark, src, str(tmp_path / "sess_out"),
+                        str(tmp_path / "sess_ckpt"),
+                        gap="30 minutes", watermark="10 minutes")
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "sess_out"))
+    got = {(r["user_id"], r["session_start"].hour): r["n_events"]
+           for r in out.collect()}
+    # user 1's two bursts are distinct sessions; user 2's burst sealed too
+    assert got[(1, 0)] == 10
+    assert got[(1, 3)] == 10
+    assert got[(2, 0)] == 5
