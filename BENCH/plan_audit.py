@@ -59,6 +59,28 @@ anywhere; the checkpointed range stage truncates out of this dump.""",
 One hash Exchange on user_id shared by the lag and the running-sum
 windows (same partitioning, one sort); session boundaries are integer-
 microsecond arithmetic inside codegen.""",
+    "ngram_topk": """\
+Exact heavy hitters with no full sort: explode feeds a map-side
+partial_count (the hottest n-gram is the MOST combined — skew helps),
+ONE Exchange keyed by the ngram, and TakeOrderedAndProject merges each
+task's local top-20 — the count table is never materialized or sorted.
+Scan reads the text column only. Plan-asserted in tests/test_plans.py.""",
+    "token_quantiles": """\
+Exact quantiles without sorting rows: the only full-data pass is the
+partial-combined (source, value) histogram aggregate; the windows,
+quantile explode and min-selection all run over the O(distinct values)
+histogram — thousands of rows regardless of corpus size. No
+SinglePartition exchange (grouped flavor). Plan-asserted.""",
+    "curation_pipeline": """\
+The end-to-end curation DAG (token gate -> langid -> mixture -> train
+split -> packing -> pack stats) in ONE lazy plan: Catalyst fuses all
+three row-level gates into a single Filter ON the FileScan (the langid
+argmax and both md5-uniform draws are scan-stage expressions), the
+mixture explode is narrow above it, and the only exchanges are the
+packer's documented range+hash pair plus the final two-phase
+count-distinct aggregate. Zero Python stages. A 100 TB corpus pays one
+scan + the packer's shuffles — no per-stage materialization.
+Plan-asserted (no Exchange between the mixture Generate and the scan).""",
     "lanes_pipeline": """\
 ONE Python stage, ZERO Exchange: span assembly (Catalyst HOFs), the JVM
 morton-cell encode, and the Arrow-batched tags_to_lanes kernel with fused
@@ -206,7 +228,8 @@ def main() -> None:
                  "hash_split", "doc_packing", "label_centroids",
                  "mixture_sample", "stratified_sample",
                  "asof_latest_view", "asof_bucketed", "sessions",
-                 "sessions_scale"):
+                 "sessions_scale", "ngram_topk", "token_quantiles",
+                 "curation_pipeline"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -742,6 +742,68 @@ def _q_repetition_stats(spark, sf_dir):
                     .alias("top_token_ratio")))
 
 
+def _q_ngram_topk(spark, sf_dir):
+    """Exact corpus heavy hitters (operators/profiling.py): top-20
+    lowercased word bigrams by count — the boilerplate/contamination
+    screen of a corpus profile. Tie-break (count desc, ngram asc) is a
+    total order, so the cut is deterministic; the plan is explode →
+    map-side-combined hash aggregate → TakeOrderedAndProject (each task
+    keeps its local 20; no full sort, no full count table)."""
+    from osm2lanes_spark.operators.profiling import ngram_top_k
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_top_k(docs, n=2, k=20).select(
+        "ngram", F.col("count").alias("n"))
+
+
+def _q_token_quantiles(spark, sf_dir):
+    """Exact per-source token-count quantiles (operators/profiling.py):
+    the packing-budget/truncation profile of a corpus. Histogram-based —
+    the only full-data pass is one map-side-combined
+    groupBy(source, value).count(); the window and quantile selection
+    run over the O(distinct values) histogram. The rank rule
+    value@floor((n-1)·q)+1 is replayed verbatim by the oracle."""
+    from osm2lanes_spark.operators.profiling import grouped_quantiles
+    from osm2lanes_spark.operators.text import tokens
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens(F.col("text"))))
+    return grouped_quantiles(docs, "n_tokens",
+                             (0.25, 0.5, 0.75, 0.9, 0.99), by="source")
+
+
+def _q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation composite — the LLM-pipeline flagship DAG:
+    token gate (5 ≤ n_tokens ≤ 5000) → langid gate (en) → per-source
+    mixture with fractional epochs (seed 11) → deterministic train split
+    → 2048-token offset packing per source. Every stage is an existing
+    oracled operator composed in ONE lazy plan (Catalyst fuses the three
+    row-level gates and the mixture explode into the scan stage; the
+    only shuffles are the packer's range+hash exchanges and the final
+    aggregate). The oracle replays the whole chain as one CTE pipeline."""
+    from osm2lanes_spark.operators.packing import contiguous_packs
+    from osm2lanes_spark.operators.sampling import hash_split, mixture_sample
+    from osm2lanes_spark.operators.text import tokens, with_langid
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens(F.col("text"))))
+    gated = docs.where((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000))
+    en = with_langid(gated).where(F.col("lang_pred") == "en")
+    mixed = mixture_sample(
+        en, {"src0": 2.0, "src1": 0.75, "src3": 1.5},
+        source_col="source", id_col="doc_id", seed=11, default_rate=1.0)
+    train = (hash_split(mixed, "doc_id").where(F.col("split") == "train")
+             .withColumn("item_id",
+                         F.concat_ws("#", F.col("doc_id").cast("string"),
+                                     F.col("mix_copy").cast("string"))))
+    packed = contiguous_packs(train, "n_tokens", budget=2048,
+                              order_col="item_id", part_col="source")
+    return (packed.groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum("n_tokens").alias("pack_tokens")))
+
+
 def _q_dedup_components(spark, sf_dir):
     """Near-dup clustering (the missing last step of a dedup pipeline):
     MinHash candidate pairs → connected components via min-label
@@ -1016,6 +1078,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": _shipped(_q_label_centroids),
         "ship_priority": _shipped(_q_ship_priority),
         "repetition_stats": _shipped(_q_repetition_stats),
+        "ngram_topk": _shipped(_q_ngram_topk),
+        "token_quantiles": _shipped(_q_token_quantiles),
+        "curation_pipeline": _shipped(_q_curation_pipeline),
         "ann_ivf": _shipped(_q_ann_ivf),
         "multimodal_features": _shipped(_q_multimodal),
         "locale_spatial": _shipped(_q_locale_spatial),
@@ -1068,6 +1133,97 @@ def _langid_oracle() -> str:
                       WHEN fr >= zh THEN 'fr'
                       ELSE 'zh' END AS lang_pred
           FROM s) GROUP BY lang_pred
+    """
+
+
+def _md5_uniform_sql(mcol: str) -> str:
+    """The hash_uniform replay (first 8 md5 hex chars / 2^32) over an
+    md5-hex column; DuckDB 1.0 has no strtol, so hex→int is strpos
+    arithmetic (same construction as the hash_split/mixture oracles)."""
+    return ("(" + "\n                      + ".join(
+        f"(strpos('0123456789abcdef', substring({mcol}, {i}, 1)) - 1)"
+        f" * {float(16 ** (8 - i)):.1f}"
+        for i in range(1, 9)) + ") / 4294967296.0")
+
+
+def _curation_oracle() -> str:
+    """The whole curation composite replayed as one CTE pipeline: token
+    gate → marker-argmax langid (en) → seeded-md5 mixture multiset →
+    md5-uniform train split → offset-packing window → pack aggregate.
+    Each stage is the verbatim oracle of its standalone query."""
+    from osm2lanes_spark.operators.text import LANG_MARKERS
+
+    def lst(ws):
+        return "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+
+    score = {}
+    for lang in sorted(LANG_MARKERS):
+        ms = LANG_MARKERS[lang]
+        if lang == "zh":
+            score[lang] = " + ".join(
+                f"(CASE WHEN contains(text, '{m}') THEN 1 ELSE 0 END)"
+                for m in ms)
+        else:
+            score[lang] = (f"len(list_filter(toks, "
+                           f"x -> list_contains({lst(ws=ms)}, x)))")
+    mix_u = _md5_uniform_sql("m_mix")
+    split_u = _md5_uniform_sql("m_split")
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, source, text,
+                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                          x -> lower(x))
+                 END AS toks,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END AS n_tokens
+          FROM documents),
+        gated AS (SELECT * FROM tok WHERE n_tokens BETWEEN 5 AND 5000),
+        scored AS (
+          SELECT doc_id, source, n_tokens,
+                 {score['de']} AS de, {score['en']} AS en, {score['es']} AS es,
+                 {score['fr']} AS fr, {score['zh']} AS zh
+          FROM gated),
+        en AS (
+          -- argmax with earliest-code tie-break, filtered to 'en'
+          SELECT doc_id, source, n_tokens FROM scored
+          WHERE NOT de >= greatest(en, es, fr, zh)
+            AND en >= greatest(es, fr, zh)),
+        seeded AS (
+          SELECT doc_id, source, n_tokens,
+                 md5(CAST(doc_id AS VARCHAR) || ':11') AS m_mix,
+                 md5(CAST(doc_id AS VARCHAR)) AS m_split,
+                 CASE source WHEN 'src0' THEN 2.0
+                             WHEN 'src1' THEN 0.75
+                             WHEN 'src3' THEN 1.5
+                             ELSE 1.0 END AS rate
+          FROM en),
+        mixed AS (
+          SELECT doc_id, source, n_tokens, m_split,
+                 unnest(range(CAST(FLOOR(rate) AS BIGINT)
+                              + CASE WHEN {mix_u}
+                                          < rate - FLOOR(rate)
+                                     THEN 1 ELSE 0 END)) AS mix_copy
+          FROM seeded),
+        train AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(doc_id AS VARCHAR) || '#'
+                   || CAST(mix_copy AS VARCHAR) AS item_id
+          FROM mixed
+          WHERE {split_u} < 0.8),
+        packed AS (
+          SELECT source, doc_id, n_tokens,
+                 CAST(floor((sum(n_tokens) OVER (
+                          PARTITION BY source ORDER BY item_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - n_tokens)
+                      / 2048.0) AS BIGINT) AS pack_id
+          FROM train)
+        SELECT source, pack_id, count(*) AS n_items,
+               count(DISTINCT doc_id) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        FROM packed GROUP BY source, pack_id
     """
 
 
@@ -1995,6 +2151,52 @@ def oracle_sql() -> dict[str, str]:
                    round(max(c) * 1.0 / sum(c), 6) AS top_token_ratio
             FROM per_tok GROUP BY doc_id
         """,
+        "ngram_topk": """
+            -- operators/profiling.py ngram_top_k: sliding lowercased
+            -- word bigrams, exact counts, top-20 with the same total
+            -- tie-break order (count desc, ngram asc)
+            WITH t AS (
+                SELECT CASE WHEN length(trim(text)) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE list_transform(
+                                regexp_split_to_array(trim(text), '\\s+'),
+                                x -> lower(x))
+                       END AS toks
+                FROM documents),
+            g AS (
+                SELECT unnest(
+                    CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(1, len(toks) - 2 + 2),
+                                  i -> array_to_string(toks[i:i+1], ' '))
+                         ELSE CAST([] AS VARCHAR[]) END) AS ngram
+                FROM t)
+            SELECT ngram, count(*) AS n FROM g
+            GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+        """,
+        "token_quantiles": """
+            -- operators/profiling.py grouped_quantiles: exact selection
+            -- rule value@rank floor((n-1)*q)+1 over the per-source
+            -- value histogram (smallest value whose cumulative count
+            -- reaches the target rank)
+            WITH v AS (
+                SELECT source,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS val
+                FROM documents),
+            c AS (SELECT source, val, count(*) AS cnt
+                  FROM v GROUP BY source, val),
+            cum AS (
+                SELECT source, val,
+                       sum(cnt) OVER (PARTITION BY source ORDER BY val) AS cum,
+                       sum(cnt) OVER (PARTITION BY source) AS total
+                FROM c),
+            q AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+            SELECT source, q, min(val) AS value
+            FROM cum CROSS JOIN q
+            WHERE cum >= floor((total - 1) * q) + 1
+            GROUP BY source, q ORDER BY source, q
+        """,
         "embedding_neardup": """
             WITH base AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2101,6 +2303,7 @@ def oracle_sql() -> dict[str, str]:
     out["lanes_golden"] = _lanes_golden_oracle()
     out["s2_binning"] = _s2_oracle(level=12)
     out["langid"] = _langid_oracle()
+    out["curation_pipeline"] = _curation_oracle()
     out["locale_spatial"] = _locale_spatial_oracle()
     out["media_refs"] = _media_refs_oracle()
     out["multimodal_features"] = _multimodal_oracle()

@@ -1,0 +1,127 @@
+"""Corpus profiling operators for training-data pipelines.
+
+Before curating a 100 TB corpus you profile it: what are the dominant
+n-grams (boilerplate detection, contamination screens), and how are
+document lengths distributed (packing-budget and truncation decisions)?
+Both operators here are EXACT — no sketches — yet scale-shaped:
+
+- :func:`ngram_top_k` — exact heavy hitters over sliding word n-grams.
+  The n-gram expansion is a Catalyst ``transform(sequence(...))`` over
+  the token array (JVM-side, no Python), the count is one hash
+  aggregate with map-side partial combine (the shuffle carries one row
+  per *distinct* n-gram per task, not one per occurrence), and the
+  top-k is ``TakeOrderedAndProject`` — each task keeps only its local
+  k, the driver merges k·tasks rows. Nothing materializes the full
+  sorted count table.
+- :func:`grouped_quantiles` — exact rank-based quantiles computed from
+  a value-histogram, not a row sort. The only full-data operation is
+  one map-side-combined ``groupBy(group, value).count()``; everything
+  after runs on the distinct-value table (O(distinct values) rows —
+  for integer token counts, thousands — never O(rows)). The quantile
+  definition is the classic selection rule ``value at 1-based rank
+  floor((n-1)·q) + 1`` of the ascending sort, i.e. the smallest value
+  whose cumulative count reaches the target rank — deterministic and
+  replayable by any engine (the DuckDB oracles in
+  ``__spark_entry__.py`` do exactly that).
+
+At 1000 executors: the n-gram shuffle is bounded by distinct n-grams
+(heavy hitters combine map-side by definition — the hottest key is the
+MOST combined, so skew helps rather than hurts), and the quantile
+window runs over the histogram, whose size is independent of corpus
+row count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def ngrams(text: Column, n: int, lowercase: bool = True) -> Column:
+    """Sliding word n-grams of ``text`` as an array column (empty when
+    the text has fewer than ``n`` tokens). Pure Catalyst expressions:
+    tokenize, then ``transform(sequence(1, len-n+1), i -> concat_ws(' ',
+    slice(toks, i, n)))``."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens(F.lower(text) if lowercase else text)
+    window_starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(
+        window_starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (F.when(F.size(toks) >= F.lit(n), grams)
+            .otherwise(F.array().cast("array<string>")))
+
+
+def ngram_counts(df: DataFrame, n: int = 2, text_col: str = "text",
+                 lowercase: bool = True) -> DataFrame:
+    """Exact corpus-wide n-gram counts: ``(ngram, count)``. One explode +
+    one hash aggregate (map-side partial combine — the shuffle carries
+    per-task distinct n-grams, so hot n-grams are combined hardest)."""
+    grams = df.select(
+        F.explode(ngrams(F.col(text_col), n, lowercase)).alias("ngram"))
+    return grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("count"))
+
+
+def ngram_top_k(df: DataFrame, n: int = 2, k: int = 20,
+                text_col: str = "text", lowercase: bool = True) -> DataFrame:
+    """Exact top-k n-grams by count, ties broken by n-gram ascending (a
+    total order, so the cut is deterministic). The plan is
+    ``TakeOrderedAndProject`` over the partial-combined aggregate — no
+    full sort, no full materialization."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (ngram_counts(df, n, text_col, lowercase)
+            .orderBy(F.col("count").desc(), F.col("ngram").asc())
+            .limit(k))
+
+
+def grouped_quantiles(df: DataFrame, value_col: str,
+                      qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+                      by: str | None = None) -> DataFrame:
+    """Exact quantiles of ``value_col`` per ``by`` group (or globally).
+
+    Selection rule: for a group of ``total`` rows, quantile ``q`` is the
+    value at 1-based rank ``floor((total - 1) * q) + 1`` of the
+    ascending sort — equivalently the smallest value whose cumulative
+    count reaches that rank. Computed from the value histogram:
+
+    1. ``groupBy(by, value).count()`` — the ONLY full-data pass,
+       map-side combined (shuffle rows = distinct values, not rows);
+    2. cumulative count + group total by window over the histogram
+       (O(distinct) rows per group);
+    3. one generated row per requested ``q`` (array literal + explode),
+       answered by ``min(value) where cum >= rank``.
+
+    Returns ``(by?, q, value)`` sorted by (group, q). NULL values are
+    excluded (rank is over non-null values, like SQL ordered-set
+    aggregates). Raises on empty ``qs`` or q outside [0, 1].
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    group_cols = [by] if by else []
+    hist = (df.where(F.col(value_col).isNotNull())
+            .groupBy(*group_cols, value_col)
+            .agg(F.count(F.lit(1)).alias("__cnt")))
+    w_group = (Window.partitionBy(*group_cols) if group_cols
+               else Window.partitionBy())
+    cum = (hist
+           .withColumn("__cum", F.sum("__cnt").over(
+               w_group.orderBy(value_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+           .withColumn("__total", F.sum("__cnt").over(w_group)))
+    q_lit = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    expanded = cum.select(*group_cols, value_col, "__cum", "__total", q_lit)
+    rank = (F.floor((F.col("__total") - F.lit(1)) * F.col("q"))
+            .cast("long") + F.lit(1))
+    return (expanded
+            .groupBy(*group_cols, "q")
+            .agg(F.min(F.when(F.col("__cum") >= rank, F.col(value_col)))
+                 .alias("value"))
+            .orderBy(*group_cols, "q"))

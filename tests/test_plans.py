@@ -141,3 +141,55 @@ def test_exact_packing_plan_distributed(spark, sf_dir):
         p = frame._jdf.queryExecution().executedPlan().toString()
         m = re.findall(r"FlatMapGroupsInPandas \[(\w+)#", p)
         assert m and all(k == "__pid" for k in m), p
+
+
+def test_ngram_topk_plan_partial_agg_no_full_sort(spark, sf_dir):
+    """Heavy hitters must be TakeOrderedAndProject over a map-side-
+    combined aggregate: no global Sort of the count table, one shuffle
+    keyed by the ngram, scan pruned to the text column."""
+    q = E.queries()["ngram_topk"](spark, sf_dir)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "ReadSchema: struct<text:string>" in plan, plan
+    # no full sort stage — the top-k merge is the only ordering
+    assert "Sort " not in plan, plan
+
+
+def test_token_quantiles_plan_histogram_shaped(spark, sf_dir):
+    """The only full-data pass is the partial-combined histogram
+    aggregate; every later stage (windows, explode, min-selection) runs
+    on the O(distinct values) histogram. Pinned: partial_count before
+    the first exchange, windows AFTER the histogram aggregate, and no
+    SinglePartition exchange (grouped flavor)."""
+    q = E.queries()["token_quantiles"](spark, sf_dir)
+    plan = _plan(q)
+    assert "partial_count" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # windows consume the histogram aggregate, not the raw scan: the
+    # aggregate appears below the Window operators in the tree string
+    win = plan.index("Window ")
+    agg = plan.rindex("partial_count")
+    assert agg > win, plan
+
+
+def test_curation_pipeline_gates_fused_into_scan_stage(spark, sf_dir):
+    """The composite pipeline's row-level stages (token gate, langid
+    gate, mixture explode, split filter) must all fuse into the scan
+    stage — no Exchange may appear below the first Generate(explode) —
+    and no Python stage exists anywhere (every gate is a Catalyst
+    expression)."""
+    q = E.queries()["curation_pipeline"](spark, sf_dir)
+    plan = _plan(q)
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # the mixture explode is the FIRST Generate in the tree string; its
+    # branch prints contiguously down to its leaf, so between it and the
+    # documents FileScan there must be only narrow ops (the fused
+    # token/langid/split Filter + Projects) — no Exchange
+    gen = plan.index("Generate explode")
+    scan = plan.index("FileScan parquet", gen)
+    branch = plan[gen:scan]
+    assert "Exchange" not in branch, branch
+    assert branch.count("Filter ") == 1, branch

@@ -1,0 +1,93 @@
+"""Unit tests for operators/profiling.py (exact n-gram heavy hitters and
+histogram-based exact quantiles). The sf0.01 DuckDB cross-checks live in
+test_oracle_parity.py (``ngram_topk``, ``token_quantiles``,
+``curation_pipeline``); these pin the operator-level edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2lanes_spark.operators.profiling import (grouped_quantiles,
+                                                 ngram_counts, ngram_top_k,
+                                                 ngrams)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_ngrams_basic_and_short_text(spark):
+    df = _docs(spark, [("a", "The quick brown fox"),
+                       ("b", "one"),
+                       ("c", ""),
+                       ("d", "   "),
+                       ("e", "Tab\tand  newline\nsplit")])
+    out = {r["doc_id"]: r["g"] for r in
+           df.select("doc_id", ngrams(F.col("text"), 2).alias("g")).collect()}
+    assert out["a"] == ["the quick", "quick brown", "brown fox"]
+    assert out["b"] == []          # fewer tokens than n
+    assert out["c"] == []          # empty text
+    assert out["d"] == []          # whitespace-only text
+    assert out["e"] == ["tab and", "and newline", "newline split"]
+
+
+def test_ngrams_n1_equals_tokens_and_case_toggle(spark):
+    df = _docs(spark, [("a", "One TWO two")])
+    lowered = df.select(ngrams(F.col("text"), 1).alias("g")).first()["g"]
+    assert lowered == ["one", "two", "two"]
+    kept = df.select(
+        ngrams(F.col("text"), 1, lowercase=False).alias("g")).first()["g"]
+    assert kept == ["One", "TWO", "two"]
+    with pytest.raises(ValueError, match="n must be"):
+        ngrams(F.col("text"), 0)
+
+
+def test_ngram_top_k_counts_and_tiebreak(spark):
+    # "b c" and "a b" both occur twice; tie resolves ngram-ascending,
+    # and k cuts INSIDE the tie group deterministically
+    df = _docs(spark, [("1", "a b c"), ("2", "b c d"), ("3", "a b")])
+    counts = {r["ngram"]: r["count"]
+              for r in ngram_counts(df, n=2).collect()}
+    assert counts == {"a b": 2, "b c": 2, "c d": 1}
+    top = [(r["ngram"], r["count"])
+           for r in ngram_top_k(df, n=2, k=2).collect()]
+    assert top == [("a b", 2), ("b c", 2)]
+    top1 = [(r["ngram"], r["count"])
+            for r in ngram_top_k(df, n=2, k=1).collect()]
+    assert top1 == [("a b", 2)]
+    with pytest.raises(ValueError, match="k must be"):
+        ngram_top_k(df, k=0)
+
+
+def test_grouped_quantiles_selection_rule(spark):
+    # group g: values 10,20,30,40 (n=4): rank(q)=floor(3q)+1
+    #   q=0    -> rank 1 -> 10        q=0.5 -> rank 2 -> 20
+    #   q=0.75 -> rank 3 -> 30        q=1   -> rank 4 -> 40
+    rows = [("g", v) for v in (40, 10, 30, 20)] + [("h", 7)]
+    df = spark.createDataFrame(rows, "grp string, v int")
+    out = {(r["grp"], r["q"]): r["value"]
+           for r in grouped_quantiles(df, "v", (0.0, 0.5, 0.75, 1.0),
+                                      by="grp").collect()}
+    assert out == {("g", 0.0): 10, ("g", 0.5): 20, ("g", 0.75): 30,
+                   ("g", 1.0): 40,
+                   ("h", 0.0): 7, ("h", 0.5): 7, ("h", 0.75): 7,
+                   ("h", 1.0): 7}
+
+
+def test_grouped_quantiles_global_duplicates_and_nulls(spark):
+    # duplicates weight the histogram; NULLs are excluded from ranks
+    rows = [(1,), (1,), (1,), (9,), (None,)]
+    df = spark.createDataFrame(rows, "v int")
+    out = {r["q"]: r["value"]
+           for r in grouped_quantiles(df, "v", (0.5, 1.0)).collect()}
+    # n=4 non-null: rank(0.5)=floor(1.5)+1=2 -> 1; rank(1)=4 -> 9
+    assert out == {0.5: 1, 1.0: 9}
+
+
+def test_grouped_quantiles_validation(spark):
+    df = spark.createDataFrame([(1,)], "v int")
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_quantiles(df, "v", ())
+    with pytest.raises(ValueError, match="outside"):
+        grouped_quantiles(df, "v", (1.5,))
