@@ -71,6 +71,19 @@ partial-combined (source, value) histogram aggregate; the windows,
 quantile explode and min-selection all run over the O(distinct values)
 histogram — thousands of rows regardless of corpus size. No
 SinglePartition exchange (grouped flavor). Plan-asserted.""",
+    "contamination": """\
+Decontamination never shuffles the corpus by n-gram: the eval set's
+distinct grams (small by definition) are built with one tiny exchange
+and BROADCAST into the corpus-side join; the corpus pays one explode +
+one partial-combined hash exchange on doc_id for the per-doc stats.
+Re-attaching zero-gram docs joins on the pruned doc_id-only scan.
+Plan-asserted: BroadcastHashJoin on __gram, <=2 hash exchanges.""",
+    "pii_redact": """\
+Redaction is a pure scan-stage expression chain — counts
+(regexp_extract_all/size) and global replacements all inside ONE
+WholeStageCodegen project, zero exchanges, zero Python. At 100 TB this
+is scan-bandwidth-bound, exactly as a row-local scrub should be.
+Plan-asserted: no Exchange, no Python stage.""",
     "curation_pipeline": """\
 The end-to-end curation DAG (token gate -> langid -> mixture -> train
 split -> packing -> pack stats) in ONE lazy plan: Catalyst fuses all
@@ -229,7 +242,7 @@ def main() -> None:
                  "mixture_sample", "stratified_sample",
                  "asof_latest_view", "asof_bucketed", "sessions",
                  "sessions_scale", "ngram_topk", "token_quantiles",
-                 "curation_pipeline"):
+                 "curation_pipeline", "contamination", "pii_redact"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -804,6 +804,43 @@ def _q_curation_pipeline(spark, sf_dir):
                  F.sum("n_tokens").alias("pack_tokens")))
 
 
+def _q_contamination(spark, sf_dir):
+    """Eval-set decontamination (operators/profiling.py ngram_overlap):
+    docs with doc_id % 97 == 0 play the benchmark/eval set; every other
+    doc is screened for distinct 3-gram overlap against it. The
+    reference grams are broadcast (eval sets are small by definition);
+    the corpus pays one explode + one hash shuffle by doc id."""
+    from osm2lanes_spark.operators.profiling import ngram_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    reference = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return ngram_overlap(corpus, reference, n=3)
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII scrub (operators/text.py with_redactions): the corpus is
+    PII-free by construction, so docs with doc_id % 7 == 0 get a
+    deterministic planted email + URL (the embedding_neardup planting
+    pattern); the operator must count and redact exactly those. The
+    md5 fingerprint of the redacted text pins the exact output string
+    under the hard oracle; all expressions codegen, zero shuffles."""
+    from osm2lanes_spark.operators.text import with_redactions
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com via https://ex.org/d/"),
+                        F.col("doc_id").cast("string")))
+        .otherwise(F.col("text")))
+    return (with_redactions(planted)
+            .select("doc_id", "n_url", "n_email",
+                    F.md5(F.col("redacted")).alias("fingerprint")))
+
+
 def _q_dedup_components(spark, sf_dir):
     """Near-dup clustering (the missing last step of a dedup pipeline):
     MinHash candidate pairs → connected components via min-label
@@ -1079,6 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_priority": _shipped(_q_ship_priority),
         "repetition_stats": _shipped(_q_repetition_stats),
         "ngram_topk": _shipped(_q_ngram_topk),
+        "contamination": _shipped(_q_contamination),
+        "pii_redact": _shipped(_q_pii_redact),
         "token_quantiles": _shipped(_q_token_quantiles),
         "curation_pipeline": _shipped(_q_curation_pipeline),
         "ann_ivf": _shipped(_q_ann_ivf),
@@ -2172,6 +2211,81 @@ def oracle_sql() -> dict[str, str]:
                 FROM t)
             SELECT ngram, count(*) AS n FROM g
             GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+        """,
+        "contamination": """
+            -- operators/profiling.py ngram_overlap: distinct-3-gram
+            -- overlap of every corpus doc (doc_id % 97 != 0) against
+            -- the eval set (doc_id % 97 == 0)
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE list_transform(
+                                regexp_split_to_array(trim(text), '\\s+'),
+                                x -> lower(x))
+                       END AS toks
+                FROM documents),
+            g3 AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(
+                                range(1, len(toks) - 1),
+                                i -> array_to_string(toks[i:i+2], ' ')))
+                            ELSE CAST([] AS VARCHAR[]) END AS grams
+                FROM t),
+            corpus AS (
+                SELECT doc_id, unnest(grams) AS gram
+                FROM g3 WHERE doc_id % 97 <> 0),
+            ref AS (
+                SELECT DISTINCT unnest(grams) AS gram
+                FROM g3 WHERE doc_id % 97 = 0),
+            stats AS (
+                SELECT c.doc_id, count(*) AS n_ngrams,
+                       count(r.gram) AS n_contaminated
+                FROM corpus c LEFT JOIN ref r ON c.gram = r.gram
+                GROUP BY c.doc_id)
+            SELECT d.doc_id,
+                   coalesce(s.n_ngrams, 0) AS n_ngrams,
+                   coalesce(s.n_contaminated, 0) AS n_contaminated,
+                   CASE WHEN coalesce(s.n_ngrams, 0) > 0
+                        THEN round(s.n_contaminated * 1.0 / s.n_ngrams, 6)
+                   END AS contamination_ratio
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+            LEFT JOIN stats s ON d.doc_id = s.doc_id
+        """,
+        "pii_redact": """
+            -- operators/text.py with_redactions replay: plant a
+            -- deterministic email+URL on doc_id % 7 == 0, count URL
+            -- first (so an address inside a URL counts once), then
+            -- email on the URL-redacted text; fingerprint the final
+            -- string
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' contact user'
+                                 || CAST(doc_id AS VARCHAR)
+                                 || '@example.com via https://ex.org/d/'
+                                 || CAST(doc_id AS VARCHAR)
+                            ELSE text END AS text
+                FROM documents),
+            step1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                           AS n_url,
+                       regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g')
+                           AS t1
+                FROM planted),
+            step2 AS (
+                SELECT doc_id, n_url,
+                       len(regexp_extract_all(t1,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                           AS n_email,
+                       regexp_replace(t1,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS redacted
+                FROM step1)
+            SELECT doc_id, n_url, n_email, md5(redacted) AS fingerprint
+            FROM step2
         """,
         "token_quantiles": """
             -- operators/profiling.py grouped_quantiles: exact selection

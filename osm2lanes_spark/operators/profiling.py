@@ -79,6 +79,57 @@ def ngram_top_k(df: DataFrame, n: int = 2, k: int = 20,
             .limit(k))
 
 
+def ngram_overlap(corpus: DataFrame, reference: DataFrame, n: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  ref_text_col: str | None = None,
+                  lowercase: bool = True) -> DataFrame:
+    """Eval-set decontamination screen: per corpus document, how many of
+    its distinct word ``n``-grams appear anywhere in ``reference`` (the
+    eval/benchmark set). The standard pre-training hygiene step — docs
+    with high overlap are dropped or flagged before training.
+
+    Returns ``(id_col, n_ngrams, n_contaminated, contamination_ratio)``
+    for EVERY corpus row (docs with fewer than ``n`` tokens get 0/0/NULL).
+
+    Scale shape: the reference's distinct n-grams are broadcast (an eval
+    set is small by definition — flagged here by an explicit
+    ``broadcast()`` so the optimizer never shuffles the corpus by gram);
+    the corpus side explodes ``array_distinct`` n-grams (JVM-side), takes
+    one broadcast left join, and aggregates by document id — ONE hash
+    shuffle of (id, gram-stats), partial-combined. The final left join
+    back to the corpus ids only re-attaches zero-gram docs.
+    """
+    from pyspark.sql.functions import broadcast
+
+    ref_col = ref_text_col or text_col
+    ref_grams = (reference
+                 .select(F.explode(ngrams(F.col(ref_col), n, lowercase))
+                         .alias("__gram"))
+                 .distinct()
+                 .withColumn("__hit", F.lit(1)))
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams(F.col(text_col), n, lowercase)))
+        .alias("__gram"))
+    stats = (doc_grams
+             .join(broadcast(ref_grams), "__gram", "left")
+             .groupBy(id_col)
+             .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                  F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
+                  .alias("n_contaminated")))
+    return (corpus.select(id_col)
+            .join(stats, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+                    F.coalesce("n_contaminated", F.lit(0))
+                    .alias("n_contaminated"))
+            .withColumn(
+                "contamination_ratio",
+                F.when(F.col("n_ngrams") > 0,
+                       F.round(F.col("n_contaminated") / F.col("n_ngrams"),
+                               6))))
+
+
 def grouped_quantiles(df: DataFrame, value_col: str,
                       qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
                       by: str | None = None) -> DataFrame:

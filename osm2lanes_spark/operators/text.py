@@ -115,3 +115,42 @@ def with_langid(df: DataFrame, text_col: str = "text",
         .when(a["lang"] < b["lang"], F.lit(-1))
         .when(a["lang"] > b["lang"], F.lit(1)).otherwise(F.lit(0)))[0]
     return df.withColumn(out, best["lang"]).withColumn(out + "_score", best["score"])
+
+
+# Deterministic PII-shaped patterns, applied in dict order (URLs first so
+# an address inside a URL is swallowed by <URL>, not double-counted).
+# Conservative syntax (explicit character classes, no lookaround) chosen
+# to behave identically under Java regex (Spark) and RE2-style engines
+# (the DuckDB oracle replays these verbatim).
+REDACTION_PATTERNS: dict[str, tuple[str, str]] = {
+    "url": (r"https?://[^\s]+", "<URL>"),
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+}
+
+
+def with_redactions(df: DataFrame, text_col: str = "text",
+                    out: str = "redacted",
+                    patterns: dict[str, tuple[str, str]] | None = None,
+                    count_prefix: str = "n_") -> DataFrame:
+    """Scrub PII-shaped spans from ``text_col``: each pattern is counted
+    on the CURRENT text (i.e. after earlier patterns already replaced
+    their spans — so an email inside a URL counts once, as a URL) and
+    then globally replaced by its placeholder. Adds one ``n_<name>``
+    count column per pattern plus the fully-redacted ``out`` column.
+
+    Entirely ``regexp_extract_all``/``regexp_replace`` built-ins —
+    JVM-side, codegen, zero shuffles; the curation gate before any text
+    leaves the pipeline. Order = dict insertion order (deterministic,
+    replayable by the oracle).
+    """
+    patterns = REDACTION_PATTERNS if patterns is None else patterns
+    cur = F.col(text_col)
+    counts: list[tuple[str, Column]] = []
+    for name, (pat, repl) in patterns.items():
+        counts.append((count_prefix + name,
+                       F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))))
+        cur = F.regexp_replace(cur, pat, repl)
+    res = df
+    for cname, cexpr in counts:
+        res = res.withColumn(cname, cexpr)
+    return res.withColumn(out, cur)

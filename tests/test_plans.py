@@ -193,3 +193,27 @@ def test_curation_pipeline_gates_fused_into_scan_stage(spark, sf_dir):
     branch = plan[gen:scan]
     assert "Exchange" not in branch, branch
     assert branch.count("Filter ") == 1, branch
+
+
+def test_contamination_plan_broadcasts_reference_grams(spark, sf_dir):
+    """The decontamination screen must never shuffle the corpus by
+    n-gram: the reference grams are broadcast into the corpus-side join,
+    and the only hash exchanges are the tiny reference distinct (on
+    __gram) and the per-doc stats aggregate (on doc_id), both
+    partial-combined."""
+    q = E.queries()["contamination"](spark, sf_dir)
+    plan = _plan(q)
+    assert "BroadcastHashJoin [__gram" in plan, plan
+    assert plan.count("Exchange hashpartitioning(doc_id") <= 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "partial_count" in plan, plan
+
+
+def test_pii_redact_plan_pure_narrow(spark, sf_dir):
+    """Redaction is a scan-stage expression chain: zero exchanges, zero
+    Python stages — counts and replacements all codegen."""
+    q = E.queries()["pii_redact"](spark, sf_dir)
+    plan = _plan(q)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+    assert "WholeStageCodegen" in q._jdf.queryExecution().executedPlan().toString() or "*(1)" in plan, plan

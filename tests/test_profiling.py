@@ -91,3 +91,50 @@ def test_grouped_quantiles_validation(spark):
         grouped_quantiles(df, "v", ())
     with pytest.raises(ValueError, match="outside"):
         grouped_quantiles(df, "v", (1.5,))
+
+
+def test_ngram_overlap_counts_and_zero_gram_docs(spark):
+    from osm2lanes_spark.operators.profiling import ngram_overlap
+
+    corpus = _docs(spark, [
+        ("c1", "the quick brown fox jumps"),   # grams incl. "the quick"
+        ("c2", "totally different words here"),
+        ("c3", "tiny"),                        # < n tokens -> 0 grams
+        ("c4", "the quick the quick brown"),   # duplicate grams count once
+    ])
+    ref = _docs(spark, [("e1", "I saw the quick brown dog")])
+    out = {r["doc_id"]: (r["n_ngrams"], r["n_contaminated"],
+                         r["contamination_ratio"])
+           for r in ngram_overlap(corpus, ref, n=2).collect()}
+    # ref grams: "i saw","saw the","the quick","quick brown","brown dog"
+    assert out["c1"] == (4, 2, 0.5)        # "the quick","quick brown"
+    assert out["c2"] == (3, 0, 0.0)
+    assert out["c3"] == (0, 0, None)       # ratio NULL for gramless docs
+    # c4 distinct grams: "the quick","quick the","quick brown" -> 2 hits
+    assert out["c4"] == (3, 2, round(2 / 3, 6))
+
+
+def test_with_redactions_order_and_counts(spark):
+    from osm2lanes_spark.operators.text import with_redactions
+
+    df = _docs(spark, [
+        ("a", "mail a@b.co and c@d.org now"),
+        ("b", "see https://x.io/u?e=a@b.co deep"),   # email inside URL
+        ("c", "clean text"),
+    ])
+    out = {r["doc_id"]: (r["n_url"], r["n_email"], r["redacted"])
+           for r in with_redactions(df).collect()}
+    assert out["a"] == (0, 2, "mail <EMAIL> and <EMAIL> now")
+    # the URL pass swallows the embedded address -> email count 0
+    assert out["b"] == (1, 0, "see <URL> deep")
+    assert out["c"] == (0, 0, "clean text")
+
+
+def test_with_redactions_custom_patterns(spark):
+    from osm2lanes_spark.operators.text import with_redactions
+
+    df = _docs(spark, [("a", "ssn 123-45-6789 twice 987-65-4321")])
+    out = with_redactions(
+        df, patterns={"ssn": (r"\d{3}-\d{2}-\d{4}", "<SSN>")}).first()
+    assert out["n_ssn"] == 2
+    assert out["redacted"] == "ssn <SSN> twice <SSN>"
