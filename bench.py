@@ -231,10 +231,13 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                .withColumn("embedding", F.col("embedding").cast("array<double>")))
         ivf_queries = (emb.where(F.col("vec_id") < 10)
                        .select(F.col("vec_id").alias("query_id"), "embedding"))
+        # NOTE: curation_pipeline joined in r05 — cross-round comparisons
+        # of the summed "value" should exclude it (or compare per-query)
         aux_names = ("pricing_summary", "region_revenue", "event_ranks",
                      "grid_binning", "s2_binning", "zonal", "dedup_exact",
                      "token_stats", "ann_topk", "minhash_pairs", "knn",
-                     "dedup_components", "ann_ivf_nprobe4")
+                     "dedup_components", "ann_ivf_nprobe4",
+                     "curation_pipeline")
 
         def run_one(name):
             t0 = time.perf_counter()
