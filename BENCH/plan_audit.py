@@ -84,6 +84,22 @@ Redaction is a pure scan-stage expression chain — counts
 WholeStageCodegen project, zero exchanges, zero Python. At 100 TB this
 is scan-bandwidth-bound, exactly as a row-local scrub should be.
 Plan-asserted: no Exchange, no Python stage.""",
+    "doc_chunks": """\
+Overlapping chunking is a pure scan-stage pipeline: tokenize once,
+transform(sequence)+slice builds every chunk, posexplode emits them —
+ZERO exchanges, zero Python. At 100 TB this is scan-bandwidth-bound and
+embarrassingly parallel; chunk arithmetic (stride 56, inclusive slices)
+is replayed verbatim by the DuckDB oracle against md5-pinned chunk
+strings. Plan-asserted no-Exchange.""",
+    "tfidf_terms": """\
+TF-IDF keyword extraction: tf = one partial-combined (doc, term)
+aggregate; document frequencies re-derive distinct (doc, term) from a
+second column-pruned scan (Catalyst does not share the unmaterialized
+tf subtree — two scans of one string column beat materializing tf
+unless storage is slower than shuffle); N broadcasts as a 1-row
+aggregate (the only SinglePartition); the top-k window benefits from
+WindowGroupLimit — each map task keeps only k rows per doc BEFORE the
+doc-id shuffle. Plan-asserted.""",
     "curation_pipeline": """\
 The end-to-end curation DAG (token gate -> langid -> mixture -> train
 split -> packing -> pack stats) in ONE lazy plan: Catalyst fuses all
@@ -242,7 +258,8 @@ def main() -> None:
                  "mixture_sample", "stratified_sample",
                  "asof_latest_view", "asof_bucketed", "sessions",
                  "sessions_scale", "ngram_topk", "token_quantiles",
-                 "curation_pipeline", "contamination", "pii_redact"):
+                 "curation_pipeline", "contamination", "pii_redact",
+                 "doc_chunks", "tfidf_terms"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

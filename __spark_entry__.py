@@ -841,6 +841,33 @@ def _q_pii_redact(spark, sf_dir):
                     F.md5(F.col("redacted")).alias("fingerprint")))
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Overlapping fixed-token chunking (operators/packing.py
+    chunk_documents): the context shaping step before embedding/training
+    on long docs — 64-token chunks, 8-token overlap (stride 56), last
+    chunk short, ≤64-token docs yield one chunk. Pure narrow Catalyst
+    (tokenize once, transform+slice+posexplode — zero shuffles); the
+    md5 of each chunk pins the exact slicing under the hard oracle."""
+    from osm2lanes_spark.operators.packing import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=64, overlap_tokens=8)
+    return out.select("doc_id", "chunk_idx", "n_chunk_tokens",
+                      F.md5(F.col("chunk_text")).alias("fingerprint"))
+
+
+def _q_tfidf_terms(spark, sf_dir):
+    """Top-2 TF-IDF terms per doc (operators/profiling.py
+    tfidf_top_terms, smooth sklearn idf): keyword extraction over the
+    corpus — term frequencies and document frequencies from ONE
+    (doc, term) aggregate, N as a broadcast 1-row aggregate, idf join
+    keyed by term, one window shuffle by doc for the top-k."""
+    from osm2lanes_spark.operators.profiling import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=2)
+
+
 def _q_dedup_components(spark, sf_dir):
     """Near-dup clustering (the missing last step of a dedup pipeline):
     MinHash candidate pairs → connected components via min-label
@@ -1118,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": _shipped(_q_ngram_topk),
         "contamination": _shipped(_q_contamination),
         "pii_redact": _shipped(_q_pii_redact),
+        "doc_chunks": _shipped(_q_doc_chunks),
+        "tfidf_terms": _shipped(_q_tfidf_terms),
         "token_quantiles": _shipped(_q_token_quantiles),
         "curation_pipeline": _shipped(_q_curation_pipeline),
         "ann_ivf": _shipped(_q_ann_ivf),
@@ -2286,6 +2315,65 @@ def oracle_sql() -> dict[str, str]:
                 FROM step1)
             SELECT doc_id, n_url, n_email, md5(redacted) AS fingerprint
             FROM step2
+        """,
+        "doc_chunks": """
+            -- operators/packing.py chunk_documents replay: 64-token
+            -- chunks, stride 56 (overlap 8), inclusive 1-based list
+            -- slicing; md5 pins the exact chunk strings
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS toks
+                FROM documents),
+            n AS (
+                SELECT doc_id, toks,
+                       CASE WHEN len(toks) <= 0 THEN 0
+                            WHEN len(toks) <= 64 THEN 1
+                            ELSE CAST(ceil((len(toks) - 8) / 56.0) AS INT)
+                       END AS nc
+                FROM t),
+            c AS (
+                SELECT doc_id, toks,
+                       CAST(unnest(range(0, nc)) AS INT) AS chunk_idx
+                FROM n WHERE nc > 0),
+            s AS (
+                SELECT doc_id, chunk_idx,
+                       array_to_string(
+                           toks[chunk_idx * 56 + 1 : chunk_idx * 56 + 64],
+                           ' ') AS chunk_text
+                FROM c)
+            SELECT doc_id, chunk_idx,
+                   len(regexp_split_to_array(chunk_text, '\\s+'))
+                       AS n_chunk_tokens,
+                   md5(chunk_text) AS fingerprint
+            FROM s
+        """,
+        "tfidf_terms": """
+            -- operators/profiling.py tfidf_top_terms replay: smooth idf
+            -- ln((N+1)/(df+1)) + 1, top-2 per doc, (score desc, term)
+            -- tie-break
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           x -> lower(x))) AS term
+                FROM documents WHERE length(trim(text)) > 0),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term),
+            dfreq AS (
+                SELECT term, count(*) AS term_df FROM tf GROUP BY term),
+            nn AS (SELECT count(*) AS N FROM documents),
+            scored AS (
+                SELECT doc_id, tf.term AS term, tf, term_df,
+                       round(tf * (ln((N + 1) * 1.0 / (term_df + 1)) + 1),
+                             6) AS score
+                FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nn)
+            SELECT doc_id, term, tf, term_df, score FROM scored
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) <= 2
         """,
         "token_quantiles": """
             -- operators/profiling.py grouped_quantiles: exact selection

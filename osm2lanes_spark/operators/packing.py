@@ -543,3 +543,52 @@ def _sequential_greedy_reference(df: DataFrame, token_col: str, budget: int,
         return pdf
 
     return df.groupBy(part_col).applyInPandas(pack_group, schema)
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    chunk_tokens: int = 512, overlap_tokens: int = 0,
+                    id_col: str = "doc_id",
+                    lowercase: bool = False) -> DataFrame:
+    """Split each document into overlapping fixed-token chunks — the
+    context shaping step before embedding or training on long docs.
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap_tokens``; the last chunk may
+    be shorter; a doc of ≤ ``chunk_tokens`` tokens yields exactly one
+    chunk; empty/whitespace docs yield none. Returns
+    ``(id_col, chunk_idx, chunk_text, n_chunk_tokens)``.
+
+    Pure narrow Catalyst: tokenize once, ``transform(sequence)`` +
+    ``slice`` + ``posexplode`` — zero shuffles, zero Python; at 100 TB
+    this is scan-bandwidth-bound and embarrassingly parallel. The
+    DuckDB oracle replays the same slicing arithmetic verbatim.
+    """
+    from .text import tokens
+
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not (0 <= overlap_tokens < chunk_tokens):
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens), got "
+            f"{overlap_tokens}")
+    stride = chunk_tokens - overlap_tokens
+    text = F.col(text_col)
+    toks = tokens(F.lower(text) if lowercase else text)
+    n_tok = F.size(toks)
+    # number of stride-starts needed to cover every token once
+    n_chunks = (F.when(n_tok <= F.lit(0), F.lit(0))
+                .when(n_tok <= F.lit(chunk_tokens), F.lit(1))
+                .otherwise(F.ceil((n_tok - F.lit(overlap_tokens))
+                                  / F.lit(float(stride))).cast("int")))
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i * F.lit(stride) + F.lit(1),
+                                     F.lit(chunk_tokens))))
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return exploded.withColumn(
+        "n_chunk_tokens",
+        F.size(F.split(F.col("chunk_text"), r"\s+")))

@@ -176,3 +176,49 @@ def grouped_quantiles(df: DataFrame, value_col: str,
             .agg(F.min(F.when(F.col("__cum") >= rank, F.col(value_col)))
                  .alias("value"))
             .orderBy(*group_cols, "q"))
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 1, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    lowercase: bool = True) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (smooth idf,
+    ``ln((N+1)/(df+1)) + 1`` — the sklearn formulation), deterministic
+    tie-break (score desc, term asc). Returns
+    ``(id_col, term, tf, term_df, score)``.
+
+    Scale shape (as actually planned — Catalyst does NOT share the
+    unmaterialized ``tf`` subtree): term frequencies are one map-side-
+    combined ``groupBy(id, term)``; document frequencies re-derive the
+    distinct (doc, term) pairs from a SECOND column-pruned scan and
+    aggregate by term — two scans of one string column, each
+    partial-combined (cheaper than materializing tf at 100 TB unless
+    your storage is slower than a shuffle write; ``df.persist()`` the
+    input to trade scan for memory). N joins in as a broadcast 1-row
+    aggregate; the idf join is keyed by term (broadcast when the
+    vocabulary is small, hash otherwise); the top-k window shuffles once
+    by doc id and Spark's WindowGroupLimit keeps only k rows per doc
+    PER MAP TASK before that shuffle. No driver-side collect anywhere.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    text = F.col(text_col)
+    toks = tokens(F.lower(text) if lowercase else text)
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("term_df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__N"))
+    from pyspark.sql.functions import broadcast
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(broadcast(n_docs))
+              .withColumn(
+                  "score",
+                  F.round(F.col("tf")
+                          * (F.log((F.col("__N") + F.lit(1)).cast("double")
+                                   / (F.col("term_df") + F.lit(1)))
+                             + F.lit(1.0)), 6)))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("score").desc(), F.col("term").asc()))
+    return (scored
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select(id_col, "term", "tf", "term_df", "score"))

@@ -217,3 +217,25 @@ def test_pii_redact_plan_pure_narrow(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
     assert "WholeStageCodegen" in q._jdf.queryExecution().executedPlan().toString() or "*(1)" in plan, plan
+
+
+def test_doc_chunks_plan_pure_narrow(spark, sf_dir):
+    """Chunking is tokenize + transform/slice + posexplode in the scan
+    stage: zero exchanges, zero Python."""
+    q = E.queries()["doc_chunks"](spark, sf_dir)
+    plan = _plan(q)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+    assert "Generate posexplode" in plan, plan
+
+
+def test_tfidf_plan_group_limit_before_window_shuffle(spark, sf_dir):
+    """The top-k window must run under WindowGroupLimit (partial top-k
+    per map task BEFORE the doc-id shuffle — Spark's rank-limit
+    pushdown), every aggregate partial-combined, and the only
+    SinglePartition exchange is the 1-row corpus count."""
+    q = E.queries()["tfidf_terms"](spark, sf_dir)
+    plan = _plan(q)
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "partial_count" in plan, plan

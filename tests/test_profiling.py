@@ -138,3 +138,59 @@ def test_with_redactions_custom_patterns(spark):
         df, patterns={"ssn": (r"\d{3}-\d{2}-\d{4}", "<SSN>")}).first()
     assert out["n_ssn"] == 2
     assert out["redacted"] == "ssn <SSN> twice <SSN>"
+
+
+def test_chunk_documents_boundaries(spark):
+    from osm2lanes_spark.operators.packing import chunk_documents
+
+    df = _docs(spark, [
+        ("a", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),  # 10 toks
+        ("b", "x y"),                              # <= chunk -> 1 chunk
+        ("c", ""),                                 # empty -> 0 chunks
+    ])
+    out = chunk_documents(df, chunk_tokens=4, overlap_tokens=1)
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"],
+                                           r["n_chunk_tokens"])
+           for r in out.collect()}
+    # stride 3: starts at tokens 1, 4, 7, ceil((10-1)/3)=3 chunks,
+    # every token covered, chunk 2 overlaps chunk 3 by one token
+    assert got[("a", 0)] == ("t1 t2 t3 t4", 4)
+    assert got[("a", 1)] == ("t4 t5 t6 t7", 4)
+    assert got[("a", 2)] == ("t7 t8 t9 t10", 4)
+    assert got[("b", 0)] == ("x y", 2)
+    assert not any(k[0] == "c" for k in got)
+
+
+def test_chunk_documents_short_tail_and_validation(spark):
+    import pytest as _pytest
+
+    from osm2lanes_spark.operators.packing import chunk_documents
+
+    df = _docs(spark, [("a", "t1 t2 t3 t4 t5")])  # 5 toks, chunk 4, ov 1
+    out = sorted((r["chunk_idx"], r["chunk_text"]) for r in
+                 chunk_documents(df, ("text"), 4, 1).collect())
+    # ceil((5-1)/3)=2 chunks; the tail chunk is short (2 tokens)
+    assert out == [(0, "t1 t2 t3 t4"), (1, "t4 t5")]
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0)
+    with _pytest.raises(ValueError, match="overlap_tokens"):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_tfidf_top_terms_values(spark):
+    import math
+
+    from osm2lanes_spark.operators.profiling import tfidf_top_terms
+
+    df = _docs(spark, [
+        ("a", "apple apple banana"),
+        ("b", "banana cherry"),
+        ("c", "cherry cherry cherry durian"),
+    ])
+    out = {r["doc_id"]: (r["term"], r["tf"], r["term_df"], r["score"])
+           for r in tfidf_top_terms(df, k=1).collect()}
+    idf = lambda d: math.log(4 / (d + 1)) + 1  # N=3 -> (N+1)=4
+    assert out["a"] == ("apple", 2, 1, round(2 * idf(1), 6))
+    # b: banana tf1 df2, cherry tf1 df2 -> tie on score, term asc wins
+    assert out["b"][0] == "banana"
+    assert out["c"] == ("cherry", 3, 2, round(3 * idf(2), 6))
