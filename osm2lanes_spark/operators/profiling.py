@@ -82,7 +82,8 @@ def ngram_top_k(df: DataFrame, n: int = 2, k: int = 20,
 def ngram_overlap(corpus: DataFrame, reference: DataFrame, n: int = 8,
                   id_col: str = "doc_id", text_col: str = "text",
                   ref_text_col: str | None = None,
-                  lowercase: bool = True) -> DataFrame:
+                  lowercase: bool = True,
+                  broadcast_reference: bool = True) -> DataFrame:
     """Eval-set decontamination screen: per corpus document, how many of
     its distinct word ``n``-grams appear anywhere in ``reference`` (the
     eval/benchmark set). The standard pre-training hygiene step — docs
@@ -91,13 +92,17 @@ def ngram_overlap(corpus: DataFrame, reference: DataFrame, n: int = 8,
     Returns ``(id_col, n_ngrams, n_contaminated, contamination_ratio)``
     for EVERY corpus row (docs with fewer than ``n`` tokens get 0/0/NULL).
 
-    Scale shape: the reference's distinct n-grams are broadcast (an eval
-    set is small by definition — flagged here by an explicit
-    ``broadcast()`` so the optimizer never shuffles the corpus by gram);
-    the corpus side explodes ``array_distinct`` n-grams (JVM-side), takes
+    Scale shape: with ``broadcast_reference=True`` (default — an eval
+    set is small by definition) the reference's distinct n-grams are
+    broadcast, so the optimizer never shuffles the corpus by gram; the
+    corpus side explodes ``array_distinct`` n-grams (JVM-side), takes
     one broadcast left join, and aggregates by document id — ONE hash
-    shuffle of (id, gram-stats), partial-combined. The final left join
-    back to the corpus ids only re-attaches zero-gram docs.
+    shuffle of (id, gram-stats), partial-combined. For corpus-vs-corpus
+    screening where the reference itself is huge, pass
+    ``broadcast_reference=False``: the gram join becomes a hash join
+    partitioned by gram (one extra full-data shuffle, but no
+    driver-memory ceiling). The final left join back to the corpus ids
+    only re-attaches zero-gram docs.
     """
     from pyspark.sql.functions import broadcast
 
@@ -107,12 +112,14 @@ def ngram_overlap(corpus: DataFrame, reference: DataFrame, n: int = 8,
                          .alias("__gram"))
                  .distinct()
                  .withColumn("__hit", F.lit(1)))
+    if broadcast_reference:
+        ref_grams = broadcast(ref_grams)
     doc_grams = corpus.select(
         F.col(id_col),
         F.explode(F.array_distinct(ngrams(F.col(text_col), n, lowercase)))
         .alias("__gram"))
     stats = (doc_grams
-             .join(broadcast(ref_grams), "__gram", "left")
+             .join(ref_grams, "__gram", "left")
              .groupBy(id_col)
              .agg(F.count(F.lit(1)).alias("n_ngrams"),
                   F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
@@ -132,7 +139,7 @@ def ngram_overlap(corpus: DataFrame, reference: DataFrame, n: int = 8,
 
 def grouped_quantiles(df: DataFrame, value_col: str,
                       qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
-                      by: str | None = None) -> DataFrame:
+                      by: str | Sequence[str] | None = None) -> DataFrame:
     """Exact quantiles of ``value_col`` per ``by`` group (or globally).
 
     Selection rule: for a group of ``total`` rows, quantile ``q`` is the
@@ -156,7 +163,12 @@ def grouped_quantiles(df: DataFrame, value_col: str,
     for q in qs:
         if not (0.0 <= q <= 1.0):
             raise ValueError(f"quantile {q} outside [0, 1]")
-    group_cols = [by] if by else []
+    if by is None:
+        group_cols = []
+    elif isinstance(by, str):
+        group_cols = [by]
+    else:
+        group_cols = list(by)
     hist = (df.where(F.col(value_col).isNotNull())
             .groupBy(*group_cols, value_col)
             .agg(F.count(F.lit(1)).alias("__cnt")))

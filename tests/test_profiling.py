@@ -194,3 +194,31 @@ def test_tfidf_top_terms_values(spark):
     # b: banana tf1 df2, cherry tf1 df2 -> tie on score, term asc wins
     assert out["b"][0] == "banana"
     assert out["c"] == ("cherry", 3, 2, round(3 * idf(2), 6))
+
+
+def test_ngram_overlap_non_broadcast_path_same_result(spark):
+    from osm2lanes_spark.operators.profiling import ngram_overlap
+
+    corpus = _docs(spark, [("c1", "the quick brown fox jumps"),
+                           ("c2", "totally different words here"),
+                           ("c3", "tiny")])
+    ref = _docs(spark, [("e1", "I saw the quick brown dog")])
+    a = sorted(map(tuple, ngram_overlap(corpus, ref, n=2).collect()))
+    b = sorted(map(tuple, ngram_overlap(
+        corpus, ref, n=2, broadcast_reference=False).collect()))
+    assert a == b
+    # and the non-broadcast plan really does drop the broadcast hint
+    plan = ngram_overlap(corpus, ref, n=2, broadcast_reference=False) \
+        ._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan
+
+
+def test_grouped_quantiles_multi_column_groups(spark):
+    rows = [("g", "x", 1), ("g", "x", 3), ("g", "y", 9), ("h", "x", 5)]
+    df = spark.createDataFrame(rows, "a string, b string, v int")
+    out = {(r["a"], r["b"], r["q"]): r["value"]
+           for r in grouped_quantiles(df, "v", (0.0, 1.0),
+                                      by=["a", "b"]).collect()}
+    assert out == {("g", "x", 0.0): 1, ("g", "x", 1.0): 3,
+                   ("g", "y", 0.0): 9, ("g", "y", 1.0): 9,
+                   ("h", "x", 0.0): 5, ("h", "x", 1.0): 5}
