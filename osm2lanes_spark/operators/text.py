@@ -144,6 +144,11 @@ def with_redactions(df: DataFrame, text_col: str = "text",
     replayable by the oracle).
     """
     patterns = REDACTION_PATTERNS if patterns is None else patterns
+    taken = [out] + [count_prefix + name for name in patterns]
+    clashes = [c for c in taken if c in df.columns]
+    if clashes:
+        raise ValueError(f"output column(s) {clashes} already exist in "
+                         f"the input; pass a different out=/count_prefix=")
     cur = F.col(text_col)
     counts: list[tuple[str, Column]] = []
     for name, (pat, repl) in patterns.items():

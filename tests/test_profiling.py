@@ -222,3 +222,13 @@ def test_grouped_quantiles_multi_column_groups(spark):
     assert out == {("g", "x", 0.0): 1, ("g", "x", 1.0): 3,
                    ("g", "y", 0.0): 9, ("g", "y", 1.0): 9,
                    ("h", "x", 0.0): 5, ("h", "x", 1.0): 5}
+
+
+def test_with_redactions_column_collision_raises(spark):
+    import pytest as _pytest
+
+    from osm2lanes_spark.operators.text import with_redactions
+
+    df = _docs(spark, [("a", "x")]).withColumn("n_url", F.lit(1))
+    with _pytest.raises(ValueError, match="already exist"):
+        with_redactions(df)
