@@ -74,9 +74,11 @@ SinglePartition exchange (grouped flavor). Plan-asserted.""",
     "contamination": """\
 Decontamination never shuffles the corpus by n-gram: the eval set's
 distinct grams (small by definition) are built with one tiny exchange
-and BROADCAST into the corpus-side join; the corpus pays one explode +
-one partial-combined hash exchange on doc_id for the per-doc stats.
-Re-attaching zero-gram docs joins on the pruned doc_id-only scan.
+and BROADCAST into the corpus-side join; the corpus pays ONE scan
+(explode_outer keeps zero-gram docs as a null-gram row — no re-attach
+join, review r05) + one partial-combined hash exchange on doc_id for
+the per-doc stats. broadcast_reference=False switches the gram join to
+a hash join for corpus-vs-corpus screening.
 Plan-asserted: BroadcastHashJoin on __gram, <=2 hash exchanges.""",
     "pii_redact": """\
 Redaction is a pure scan-stage expression chain — counts

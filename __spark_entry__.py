@@ -279,7 +279,7 @@ def _q_text_quality(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     text = F.col("text")
     n_chars = F.length(text)
-    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    n_tokens = F.size(F.split(F.regexp_replace(text, r"^\s+|\s+$", ""), r"\s+"))
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
     n_upper = F.size(F.regexp_extract_all(text, F.lit(r"[A-Z]"), F.lit(0)))
     return docs.select(
@@ -728,7 +728,8 @@ def _q_repetition_stats(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        F.explode(F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""),
+                          r"\s+")).alias("tok"))
     per_tok = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("c"))
     return (per_tok.groupBy("doc_id")
@@ -1185,8 +1186,8 @@ def _langid_oracle() -> str:
     return f"""
         WITH t AS (
           SELECT doc_id, text,
-                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                      ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                 CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
                                           x -> lower(x))
                  END AS toks
           FROM documents),
@@ -1239,12 +1240,12 @@ def _curation_oracle() -> str:
     return f"""
         WITH tok AS (
           SELECT doc_id, source, text,
-                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                      ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                 CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
                                           x -> lower(x))
                  END AS toks,
-                 CASE WHEN length(trim(text)) = 0 THEN 0
-                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
                  END AS n_tokens
           FROM documents),
         gated AS (SELECT * FROM tok WHERE n_tokens BETWEEN 5 AND 5000),
@@ -1951,18 +1952,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": """
             SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
                    END AS n_tokens
             FROM documents
         """,
         "text_quality": """
             SELECT doc_id,
                    length(text) AS n_chars,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS n_tokens,
                    round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text), 6) AS punct_ratio,
                    round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / length(text), 6) AS upper_ratio,
-                   round(length(text) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS mean_token_len
+                   round(length(text) * 1.0 / len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')), 6) AS mean_token_len
             FROM documents
         """,
         "ngram_jaccard": """
@@ -2106,8 +2107,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_packing": """
             WITH tok AS (
                 SELECT doc_id, source,
-                       CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
                        END AS n_tokens
                 FROM documents),
             packed AS (
@@ -2129,8 +2130,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_packing_exact": """
             WITH RECURSIVE tok AS (
                 SELECT doc_id, source,
-                       CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
                        END AS n_tokens,
                        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents),
@@ -2159,8 +2160,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_packing_exact_global": """
             WITH RECURSIVE tok AS (
                 SELECT doc_id,
-                       CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
                        END AS n_tokens,
                        row_number() OVER (ORDER BY doc_id) AS rn
                 FROM documents),
@@ -2208,7 +2209,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": """
             WITH toks AS (
                 SELECT doc_id,
-                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                       unnest(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS tok
                 FROM documents),
             per_tok AS (
                 SELECT doc_id, tok, count(*) AS c
@@ -2224,10 +2225,10 @@ def oracle_sql() -> dict[str, str]:
             -- word bigrams, exact counts, top-20 with the same total
             -- tie-break order (count desc, ngram asc)
             WITH t AS (
-                SELECT CASE WHEN length(trim(text)) = 0
+                SELECT CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
                             THEN CAST([] AS VARCHAR[])
                             ELSE list_transform(
-                                regexp_split_to_array(trim(text), '\\s+'),
+                                regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
                                 x -> lower(x))
                        END AS toks
                 FROM documents),
@@ -2247,10 +2248,10 @@ def oracle_sql() -> dict[str, str]:
             -- the eval set (doc_id % 97 == 0)
             WITH t AS (
                 SELECT doc_id,
-                       CASE WHEN length(trim(text)) = 0
+                       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
                             THEN CAST([] AS VARCHAR[])
                             ELSE list_transform(
-                                regexp_split_to_array(trim(text), '\\s+'),
+                                regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
                                 x -> lower(x))
                        END AS toks
                 FROM documents),
@@ -2322,9 +2323,9 @@ def oracle_sql() -> dict[str, str]:
             -- slicing; md5 pins the exact chunk strings
             WITH t AS (
                 SELECT doc_id,
-                       CASE WHEN length(trim(text)) = 0
+                       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
                             THEN CAST([] AS VARCHAR[])
-                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                            ELSE regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
                        END AS toks
                 FROM documents),
             n AS (
@@ -2342,11 +2343,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, chunk_idx,
                        array_to_string(
                            toks[chunk_idx * 56 + 1 : chunk_idx * 56 + 64],
-                           ' ') AS chunk_text
+                           ' ') AS chunk_text,
+                       least(64, len(toks) - chunk_idx * 56)
+                           AS n_chunk_tokens
                 FROM c)
-            SELECT doc_id, chunk_idx,
-                   len(regexp_split_to_array(chunk_text, '\\s+'))
-                       AS n_chunk_tokens,
+            SELECT doc_id, chunk_idx, n_chunk_tokens,
                    md5(chunk_text) AS fingerprint
             FROM s
         """,
@@ -2357,9 +2358,9 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        unnest(list_transform(
-                           regexp_split_to_array(trim(text), '\\s+'),
+                           regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
                            x -> lower(x))) AS term
-                FROM documents WHERE length(trim(text)) > 0),
+                FROM documents WHERE length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0),
             tf AS (
                 SELECT doc_id, term, count(*) AS tf
                 FROM toks GROUP BY doc_id, term),
@@ -2382,8 +2383,8 @@ def oracle_sql() -> dict[str, str]:
             -- reaches the target rank)
             WITH v AS (
                 SELECT source,
-                       CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
                        END AS val
                 FROM documents),
             c AS (SELECT source, val, count(*) AS cnt

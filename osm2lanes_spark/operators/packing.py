@@ -588,7 +588,12 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
                                      F.lit(chunk_tokens))))
     ).otherwise(F.array().cast("array<string>"))
     exploded = df.select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
-    return exploded.withColumn(
-        "n_chunk_tokens",
-        F.size(F.split(F.col("chunk_text"), r"\s+")))
+        F.col(id_col), n_tok.alias("__n_tok"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    # chunk length is arithmetic, not a re-split of the joined string:
+    # full chunks carry chunk_tokens tokens, the tail carries what's left
+    return exploded.select(
+        id_col, "chunk_idx", "chunk_text",
+        F.least(F.lit(chunk_tokens),
+                F.col("__n_tok") - F.col("chunk_idx") * F.lit(stride))
+        .alias("n_chunk_tokens"))

@@ -101,8 +101,10 @@ def ngram_overlap(corpus: DataFrame, reference: DataFrame, n: int = 8,
     screening where the reference itself is huge, pass
     ``broadcast_reference=False``: the gram join becomes a hash join
     partitioned by gram (one extra full-data shuffle, but no
-    driver-memory ceiling). The final left join back to the corpus ids
-    only re-attaches zero-gram docs.
+    driver-memory ceiling). Zero-gram docs ride the SAME single pass:
+    ``explode_outer`` keeps them as one null-gram row (null matches
+    nothing in the join and ``count(__gram)`` skips it), so the corpus
+    is scanned exactly once — no re-attach join.
     """
     from pyspark.sql.functions import broadcast
 
@@ -116,20 +118,15 @@ def ngram_overlap(corpus: DataFrame, reference: DataFrame, n: int = 8,
         ref_grams = broadcast(ref_grams)
     doc_grams = corpus.select(
         F.col(id_col),
-        F.explode(F.array_distinct(ngrams(F.col(text_col), n, lowercase)))
+        F.explode_outer(
+            F.array_distinct(ngrams(F.col(text_col), n, lowercase)))
         .alias("__gram"))
-    stats = (doc_grams
-             .join(ref_grams, "__gram", "left")
-             .groupBy(id_col)
-             .agg(F.count(F.lit(1)).alias("n_ngrams"),
-                  F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
-                  .alias("n_contaminated")))
-    return (corpus.select(id_col)
-            .join(stats, id_col, "left")
-            .select(id_col,
-                    F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
-                    F.coalesce("n_contaminated", F.lit(0))
-                    .alias("n_contaminated"))
+    return (doc_grams
+            .join(ref_grams, "__gram", "left")
+            .groupBy(id_col)
+            .agg(F.count("__gram").alias("n_ngrams"),
+                 F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
+                 .alias("n_contaminated"))
             .withColumn(
                 "contamination_ratio",
                 F.when(F.col("n_ngrams") > 0,
@@ -169,6 +166,11 @@ def grouped_quantiles(df: DataFrame, value_col: str,
         group_cols = [by]
     else:
         group_cols = list(by)
+    clashes = [c for c in group_cols if c in ("q", "value")]
+    if clashes:
+        raise ValueError(
+            f"group column(s) {clashes} collide with the output columns "
+            f"('q', 'value'); rename them before calling")
     hist = (df.where(F.col(value_col).isNotNull())
             .groupBy(*group_cols, value_col)
             .agg(F.count(F.lit(1)).alias("__cnt")))
@@ -179,14 +181,16 @@ def grouped_quantiles(df: DataFrame, value_col: str,
                w_group.orderBy(value_col)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
            .withColumn("__total", F.sum("__cnt").over(w_group)))
-    q_lit = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    q_lit = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("__q")
     expanded = cum.select(*group_cols, value_col, "__cum", "__total", q_lit)
-    rank = (F.floor((F.col("__total") - F.lit(1)) * F.col("q"))
+    rank = (F.floor((F.col("__total") - F.lit(1)) * F.col("__q"))
             .cast("long") + F.lit(1))
     return (expanded
-            .groupBy(*group_cols, "q")
+            .groupBy(*group_cols, "__q")
             .agg(F.min(F.when(F.col("__cum") >= rank, F.col(value_col)))
                  .alias("value"))
+            .withColumnRenamed("__q", "q")
+            .select(*group_cols, "q", "value")
             .orderBy(*group_cols, "q"))
 
 

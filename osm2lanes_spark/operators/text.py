@@ -24,8 +24,14 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization; empty text → empty array."""
-    trimmed = F.trim(text)
+    """Whitespace tokenization; empty/whitespace-only text → empty array.
+
+    Trims ALL leading/trailing whitespace by regex — ``F.trim`` strips
+    only spaces, which would leave an empty first token (and corrupt
+    every downstream n-gram/chunk/count) for tab- or newline-padded
+    text. The DuckDB oracles replay the same
+    ``regexp_replace(text, '^\\s+|\\s+$', '', 'g')`` trim."""
+    trimmed = F.regexp_replace(text, r"^\s+|\s+$", "")
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
         .otherwise(F.split(trimmed, r"\s+"))
 
@@ -145,6 +151,10 @@ def with_redactions(df: DataFrame, text_col: str = "text",
     """
     patterns = REDACTION_PATTERNS if patterns is None else patterns
     taken = [out] + [count_prefix + name for name in patterns]
+    dupes = sorted({c for c in taken if taken.count(c) > 1})
+    if dupes:
+        raise ValueError(f"output column name(s) {dupes} collide among "
+                         f"out=/count_prefix= outputs themselves")
     clashes = [c for c in taken if c in df.columns]
     if clashes:
         raise ValueError(f"output column(s) {clashes} already exist in "

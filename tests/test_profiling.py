@@ -232,3 +232,69 @@ def test_with_redactions_column_collision_raises(spark):
     df = _docs(spark, [("a", "x")]).withColumn("n_url", F.lit(1))
     with _pytest.raises(ValueError, match="already exist"):
         with_redactions(df)
+
+
+# --- round-5 review regressions -------------------------------------------
+
+def test_with_redactions_self_collision_raises(spark):
+    import pytest as _pytest
+
+    from osm2lanes_spark.operators.text import with_redactions
+
+    df = _docs(spark, [("a", "see https://x.io now")])
+    # out name equal to a generated count name used to silently destroy
+    # the count column
+    with _pytest.raises(ValueError, match="collide among"):
+        with_redactions(df, out="n_url")
+
+
+def test_grouped_quantiles_reserved_group_names_raise(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", 1)], "q string, v int")
+    with _pytest.raises(ValueError, match="collide with the output"):
+        grouped_quantiles(df, "v", (0.5,), by="q")
+    # a VALUE column named q is fine (internals are __-prefixed)
+    df2 = spark.createDataFrame([("g", 1), ("g", 3)], "grp string, q int")
+    out = {r["q"]: r["value"] for r in
+           grouped_quantiles(df2, "q", (0.0, 1.0), by="grp").collect()}
+    assert out == {0.0: 1, 1.0: 3}
+
+
+def test_tokens_strip_all_whitespace(spark):
+    """F.trim strips only spaces: tab/newline-padded text used to leak
+    an empty first token into every gram/chunk/count."""
+    from osm2lanes_spark.operators.packing import chunk_documents
+    from osm2lanes_spark.operators.text import tokens
+    from osm2lanes_spark.operators.profiling import ngrams as _ngrams
+
+    df = _docs(spark, [("a", "\tfoo bar\n"), ("b", " \t\n ")])
+    toks = {r["doc_id"]: r["t"] for r in
+            df.select("doc_id", tokens(F.col("text")).alias("t")).collect()}
+    assert toks["a"] == ["foo", "bar"]
+    assert toks["b"] == []          # whitespace-only -> empty, not ['']
+    grams = df.select("doc_id", _ngrams(F.col("text"), 2).alias("g")) \
+        .collect()
+    assert {r["doc_id"]: r["g"] for r in grams} == {"a": ["foo bar"],
+                                                    "b": []}
+    chunks = chunk_documents(df, chunk_tokens=1).collect()
+    got = sorted((r["doc_id"], r["chunk_idx"], r["chunk_text"],
+                  r["n_chunk_tokens"]) for r in chunks)
+    assert got == [("a", 0, "foo", 1), ("a", 1, "bar", 1)]
+
+
+def test_chunk_token_count_is_arithmetic(spark):
+    """n_chunk_tokens = least(chunk, remaining), never a re-split of the
+    joined string (which both recomputed and miscounted)."""
+    from osm2lanes_spark.operators.packing import chunk_documents
+
+    df = _docs(spark, [("a", "t1 t2 t3 t4 t5 t6 t7")])  # 7 toks
+    out = sorted((r["chunk_idx"], r["n_chunk_tokens"]) for r in
+                 chunk_documents(df, chunk_tokens=3, overlap_tokens=1)
+                 .collect())
+    # stride 2: ceil((7-1)/2)=3 chunks at 1,3,5 -> sizes 3,3,3
+    assert out == [(0, 3), (1, 3), (2, 3)]
+    out2 = sorted((r["chunk_idx"], r["n_chunk_tokens"]) for r in
+                  chunk_documents(df, chunk_tokens=4, overlap_tokens=0)
+                  .collect())
+    assert out2 == [(0, 4), (1, 3)]  # arithmetic short tail
