@@ -171,3 +171,39 @@ def test_stream_sessions(spark, tmp_path):
     assert got[(1, 0)] == 10
     assert got[(1, 3)] == 10
     assert got[(2, 0)] == 5
+
+
+def test_stream_stateless_curation_ops(spark, tmp_path):
+    """The r05 stateless curation operators (redaction, chunking) must
+    compose with Structured Streaming unchanged — they are pure narrow
+    projections, so a readStream->writeStream pass yields exactly the
+    batch result."""
+    from osm2lanes_spark.operators.packing import chunk_documents
+    from osm2lanes_spark.operators.text import with_redactions
+
+    rows = [("d1", "mail a@b.co or https://x.io t1 t2 t3 t4 t5 t6"),
+            ("d2", "plain words only here"),
+            ("d3", "")]
+    src = str(tmp_path / "cur_in")
+    batch = spark.createDataFrame(rows, "doc_id string, text string")
+    batch.write.parquet(src)
+
+    def transform(df):
+        red = with_redactions(df)
+        return chunk_documents(
+            red.select("doc_id", F.col("redacted").alias("text")),
+            chunk_tokens=4, overlap_tokens=1)
+
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .parquet(src))
+    q = (transform(stream).writeStream
+         .format("parquet")
+         .option("path", str(tmp_path / "cur_out"))
+         .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "cur_out")).collect()))
+    want = sorted(map(tuple, transform(batch).collect()))
+    assert got == want and len(want) > 0
