@@ -86,6 +86,14 @@ Redaction is a pure scan-stage expression chain — counts
 WholeStageCodegen project, zero exchanges, zero Python. At 100 TB this
 is scan-bandwidth-bound, exactly as a row-local scrub should be.
 Plan-asserted: no Exchange, no Python stage.""",
+    "packed_texts": """\
+Pack materialization (the emit step after pack assignment): ONE data
+shuffle keyed by (source, pack_id) with partial_collect_list combining
+map-side (ObjectHashAggregate); per-pack state is bounded by the
+2048-token BUDGET by construction, never by corpus or key size; the
+in-row array_sort + transform + array_join ordering is JVM-side. The
+remaining subtree is contiguous_packs' audited machinery. md5 of every
+emitted sequence is byte-exact against DuckDB string_agg ORDER BY.""",
     "doc_chunks": """\
 Overlapping chunking is a pure scan-stage pipeline: tokenize once,
 transform(sequence)+slice builds every chunk, posexplode emits them —
@@ -261,7 +269,7 @@ def main() -> None:
                  "asof_latest_view", "asof_bucketed", "sessions",
                  "sessions_scale", "ngram_topk", "token_quantiles",
                  "curation_pipeline", "contamination", "pii_redact",
-                 "doc_chunks", "tfidf_terms"):
+                 "doc_chunks", "tfidf_terms", "packed_texts"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

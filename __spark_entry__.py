@@ -842,6 +842,26 @@ def _q_pii_redact(spark, sf_dir):
                     F.md5(F.col("redacted")).alias("fingerprint")))
 
 
+def _q_packed_texts(spark, sf_dir):
+    """Pack materialization (operators/packing.py pack_texts): the emit
+    step after pack assignment — each pack becomes ONE concatenated
+    training sequence in doc order. One map-side-combined shuffle keyed
+    by (source, pack); per-pack state bounded by the 2048-token budget.
+    The md5 of every emitted sequence pins byte-exact concatenation
+    order under the hard oracle (DuckDB string_agg ORDER BY replay)."""
+    from osm2lanes_spark.operators.packing import (contiguous_packs,
+                                                   pack_texts)
+    from osm2lanes_spark.operators.text import tokens
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens(F.col("text"))))
+    packed = contiguous_packs(docs, "n_tokens", budget=2048,
+                              order_col="doc_id", part_col="source")
+    out = pack_texts(packed, part_col="source")
+    return out.select("source", "pack_id", "n_docs",
+                      F.md5(F.col("pack_text")).alias("fingerprint"))
+
+
 def _q_doc_chunks(spark, sf_dir):
     """Overlapping fixed-token chunking (operators/packing.py
     chunk_documents): the context shaping step before embedding/training
@@ -1148,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _shipped(_q_pii_redact),
         "doc_chunks": _shipped(_q_doc_chunks),
         "tfidf_terms": _shipped(_q_tfidf_terms),
+        "packed_texts": _shipped(_q_packed_texts),
         "token_quantiles": _shipped(_q_token_quantiles),
         "curation_pipeline": _shipped(_q_curation_pipeline),
         "ann_ivf": _shipped(_q_ann_ivf),
@@ -2316,6 +2337,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM step1)
             SELECT doc_id, n_url, n_email, md5(redacted) AS fingerprint
             FROM step2
+        """,
+        "packed_texts": """
+            -- operators/packing.py pack_texts replay: offset pack ids,
+            -- then string_agg in doc order per (source, pack)
+            WITH tok AS (
+                SELECT doc_id, source, text,
+                       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                       END AS n_tokens
+                FROM documents),
+            packed AS (
+                SELECT doc_id, source, text,
+                       CAST(floor((sum(n_tokens) OVER (
+                                PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n_tokens)
+                            / 2048.0) AS BIGINT) AS pack_id
+                FROM tok)
+            SELECT source, pack_id, count(*) AS n_docs,
+                   md5(string_agg(text, ' ' ORDER BY doc_id))
+                       AS fingerprint
+            FROM packed GROUP BY source, pack_id
         """,
         "doc_chunks": """
             -- operators/packing.py chunk_documents replay: 64-token

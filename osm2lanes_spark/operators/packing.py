@@ -597,3 +597,31 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         F.least(F.lit(chunk_tokens),
                 F.col("__n_tok") - F.col("chunk_idx") * F.lit(stride))
         .alias("n_chunk_tokens"))
+
+
+def pack_texts(packed: DataFrame, text_col: str = "text",
+               order_col: str = "doc_id", pack_col: str = "pack_id",
+               part_col: str | None = None,
+               sep: str = " ") -> DataFrame:
+    """Materialize each pack as ONE training sequence: concatenate the
+    member documents' ``text_col`` in ``order_col`` order, separated by
+    ``sep`` — the emit step after :func:`contiguous_packs` assigns ids.
+
+    Returns ``(part_col?, pack_col, n_docs, pack_text)``.
+
+    Scale shape: one map-side-combined hash shuffle keyed by
+    (part, pack); per-pack state is ``collect_list`` of (order, text)
+    structs — bounded by the pack BUDGET (a pack holds at most
+    budget-tokens worth of text by construction), never by corpus or
+    key size — then sorted and joined in-row by ``array_sort`` +
+    ``array_join`` (JVM-side, no Python, no window)."""
+    keys = ([part_col] if part_col else []) + [pack_col]
+    pair = F.struct(F.col(order_col).alias("o"),
+                    F.col(text_col).alias("t"))
+    return (packed
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(pair)),
+                                 lambda s: s["t"]),
+                     sep).alias("pack_text")))

@@ -239,3 +239,18 @@ def test_tfidf_plan_group_limit_before_window_shuffle(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "partial_count" in plan, plan
+
+
+def test_packed_texts_plan_partial_collect(spark, sf_dir):
+    """Pack materialization: collect_list must partial-combine map-side
+    (ObjectHashAggregate partial_collect_list BEFORE the exchange) and
+    pay exactly one data shuffle keyed by (part, pack) beyond the
+    packer's own machinery."""
+    q = E.queries()["packed_texts"](spark, sf_dir)
+    plan = _plan(q)
+    assert "partial_collect_list" in plan, plan
+    pos_partial = plan.index("partial_collect_list")
+    pos_final = plan.index("functions=[count(1), collect_list")
+    # final agg sits above (before, in tree-string order) the partial
+    assert pos_final < pos_partial, plan
+    assert "Exchange hashpartitioning(source" in plan, plan

@@ -298,3 +298,21 @@ def test_chunk_token_count_is_arithmetic(spark):
                   chunk_documents(df, chunk_tokens=4, overlap_tokens=0)
                   .collect())
     assert out2 == [(0, 4), (1, 3)]  # arithmetic short tail
+
+
+def test_pack_texts_order_and_global(spark):
+    from osm2lanes_spark.operators.packing import pack_texts
+
+    rows = [("s", 2, "bb", 0), ("s", 1, "aa", 0), ("s", 3, "cc", 1),
+            ("t", 9, "zz", 0)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, text string, pack_id long")
+    out = {(r["source"], r["pack_id"]): (r["n_docs"], r["pack_text"])
+           for r in pack_texts(df, part_col="source").collect()}
+    # concatenation strictly in doc_id order regardless of input order
+    assert out[("s", 0)] == (2, "aa bb")
+    assert out[("s", 1)] == (1, "cc")
+    assert out[("t", 0)] == (1, "zz")
+    glob = {r["pack_id"]: r["pack_text"]
+            for r in pack_texts(df.drop("source")).collect()}
+    assert glob == {0: "aa bb zz", 1: "cc"}
