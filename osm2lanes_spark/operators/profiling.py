@@ -211,9 +211,14 @@ def tfidf_top_terms(df: DataFrame, k: int = 1, id_col: str = "doc_id",
     your storage is slower than a shuffle write; ``df.persist()`` the
     input to trade scan for memory). N joins in as a broadcast 1-row
     aggregate; the idf join is keyed by term (broadcast when the
-    vocabulary is small, hash otherwise); the top-k window shuffles once
-    by doc id and Spark's WindowGroupLimit keeps only k rows per doc
-    PER MAP TASK before that shuffle. No driver-side collect anywhere.
+    vocabulary is small, hash otherwise — and under a Zipfian vocabulary
+    a hot term like "the" hashes ALL its (doc, term) rows to one
+    partition: the rows carry no per-key ordering requirement, so AQE
+    skew-join splitting, on by default in
+    :func:`~osm2lanes_spark.session.get_spark`, safely splits them);
+    the top-k window shuffles once by doc id and Spark's
+    WindowGroupLimit keeps only k rows per doc PER MAP TASK before that
+    shuffle. No driver-side collect anywhere.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
