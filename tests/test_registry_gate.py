@@ -1,0 +1,79 @@
+"""Registry-vs-driver-artifact guard (VERDICT r05 #1).
+
+Round 5 registered two queries (`sessions_scale`, `events_rollup`) that
+never received a row in the driver's committed correctness artifact —
+the README claimed "52 oracled" while CORRECTNESS_r05.json proved 50.
+This test makes that drift loud: every `queries()` key must either
+appear in the NEWEST committed `CORRECTNESS_r*.json` or be explicitly
+declared below as added since that artifact was produced. The allowlist
+is self-expiring — once a newer artifact covers an allowlisted query,
+the test fails until the stale entry is removed.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import __spark_entry__ as E
+
+REPO = Path(__file__).resolve().parents[1]
+
+# Queries registered AFTER the newest committed CORRECTNESS artifact was
+# generated (the driver gate runs after the round's commits, so the
+# current round's additions are necessarily absent from the last
+# artifact). Every entry MUST be deleted as soon as a gate file covers
+# it — the staleness assert below enforces that.
+ADDED_SINCE_LAST_GATE = {
+    # r05 additions the r05 gate file predates (VERDICT r05 #1):
+    "sessions_scale",
+    "events_rollup",
+}
+
+
+def _newest_gate():
+    arts = sorted(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
+    assert arts, "no CORRECTNESS_r*.json artifact committed"
+    with open(arts[-1]) as fh:
+        return arts[-1].name, json.load(fh)
+
+
+def test_every_registered_query_has_a_gate_row():
+    name, gate = _newest_gate()
+    registered = set(E.queries())
+    missing = registered - set(gate) - ADDED_SINCE_LAST_GATE
+    assert not missing, (
+        f"queries registered but absent from {name} and not declared in "
+        f"ADDED_SINCE_LAST_GATE: {sorted(missing)}")
+
+
+def test_added_since_allowlist_is_not_stale():
+    name, gate = _newest_gate()
+    stale = ADDED_SINCE_LAST_GATE & set(gate)
+    assert not stale, (
+        f"{sorted(stale)} are covered by {name} — remove them from "
+        "ADDED_SINCE_LAST_GATE")
+
+
+def test_gate_rows_are_green_for_registered_queries():
+    """A committed red row must fail the suite, not hide in the artifact."""
+    name, gate = _newest_gate()
+    registered = set(E.queries())
+    bad = {
+        k: v for k, v in gate.items()
+        if k in registered and (
+            v.get("err") is not None
+            or not (v.get("rows_match") and v.get("schema_match")
+                    and v.get("hash_match")))
+    }
+    assert not bad, f"non-green rows in {name}: {sorted(bad)}"
+
+
+def test_oracles_cover_registry():
+    """Every oracle key must name a registered query (dangling oracles
+    are dead weight the driver never exercises)."""
+    dangling = set(E.oracle_sql()) - set(E.queries())
+    assert not dangling, f"oracle_sql keys with no query: {sorted(dangling)}"
