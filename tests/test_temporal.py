@@ -192,6 +192,48 @@ def test_sessionize_scale_safe_equals_plain_randomized(spark):
     assert plain == safe
 
 
+def test_sessionize_scale_safe_checkpoints_slim_projection(spark):
+    """VERDICT r05 #2: the range-partitioned pass must checkpoint ONLY
+    the (key, ts, tiebreak) projection — on a wide 100 TB events table a
+    full-width localCheckpoint persists a copy of the relation. Payload
+    columns may appear in the plan only on the original scan side of the
+    final join-back, never inside a checkpointed ExistingRDD scan."""
+    rows = [(1, _ts(i % 60), i, "x" * 20, float(i)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp, i int, wide_payload string, val double")
+    out = sessionize(df, key="k", ts="ts", gap_seconds=600, tiebreak="i",
+                     scale_safe=True, num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the checkpointed ranged relation is the __pid-stamped ExistingRDD
+    # (the local-rows input also scans as ExistingRDD — that one is the
+    # untouched join-back side and legitimately carries the payload)
+    ckpt = [ln for ln in plan.splitlines()
+            if "Scan ExistingRDD" in ln and "__pid" in ln]
+    assert ckpt, plan  # the checkpoint must exist (pid pinning)
+    for ln in ckpt:
+        assert "wide_payload" not in ln and "val#" not in ln, ln
+    # and the result still carries the payload + correct sessions
+    got = out.orderBy("i").collect()
+    assert len(got) == 40 and all(r.wide_payload == "x" * 20 for r in got)
+
+
+def test_sessionize_scale_safe_duplicate_sort_keys(spark):
+    """Exact duplicate (key, ts, tiebreak) rows share a session and must
+    come back with their original multiplicity — the slim distinct +
+    join-back must not multiply or drop rows."""
+    df = spark.createDataFrame(
+        [(1, _ts(0), 7, "a"), (1, _ts(0), 7, "b"), (1, _ts(30), 8, "c"),
+         (None, _ts(5), 9, "d"), (None, _ts(5), 9, "e")],
+        "k int, ts timestamp, i int, payload string")
+    kw = dict(key="k", ts="ts", gap_seconds=600, tiebreak="i")
+    plain = sessionize(df, **kw).collect()
+    safe = sessionize(df, scale_safe=True, num_partitions=3, **kw).collect()
+    assert len(safe) == len(plain) == 5
+    key = lambda r: (r.k, r.i, r.payload)  # noqa: E731
+    assert ({key(r): r.session_id for r in safe}
+            == {key(r): r.session_id for r in plain})
+
+
 def test_sessionize_types(spark):
     df = spark.createDataFrame([(1, _ts(0))], "k int, ts timestamp")
     out = sessionize(df, key="k", ts="ts")
