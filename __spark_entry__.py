@@ -773,6 +773,23 @@ def _q_token_quantiles(spark, sf_dir):
                              (0.25, 0.5, 0.75, 0.9, 0.99), by="source")
 
 
+def _q_token_quantiles_global(spark, sf_dir):
+    """The GLOBAL (by=None) quantile flavor over a high-cardinality
+    continuous column — the regime where a single-partition window over
+    the histogram would be the scale-killer (VERDICT r05 #3). The
+    distributed path (range-partitioned two-pass prefix count, the
+    packing decomposition) must reproduce the exact selection rule the
+    oracle replays; every value is distinct by construction
+    (length + doc_id*1e-7), so histogram rows == corpus rows."""
+    from osm2lanes_spark.operators.profiling import grouped_quantiles
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "chars_jittered",
+        F.length("text") + F.col("doc_id").cast("double") * F.lit(1e-7))
+    return grouped_quantiles(docs, "chars_jittered",
+                             (0.25, 0.5, 0.75, 0.9, 0.99))
+
+
 def _q_curation_pipeline(spark, sf_dir):
     """End-to-end curation composite — the LLM-pipeline flagship DAG:
     token gate (5 ≤ n_tokens ≤ 5000) → langid gate (en) → per-source
@@ -1170,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": _shipped(_q_tfidf_terms),
         "packed_texts": _shipped(_q_packed_texts),
         "token_quantiles": _shipped(_q_token_quantiles),
+        "token_quantiles_global": _shipped(_q_token_quantiles_global),
         "curation_pipeline": _shipped(_q_curation_pipeline),
         "ann_ivf": _shipped(_q_ann_ivf),
         "multimodal_features": _shipped(_q_multimodal),
@@ -2442,6 +2460,24 @@ def oracle_sql() -> dict[str, str]:
             FROM cum CROSS JOIN q
             WHERE cum >= floor((total - 1) * q) + 1
             GROUP BY source, q ORDER BY source, q
+        """,
+        "token_quantiles_global": """
+            -- grouped_quantiles(by=None): the same selection rule over
+            -- the GLOBAL histogram of an all-distinct double column
+            WITH v AS (
+                SELECT length(text) + doc_id * 1e-7 AS val
+                FROM documents),
+            c AS (SELECT val, count(*) AS cnt FROM v GROUP BY val),
+            cum AS (
+                SELECT val,
+                       sum(cnt) OVER (ORDER BY val) AS cum,
+                       sum(cnt) OVER () AS total
+                FROM c),
+            q AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+            SELECT q, min(val) AS value
+            FROM cum CROSS JOIN q
+            WHERE cum >= floor((total - 1) * q) + 1
+            GROUP BY q ORDER BY q
         """,
         "embedding_neardup": """
             WITH base AS (

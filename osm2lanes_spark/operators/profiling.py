@@ -146,8 +146,17 @@ def grouped_quantiles(df: DataFrame, value_col: str,
 
     1. ``groupBy(by, value).count()`` — the ONLY full-data pass,
        map-side combined (shuffle rows = distinct values, not rows);
-    2. cumulative count + group total by window over the histogram
-       (O(distinct) rows per group);
+    2. cumulative count + group total over the histogram. With ``by``
+       groups this is a per-group window (O(distinct) rows per group —
+       bounded for categorical/integer values). With ``by=None`` the
+       histogram is GLOBAL, and for a high-cardinality value column
+       (e.g. doubles, distinct ≈ N) a single-partition window over it
+       would funnel the whole histogram through one task (VERDICT r05
+       #3) — so the global flavor instead reuses the packing operator's
+       range-partitioned two-pass prefix sum: repartitionByRange on the
+       value, local cumulative counts per range partition, and a
+       broadcast-stitched per-partition subtotal table. No task ever
+       holds more than one range partition of the histogram.
     3. one generated row per requested ``q`` (array literal + explode),
        answered by ``min(value) where cum >= rank``.
 
@@ -174,13 +183,28 @@ def grouped_quantiles(df: DataFrame, value_col: str,
     hist = (df.where(F.col(value_col).isNotNull())
             .groupBy(*group_cols, value_col)
             .agg(F.count(F.lit(1)).alias("__cnt")))
-    w_group = (Window.partitionBy(*group_cols) if group_cols
-               else Window.partitionBy())
-    cum = (hist
-           .withColumn("__cum", F.sum("__cnt").over(
-               w_group.orderBy(value_col)
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-           .withColumn("__total", F.sum("__cnt").over(w_group)))
+    if group_cols:
+        w_group = Window.partitionBy(*group_cols)
+        cum = (hist
+               .withColumn("__cum", F.sum("__cnt").over(
+                   w_group.orderBy(value_col)
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow)))
+               .withColumn("__total", F.sum("__cnt").over(w_group)))
+    else:
+        # distributed global prefix: no single-partition window over the
+        # histogram (its row count is the value cardinality — unbounded
+        # for continuous columns). The checkpoint pins partition ids
+        # across the prefix pass's two readers (packing's measured
+        # range-reshuffle pitfall); it persists only (value, count).
+        from .packing import _ranged, _two_pass_prefix
+        ranged = (_ranged(hist, value_col, [], None)
+                  .localCheckpoint(eager=False))
+        total = ranged.agg(F.sum("__cnt").alias("__total"))
+        cum = (_two_pass_prefix(ranged, "__cnt", value_col, [])
+               .withColumn("__cum", F.col("__pre") + F.col("__cnt"))
+               .crossJoin(F.broadcast(total))
+               .drop("__pre", "__pid"))
     q_lit = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("__q")
     expanded = cum.select(*group_cols, value_col, "__cum", "__total", q_lit)
     rank = (F.floor((F.col("__total") - F.lit(1)) * F.col("__q"))

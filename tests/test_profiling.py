@@ -85,6 +85,23 @@ def test_grouped_quantiles_global_duplicates_and_nulls(spark):
     assert out == {0.5: 1, 1.0: 9}
 
 
+def test_grouped_quantiles_global_high_cardinality_doubles(spark):
+    """VERDICT r05 #3: the by=None flavor must stay exact when every
+    value is distinct (continuous column — histogram rows ≈ N), the
+    regime where the old single-partition window was the scale-killer.
+    Oracle: the selection rule applied to the python sort."""
+    import random
+
+    rnd = random.Random(13)
+    vals = [rnd.uniform(-1e6, 1e6) for _ in range(5003)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    qs = (0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    got = {r.q: r.value for r in grouped_quantiles(df, "v", qs).collect()}
+    srt = sorted(vals)
+    want = {q: srt[int((len(srt) - 1) * q)] for q in qs}
+    assert got == pytest.approx(want)
+
+
 def test_grouped_quantiles_validation(spark):
     df = spark.createDataFrame([(1,)], "v int")
     with pytest.raises(ValueError, match="non-empty"):

@@ -29,6 +29,8 @@ ADDED_SINCE_LAST_GATE = {
     # r05 additions the r05 gate file predates (VERDICT r05 #1):
     "sessions_scale",
     "events_rollup",
+    # r06 additions (gate runs after this round's commits):
+    "token_quantiles_global",
 }
 
 
