@@ -52,6 +52,29 @@ from pyspark.sql import functions as F
 _SIDE = "__asof_side"
 _MATCH_TS = "__asof_ts"
 
+# Measured plain-vs-skew-safe crossover (BENCH/temporal_skew.py, r05
+# A/Bs at 8M rows / 90% skew): below ~1M rows on the hottest key the
+# plain per-key window wins; above it the distributed formulations pay
+# off. ``auto`` modes default to plain under this estimate.
+AUTO_HOT_KEY_CROSSOVER = 1_000_000
+
+
+def _probe_hot_key(df: DataFrame, keys: list, fraction: float,
+                   seed: int = 7) -> int:
+    """Estimated row count of the hottest key: a Bernoulli ``fraction``
+    sample of the key column(s) only (column-pruned scan), one
+    partial-combined per-key count, max, scaled back by 1/fraction.
+    Cost: one narrow pass over the key column — the same pattern as
+    minhash's ``verify='auto'`` input probe. Returns 0 on an empty
+    sample (tiny inputs: the plain path is right anyway)."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"probe fraction outside (0, 1]: {fraction}")
+    sampled = df.select(*keys).sample(fraction=fraction, seed=seed)
+    row = (sampled.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
+           .agg(F.max("__c").alias("__hot")).first())
+    hot = row["__hot"]
+    return 0 if hot is None else int(hot / fraction)
+
 
 def _micros(col: Column) -> Column:
     """Integer epoch-microseconds of a timestamp. ``unix_micros`` only
@@ -66,7 +89,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
               direction: str = "backward",
               tolerance_seconds: float | None = None,
               tiebreak: str | None = None,
-              bucket_seconds: float | None = None) -> DataFrame:
+              bucket_seconds: float | str | None = None,
+              auto_threshold_rows: int = AUTO_HOT_KEY_CROSSOVER,
+              auto_probe_fraction: float = 0.01) -> DataFrame:
     """As-of join ``left`` to the nearest ``right`` row per key.
 
     Parameters
@@ -89,7 +114,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
         through a bucket-granularity as-of join over the tiny
         per-(key, bucket) extreme-row table. Identical output.
         Timestamps must be non-null on both sides (carry sentinels use
-        NULL ordering internally).
+        NULL ordering internally). Pass the string ``"auto"`` to decide
+        from a cheap sampled hot-key probe over both sides' key columns:
+        plain below ``auto_threshold_rows`` estimated rows on the
+        hottest key (the measured crossover), else a bucket width chosen
+        so the hottest (key, bucket) group lands well under it.
+    auto_threshold_rows / auto_probe_fraction : tuning for
+        ``bucket_seconds="auto"`` — the plain/bucketed crossover (rows
+        on the hottest key) and the Bernoulli probe fraction.
 
     Returns the left schema plus every non-key right column (collisions
     with a left name raise) — NULL where nothing matched.
@@ -98,6 +130,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     right_ts = right_ts or ts
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    if isinstance(bucket_seconds, str):
+        if bucket_seconds != "auto":
+            raise ValueError(
+                f"bucket_seconds must be a number, None or 'auto': "
+                f"{bucket_seconds!r}")
+        bucket_seconds = _auto_bucket_seconds(
+            left, right, keys, ts, right_ts,
+            auto_threshold_rows, auto_probe_fraction)
 
     payload = [c for c in right.columns if c not in keys and c != right_ts]
     clash = [c for c in payload if c in left.columns]
@@ -185,6 +225,41 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
             .drop(_SIDE, "__tb", "__bkt"))
 
 
+def _auto_bucket_seconds(left: DataFrame, right: DataFrame, keys: list,
+                         ts: str, right_ts: str, threshold: int,
+                         fraction: float, seed: int = 7) -> float | None:
+    """Resolve ``bucket_seconds="auto"``: one Bernoulli sample over the
+    union of both sides' (key, ts) columns feeds a per-key count (max →
+    hot-key estimate) and the global time span. Below ``threshold``
+    estimated hot-key rows — or with a degenerate span — returns None
+    (the plain path: below the measured crossover its single window
+    beats the bucketed stitches). Otherwise picks the bucket width that
+    puts the hottest (key, bucket) group at ~threshold/4 rows under a
+    uniform-in-time assumption, so a hot key spreads across enough
+    buckets to parallelize without exploding the carry table."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"probe fraction outside (0, 1]: {fraction}")
+    both = (left.select(*keys, F.col(ts).alias("__ats"))
+            .unionByName(right.select(*keys,
+                                      F.col(right_ts).alias("__ats"))))
+    row = (both.sample(fraction=fraction, seed=seed)
+           .groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"),
+                               F.min(_micros(F.col("__ats"))).alias("__mn"),
+                               F.max(_micros(F.col("__ats"))).alias("__mx"))
+           .agg(F.max("__c").alias("__hot"),
+                F.min("__mn").alias("__mn"),
+                F.max("__mx").alias("__mx"))
+           .first())
+    if row["__hot"] is None or row["__mn"] is None:
+        return None
+    hot_est = int(row["__hot"] / fraction)
+    span_seconds = (row["__mx"] - row["__mn"]) / 1_000_000
+    if hot_est < threshold or span_seconds <= 0:
+        return None
+    n_buckets = max(2, -(-hot_est // max(1, threshold // 4)))  # ceil div
+    return max(1e-6, span_seconds / n_buckets)
+
+
 def _carry_rows(l_tagged: DataFrame, r_tagged: DataFrame, left: DataFrame,
                 keys: list, ts: str, payload: list,
                 direction: str) -> DataFrame:
@@ -243,8 +318,10 @@ def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",
                gap_seconds: float = 1800.0,
                tiebreak: str | None = None,
                out: str = "session_id",
-               scale_safe: bool = False,
-               num_partitions: int | None = None) -> DataFrame:
+               scale_safe: bool | str = False,
+               num_partitions: int | None = None,
+               auto_threshold_rows: int = AUTO_HOT_KEY_CROSSOVER,
+               auto_probe_fraction: float = 0.01) -> DataFrame:
     """Assign gap-based session ids per key.
 
     A new session starts at the first event of a key and whenever the
@@ -264,8 +341,20 @@ def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",
     last-timestamp table; the flag prefix sum crosses them through the
     same table's flag subtotals — two broadcast-sized stitches, no
     per-key task anywhere. Output is identical (property-tested).
+
+    ``scale_safe="auto"`` decides from a cheap sampled hot-key probe
+    (one column-pruned pass over ``key``): the plain path below
+    ``auto_threshold_rows`` estimated rows on the hottest key (the
+    measured crossover — BENCH/temporal_skew.py), the distributed path
+    above it.
     """
     gap_us = int(round(gap_seconds * 1_000_000))
+    if isinstance(scale_safe, str):
+        if scale_safe != "auto":
+            raise ValueError(
+                f"scale_safe must be a bool or 'auto': {scale_safe!r}")
+        scale_safe = (_probe_hot_key(df, [key], auto_probe_fraction)
+                      >= auto_threshold_rows)
     order = [F.col(ts).asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())

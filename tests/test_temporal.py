@@ -234,6 +234,66 @@ def test_sessionize_scale_safe_duplicate_sort_keys(spark):
             == {key(r): r.session_id for r in plain})
 
 
+def test_sessionize_auto_picks_plain_below_crossover(spark):
+    """auto + default 1M crossover on a tiny input → plain path: no
+    checkpointed range stage in the plan, output identical."""
+    df = spark.createDataFrame(
+        [(1, _ts(10 * i), i) for i in range(6)],
+        "k int, ts timestamp, i int")
+    out = sessionize(df, key="k", ts="ts", gap_seconds=600, tiebreak="i",
+                     scale_safe="auto", auto_probe_fraction=1.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__pid" not in plan, plan
+    assert ({(r.i, r.session_id) for r in out.collect()}
+            == {(r.i, r.session_id)
+                for r in sessionize(df, key="k", ts="ts", gap_seconds=600,
+                                    tiebreak="i").collect()})
+
+
+def test_sessionize_auto_picks_distributed_above_crossover(spark):
+    """auto + a lowered crossover on a hot-keyed input → distributed
+    path (checkpointed __pid stage present), output identical."""
+    df = spark.createDataFrame(
+        [(1, _ts(i % 60, i % 45), i) for i in range(50)],
+        "k int, ts timestamp, i int")
+    kw = dict(key="k", ts="ts", gap_seconds=240, tiebreak="i")
+    out = sessionize(df, scale_safe="auto", auto_probe_fraction=1.0,
+                     auto_threshold_rows=10, **kw)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__pid" in plan, plan
+    assert ({(r.i, r.session_id) for r in out.collect()}
+            == {(r.i, r.session_id) for r in sessionize(df, **kw).collect()})
+
+
+def test_sessionize_auto_bad_string_raises(spark):
+    df = spark.createDataFrame([(1, _ts(0))], "k int, ts timestamp")
+    with pytest.raises(ValueError, match="auto"):
+        sessionize(df, key="k", ts="ts", scale_safe="yes")
+
+
+def test_asof_auto_bucket_both_sides_of_crossover(spark, frames):
+    """bucket_seconds='auto': tiny input under the default crossover →
+    unbucketed plan (no __bkt); lowered crossover → bucketed plan; both
+    match the plain output."""
+    left, right = frames
+    plain = {(r.k, r.l): r.v
+             for r in asof_join(left, right, on="k").collect()}
+    below = asof_join(left, right, on="k", bucket_seconds="auto",
+                      auto_probe_fraction=1.0)
+    assert "__bkt" not in below._jdf.queryExecution().executedPlan().toString()
+    assert {(r.k, r.l): r.v for r in below.collect()} == plain
+    above = asof_join(left, right, on="k", bucket_seconds="auto",
+                      auto_probe_fraction=1.0, auto_threshold_rows=2)
+    assert "__bkt" in above._jdf.queryExecution().executedPlan().toString()
+    assert {(r.k, r.l): r.v for r in above.collect()} == plain
+
+
+def test_asof_auto_bad_string_raises(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="auto"):
+        asof_join(left, right, on="k", bucket_seconds="hourly")
+
+
 def test_sessionize_types(spark):
     df = spark.createDataFrame([(1, _ts(0))], "k int, ts timestamp")
     out = sessionize(df, key="k", ts="ts")
