@@ -1225,8 +1225,8 @@ def _langid_oracle() -> str:
     return f"""
         WITH t AS (
           SELECT doc_id, text,
-                 CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
-                      ELSE list_transform(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                 CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'),
                                           x -> lower(x))
                  END AS toks
           FROM documents),
@@ -1279,12 +1279,12 @@ def _curation_oracle() -> str:
     return f"""
         WITH tok AS (
           SELECT doc_id, source, text,
-                 CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
-                      ELSE list_transform(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                 CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'),
                                           x -> lower(x))
                  END AS toks,
-                 CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
-                      ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                 CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'))
                  END AS n_tokens
           FROM documents),
         gated AS (SELECT * FROM tok WHERE n_tokens BETWEEN 5 AND 5000),
@@ -1472,7 +1472,7 @@ def _simhash_oracle(max_hamming: int = 6) -> str:
         WITH toks AS (
           SELECT doc_id,
                  unnest(list_distinct(string_split(
-                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                     trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')),
                      ' '))) AS tok
           FROM documents),
         hx AS (
@@ -1575,7 +1575,7 @@ def _dedup_components_oracle() -> str:
         WITH RECURSIVE t AS (
             SELECT doc_id,
                    regexp_split_to_array(
-                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')),
                        ' ') AS toks
             FROM documents),
         s AS (
@@ -1985,31 +1985,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "dedup_exact": """
-            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+            SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint,
                    count(*) AS n_docs, min(doc_id) AS survivor_id
             FROM documents GROUP BY 1
         """,
         "token_stats": """
             SELECT doc_id,
-                   CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                   CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'))
                    END AS n_tokens
             FROM documents
         """,
         "text_quality": """
             SELECT doc_id,
                    length(text) AS n_chars,
-                   len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS n_tokens,
-                   round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text), 6) AS punct_ratio,
+                   len(regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+')) AS n_tokens,
+                   round(len(regexp_extract_all(text, '[^\\w \\t\\n\\r\\f\\x0B]')) * 1.0 / length(text), 6) AS punct_ratio,
                    round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / length(text), 6) AS upper_ratio,
-                   round(length(text) * 1.0 / len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')), 6) AS mean_token_len
+                   round(length(text) * 1.0 / len(regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+')), 6) AS mean_token_len
             FROM documents
         """,
         "ngram_jaccard": """
             WITH t AS (
                 SELECT doc_id,
                        regexp_split_to_array(
-                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')),
                            ' ') AS toks
                 FROM documents),
             s AS (
@@ -2146,8 +2146,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_packing": """
             WITH tok AS (
                 SELECT doc_id, source,
-                       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                       CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'))
                        END AS n_tokens
                 FROM documents),
             packed AS (
@@ -2169,8 +2169,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_packing_exact": """
             WITH RECURSIVE tok AS (
                 SELECT doc_id, source,
-                       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                       CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'))
                        END AS n_tokens,
                        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents),
@@ -2199,8 +2199,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_packing_exact_global": """
             WITH RECURSIVE tok AS (
                 SELECT doc_id,
-                       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                       CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'))
                        END AS n_tokens,
                        row_number() OVER (ORDER BY doc_id) AS rn
                 FROM documents),
@@ -2248,7 +2248,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": """
             WITH toks AS (
                 SELECT doc_id,
-                       unnest(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS tok
+                       unnest(regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+')) AS tok
                 FROM documents),
             per_tok AS (
                 SELECT doc_id, tok, count(*) AS c
@@ -2264,10 +2264,10 @@ def oracle_sql() -> dict[str, str]:
             -- word bigrams, exact counts, top-20 with the same total
             -- tie-break order (count desc, ngram asc)
             WITH t AS (
-                SELECT CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+                SELECT CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0
                             THEN CAST([] AS VARCHAR[])
                             ELSE list_transform(
-                                regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                                regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'),
                                 x -> lower(x))
                        END AS toks
                 FROM documents),
@@ -2287,10 +2287,10 @@ def oracle_sql() -> dict[str, str]:
             -- the eval set (doc_id % 97 == 0)
             WITH t AS (
                 SELECT doc_id,
-                       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+                       CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0
                             THEN CAST([] AS VARCHAR[])
                             ELSE list_transform(
-                                regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                                regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'),
                                 x -> lower(x))
                        END AS toks
                 FROM documents),
@@ -2339,9 +2339,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             step1 AS (
                 SELECT doc_id,
-                       len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                       len(regexp_extract_all(text, 'https?://[^ \\t\\n\\r\\f\\x0B]+'))
                            AS n_url,
-                       regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g')
+                       regexp_replace(text, 'https?://[^ \\t\\n\\r\\f\\x0B]+', '<URL>', 'g')
                            AS t1
                 FROM planted),
             step2 AS (
@@ -2361,8 +2361,8 @@ def oracle_sql() -> dict[str, str]:
             -- then string_agg in doc order per (source, pack)
             WITH tok AS (
                 SELECT doc_id, source, text,
-                       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                       CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'))
                        END AS n_tokens
                 FROM documents),
             packed AS (
@@ -2384,9 +2384,9 @@ def oracle_sql() -> dict[str, str]:
             -- slicing; md5 pins the exact chunk strings
             WITH t AS (
                 SELECT doc_id,
-                       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+                       CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0
                             THEN CAST([] AS VARCHAR[])
-                            ELSE regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+                            ELSE regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+')
                        END AS toks
                 FROM documents),
             n AS (
@@ -2419,9 +2419,9 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        unnest(list_transform(
-                           regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                           regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'),
                            x -> lower(x))) AS term
-                FROM documents WHERE length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0),
+                FROM documents WHERE length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) > 0),
             tf AS (
                 SELECT doc_id, term, count(*) AS tf
                 FROM toks GROUP BY doc_id, term),
@@ -2444,8 +2444,8 @@ def oracle_sql() -> dict[str, str]:
             -- reaches the target rank)
             WITH v AS (
                 SELECT source,
-                       CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                       CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'))
                        END AS val
                 FROM documents),
             c AS (SELECT source, val, count(*) AS cnt

@@ -23,6 +23,16 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+# Engine-independent whitespace. Java regex \s is [ \t\n\x0B\f\r] while
+# RE2 (DuckDB, the oracle engine) \s excludes \x0B — text containing a
+# vertical tab would tokenize/normalize/redact differently across the
+# two (ADVICE r05). The explicit class equals Java's \s exactly, so
+# every Spark-side result is bit-identical to before; only the oracle
+# side gains \x0B. Both engines accept \xhh inside a class.
+WS_CHARS = r" \t\n\r\f\x0B"
+WS_CLASS = rf"[{WS_CHARS}]"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization; empty/whitespace-only text → empty array.
 
@@ -30,10 +40,11 @@ def tokens(text: Column) -> Column:
     only spaces, which would leave an empty first token (and corrupt
     every downstream n-gram/chunk/count) for tab- or newline-padded
     text. The DuckDB oracles replay the same
-    ``regexp_replace(text, '^\\s+|\\s+$', '', 'g')`` trim."""
-    trimmed = F.regexp_replace(text, r"^\s+|\s+$", "")
+    ``regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$',
+    '', 'g')`` trim (``WS_CLASS`` — engine-independent whitespace)."""
+    trimmed = F.regexp_replace(text, rf"^{WS_CLASS}+|{WS_CLASS}+$", "")
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
-        .otherwise(F.split(trimmed, r"\s+"))
+        .otherwise(F.split(trimmed, rf"{WS_CLASS}+"))
 
 
 def with_token_count(df: DataFrame, text_col: str = "text",
@@ -46,7 +57,7 @@ def with_bpe_ish_token_count(df: DataFrame, text_col: str = "text",
     """BPE-approximating count: word-piece regex splits on case/digit
     boundaries and punctuation — a deterministic proxy for tokenizer cost."""
     pieces = F.regexp_extract_all(
-        F.col(text_col), F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"), F.lit(0))
+        F.col(text_col), F.lit(rf"[A-Za-z]+|\d+|[^{WS_CHARS}A-Za-z\d]"), F.lit(0))
     # long words cost extra subtokens: ceil(len/6) pieces each
     return df.withColumn(
         out,
@@ -56,7 +67,7 @@ def with_bpe_ish_token_count(df: DataFrame, text_col: str = "text",
 
 def normalized(text: Column) -> Column:
     """Lowercase + collapsed whitespace — the dedup canonical form."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(text), rf"{WS_CLASS}+", " "))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text",
@@ -75,7 +86,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(text)
     n_chars = F.length(text)
     n_toks = F.size(toks)
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(rf"[^\w{WS_CHARS}]"), F.lit(0)))
     stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
     n_stop = F.size(F.array_intersect(F.transform(toks, F.lower), stop))
     n_upper = F.size(F.regexp_extract_all(text, F.lit(r"[A-Z]"), F.lit(0)))
@@ -129,7 +140,7 @@ def with_langid(df: DataFrame, text_col: str = "text",
 # to behave identically under Java regex (Spark) and RE2-style engines
 # (the DuckDB oracle replays these verbatim).
 REDACTION_PATTERNS: dict[str, tuple[str, str]] = {
-    "url": (r"https?://[^\s]+", "<URL>"),
+    "url": (rf"https?://[^{WS_CHARS}]+", "<URL>"),
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
 }
 

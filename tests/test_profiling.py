@@ -278,6 +278,34 @@ def test_grouped_quantiles_reserved_group_names_raise(spark):
     assert out == {0.0: 1, 1.0: 3}
 
 
+def test_whitespace_class_engine_parity_on_vertical_tab(spark):
+    """ADVICE r05: Java \\s includes \\x0B, RE2 (DuckDB) \\s does not —
+    the explicit WS_CLASS must make both engines tokenize and normalize
+    vertical-tab text identically."""
+    import duckdb
+
+    from osm2lanes_spark.operators.text import WS_CLASS, normalized, tokens
+
+    text = "\x0Balpha\x0Bbeta gamma\t\x0B"
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(tokens(F.col("text")).alias("t"),
+                    normalized(F.col("text")).alias("n")).first()
+    assert row["t"] == ["alpha", "beta", "gamma"]
+    assert row["n"] == "alpha beta gamma"
+    con = duckdb.connect()
+    trim = f"regexp_replace(?, '^{WS_CLASS}+|{WS_CLASS}+$', '', 'g')"
+    duck = con.execute(
+        f"SELECT regexp_split_to_array({trim}, '{WS_CLASS}+'),"
+        f" trim(regexp_replace(lower(?), '{WS_CLASS}+', ' ', 'g'))",
+        [text, text]).fetchone()
+    assert duck[0] == row["t"] and duck[1] == row["n"]
+    # and the OLD '\\s' disagreement is real (regression guard: RE2
+    # leaves \x0B in place, so the classes are not interchangeable)
+    legacy = con.execute(
+        r"SELECT regexp_replace(?, '^\s+|\s+$', '', 'g')", [text]).fetchone()
+    assert legacy[0] != "alpha\x0Bbeta gamma"  # \x0B not stripped by RE2
+
+
 def test_tokens_strip_all_whitespace(spark):
     """F.trim strips only spaces: tab/newline-padded text used to leak
     an empty first token into every gram/chunk/count."""
