@@ -80,6 +80,24 @@ join, review r05) + one partial-combined hash exchange on doc_id for
 the per-doc stats. broadcast_reference=False switches the gram join to
 a hash join for corpus-vs-corpus screening.
 Plan-asserted: BroadcastHashJoin on __gram, <=2 hash exchanges.""",
+    "line_dedup": """\
+Cross-doc line dedup: the doc-frequency side is TWO map-side-combined
+aggregates over (id, fingerprint) — the hot navbar fingerprint is the
+MOST combined, so skew helps — and the >=min_docs set comes back as a
+BROADCAST anti join (no corpus shuffle by fingerprint; the hash-join
+fallback for huge boilerplate vocabularies carries no ordering
+requirement, so AQE skew split applies). Reconstruction is one
+(doc)-keyed ObjectHashAggregate with in-row array_sort ordering, then
+one id-keyed stitch back to the untouched input. The line explode is
+narrow. Plan-asserted BroadcastHashJoin + partial aggregates.""",
+    "token_quantiles_global": """\
+The by=None quantile flavor over an all-distinct double column — the
+histogram is O(rows), so no single-partition window may touch it: the
+range shuffle on the value lives behind the slim checkpoint, the
+cumulative count is per range partition (hashpartitioning(__pid)) with
+one broadcast subtotal stitch, and the only SinglePartition exchanges
+are the O(#partitions)-row subtotal window and the 1-row global total.
+Plan-asserted in tests/test_plans.py.""",
     "pii_redact": """\
 Redaction is a pure scan-stage expression chain — counts
 (regexp_extract_all/size) and global replacements all inside ONE
@@ -269,7 +287,8 @@ def main() -> None:
                  "asof_latest_view", "asof_bucketed", "sessions",
                  "sessions_scale", "ngram_topk", "token_quantiles",
                  "curation_pipeline", "contamination", "pii_redact",
-                 "doc_chunks", "tfidf_terms", "packed_texts"):
+                 "doc_chunks", "tfidf_terms", "packed_texts",
+                 "line_dedup", "token_quantiles_global"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -859,6 +859,29 @@ def _q_pii_redact(spark, sf_dir):
                     F.md5(F.col("redacted")).alias("fingerprint")))
 
 
+def _q_line_dedup(spark, sf_dir):
+    """Cross-document line dedup (operators/dedup.py line_dedup — the
+    C4/RefinedWeb boilerplate-removal step): a nav header is planted on
+    every doc and a copyright footer on doc_id % 3 == 0, then lines in
+    ≥5 distinct docs are stripped; the md5 of the rebuilt text pins
+    byte-exact line order and separators under the hard oracle (DuckDB
+    string_split + ordered string_agg replay). Doc frequencies are
+    map-side-combined distinct+count shuffles; the ≥5 fingerprint set
+    joins back broadcast."""
+    from osm2lanes_spark.operators.dedup import line_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(F.lit("SITE NAV | HOME | ABOUT\n"), F.col("text"),
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.lit("\nCopyright 2024 Example Corp"))
+                 .otherwise(F.lit(""))))
+    out = line_dedup(planted, min_docs=5)
+    return out.select("doc_id", "n_lines", "n_removed_lines",
+                      F.md5(F.col("clean_text")).alias("fingerprint"))
+
+
 def _q_packed_texts(spark, sf_dir):
     """Pack materialization (operators/packing.py pack_texts): the emit
     step after pack assignment — each pack becomes ONE concatenated
@@ -1183,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": _shipped(_q_ngram_topk),
         "contamination": _shipped(_q_contamination),
         "pii_redact": _shipped(_q_pii_redact),
+        "line_dedup": _shipped(_q_line_dedup),
         "doc_chunks": _shipped(_q_doc_chunks),
         "tfidf_terms": _shipped(_q_tfidf_terms),
         "packed_texts": _shipped(_q_packed_texts),
@@ -2460,6 +2484,46 @@ def oracle_sql() -> dict[str, str]:
             FROM cum CROSS JOIN q
             WHERE cum >= floor((total - 1) * q) + 1
             GROUP BY source, q ORDER BY source, q
+        """,
+        "line_dedup": """
+            -- operators/dedup.py line_dedup: normalized-line doc
+            -- frequencies, strip lines in >= 5 distinct docs, rebuild
+            -- in original order (string_agg ORDER BY position)
+            WITH planted AS (
+                SELECT doc_id,
+                       'SITE NAV | HOME | ABOUT' || chr(10) || text ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN chr(10) || 'Copyright 2024 Example Corp'
+                            ELSE '' END AS text
+                FROM documents),
+            lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(generate_series(
+                           1, len(string_split(text, chr(10))))) AS pos
+                FROM planted),
+            normed AS (
+                SELECT doc_id, pos, line,
+                       trim(regexp_replace(lower(line),
+                            '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS norm
+                FROM lines),
+            common AS (
+                SELECT norm
+                FROM (SELECT norm, count(DISTINCT doc_id) AS d
+                      FROM normed WHERE length(norm) >= 1 GROUP BY norm)
+                WHERE d >= 5),
+            kept AS (
+                SELECT n.* FROM normed n ANTI JOIN common c USING (norm)),
+            rebuilt AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean
+                FROM kept GROUP BY doc_id)
+            SELECT p.doc_id,
+                   len(string_split(p.text, chr(10))) AS n_lines,
+                   len(string_split(p.text, chr(10)))
+                       - coalesce(r.n_kept, 0) AS n_removed_lines,
+                   md5(coalesce(r.clean, '')) AS fingerprint
+            FROM planted p LEFT JOIN rebuilt r USING (doc_id)
         """,
         "token_quantiles_global": """
             -- grouped_quantiles(by=None): the same selection rule over

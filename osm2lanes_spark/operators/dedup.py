@@ -598,3 +598,100 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             .withColumn("survivor_id", F.first(id_col).over(w))
             .withColumn("is_duplicate",
                         F.col(id_col) != F.col("survivor_id")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line/paragraph dedup (C4 / RefinedWeb boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_docs: int = 2,
+               min_line_chars: int = 1, sep: str = "\n",
+               out: str = "clean_text",
+               broadcast_fingerprints: bool = True) -> DataFrame:
+    """Remove lines (or paragraphs — ``sep="\\n\\n"``) whose normalized
+    form occurs in at least ``min_docs`` DISTINCT documents: the
+    C4/RefinedWeb curation step that strips navbars, cookie banners,
+    copyright footers and other cross-site boilerplate the document-level
+    dedups cannot see (no reference counterpart — engine-side operator;
+    cf. Raffel et al. 2020 §2.2, Penedo et al. 2023 §3.3).
+
+    A line is a removal *candidate* only when its normalized form
+    (:func:`~osm2lanes_spark.operators.text.normalized` — lowercase,
+    collapsed whitespace) has at least ``min_line_chars`` characters, so
+    blank separator lines survive by default. ``id_col`` must be unique
+    (document granularity). NULL text passes through as NULL.
+
+    Returns df.* + ``out`` (text rebuilt from surviving lines in
+    original order, ``""`` when everything was boilerplate) +
+    ``n_lines`` + ``n_removed_lines``.
+
+    Scale shape at 100 TB: the only full-text passes are the line
+    explode (narrow) and the two join-backs. Document frequencies are a
+    ``(id, fingerprint) distinct`` + one count — both map-side combined,
+    so a fingerprint appearing a billion times (the hot navbar) is
+    combined hardest, and the shuffle carries distinct fingerprints, not
+    occurrences. The ≥``min_docs`` fingerprint set joins back broadcast
+    by default (boilerplate vocabularies are small); pass
+    ``broadcast_fingerprints=False`` for a hash join when it is not —
+    the probe side carries no ordering requirement, so AQE's skew-join
+    split handles hot fingerprints. Reconstruction is one
+    (id)-keyed aggregate over surviving lines; the final stitch joins
+    the rebuilt text back to the untouched input by id.
+    """
+    import re as _re
+
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    if min_line_chars < 1:
+        raise ValueError(
+            f"min_line_chars must be >= 1, got {min_line_chars}")
+    reserved = {out, "n_lines", "n_removed_lines"}
+    clash = sorted(reserved.intersection(df.columns))
+    if clash:
+        raise ValueError(f"output column(s) {clash} already exist in the "
+                         "input — rename them or pass a different out=")
+    split_pat = _re.escape(sep)
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_pat))
+        .alias("__pos", "__line"))
+    lines = lines.withColumn("__norm", normalized(F.col("__line")))
+
+    common = (lines
+              .where(F.length("__norm") >= min_line_chars)
+              .select(id_col, "__norm").distinct()
+              .groupBy("__norm")
+              .agg(F.count(F.lit(1)).alias("__docs"))
+              .where(F.col("__docs") >= min_docs)
+              .select("__norm"))
+    if broadcast_fingerprints:
+        common = F.broadcast(common)
+    # a sub-min_line_chars norm can never be in `common` (candidacy is a
+    # function of the norm itself), so a bare left-anti join keeps
+    # exactly the surviving lines
+    kept = lines.join(common, "__norm", "left_anti")
+
+    rebuilt = (kept
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("__n_kept"),
+                    F.concat_ws(
+                        sep,
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("__pos"), F.col("__line")))),
+                            lambda s: s["__line"])).alias("__rebuilt"))
+               .select(F.col(id_col).alias("__ld_id"),
+                       "__n_kept", "__rebuilt"))
+
+    n_lines = F.when(F.col(text_col).isNotNull(),
+                     F.size(F.split(F.col(text_col), split_pat)))
+    return (df.join(rebuilt, df[id_col] == F.col("__ld_id"), "left")
+            .withColumn("n_lines", n_lines)
+            .withColumn("n_removed_lines",
+                        n_lines - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .withColumn(out, F.when(F.col(text_col).isNotNull(),
+                                    F.coalesce(F.col("__rebuilt"),
+                                               F.lit(""))))
+            .drop("__ld_id", "__n_kept", "__rebuilt"))

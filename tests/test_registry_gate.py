@@ -31,6 +31,7 @@ ADDED_SINCE_LAST_GATE = {
     "events_rollup",
     # r06 additions (gate runs after this round's commits):
     "token_quantiles_global",
+    "line_dedup",
 }
 
 

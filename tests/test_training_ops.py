@@ -930,3 +930,76 @@ def test_minhash_auto_gate_requires_bare_scan(spark, sf_dir):
     assert not D._is_bare_scan(scan.where(F.col("doc_id") < 10))
     assert not D._is_bare_scan(scan.groupBy("source").count())
     assert not D._is_bare_scan(scan.join(scan.select("doc_id"), "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# line_dedup (cross-document boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def _line_docs(spark):
+    return spark.createDataFrame(
+        [(1, "SITE NAV | HOME\nunique one\n\nCopyright 2024"),
+         (2, "site   nav | home\nunique two\nCopyright 2024"),
+         (3, "SITE NAV | HOME\nunique three"),
+         (4, None),
+         (5, "SITE NAV | HOME")],
+        "doc_id long, text string")
+
+
+def test_line_dedup_removes_cross_doc_lines_preserves_order(spark):
+    out = {r.doc_id: r for r in
+           D.line_dedup(_line_docs(spark), min_docs=3).collect()}
+    # the nav header appears (normalized) in docs 1,2,3,5 → removed;
+    # the copyright line only in 1,2 → kept at min_docs=3
+    assert out[1].clean_text == "unique one\n\nCopyright 2024"
+    assert out[2].clean_text == "unique two\nCopyright 2024"
+    assert out[3].clean_text == "unique three"
+    assert (out[1].n_lines, out[1].n_removed_lines) == (4, 1)
+    # blank line in doc 1 survives (below min_line_chars)
+    assert out[4].clean_text is None and out[4].n_lines is None
+    # doc 5 is ALL boilerplate → empty string, not null
+    assert out[5].clean_text == "" and out[5].n_removed_lines == 1
+
+
+def test_line_dedup_min_docs_two_and_hash_path(spark):
+    docs = _line_docs(spark)
+    bcast = {(r.doc_id, r.clean_text)
+             for r in D.line_dedup(docs, min_docs=2).collect()}
+    hashp = {(r.doc_id, r.clean_text)
+             for r in D.line_dedup(docs, min_docs=2,
+                                   broadcast_fingerprints=False).collect()}
+    assert bcast == hashp
+    got = dict(bcast)
+    # at min_docs=2 the copyright footer goes too
+    assert got[1] == "unique one\n"
+    assert got[2] == "unique two"
+
+
+def test_line_dedup_paragraph_mode(spark):
+    df = spark.createDataFrame(
+        [(1, "shared para\n\nunique a"), (2, "shared para\n\nunique b"),
+         (3, "solo\n\nunique c")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.clean_text
+           for r in D.line_dedup(df, min_docs=2, sep="\n\n").collect()}
+    assert out == {1: "unique a", 2: "unique b", 3: "solo\n\nunique c"}
+
+
+def test_line_dedup_validation(spark):
+    df = _line_docs(spark)
+    with pytest.raises(ValueError, match="min_docs"):
+        D.line_dedup(df, min_docs=0)
+    with pytest.raises(ValueError, match="min_line_chars"):
+        D.line_dedup(df, min_line_chars=0)
+    with pytest.raises(ValueError, match="already exist"):
+        D.line_dedup(df.withColumn("n_lines", F.lit(1)))
+
+
+def test_line_dedup_plan_shape(spark):
+    """Broadcast default: the fingerprint set must come back as a
+    broadcast join (no full-data shuffle by fingerprint); the doc-freq
+    aggregates must partial-combine map-side."""
+    plan = (D.line_dedup(_line_docs(spark), min_docs=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan
