@@ -2397,8 +2397,11 @@ def oracle_sql() -> dict[str, str]:
                                 AND CURRENT ROW) - n_tokens)
                             / 2048.0) AS BIGINT) AS pack_id
                 FROM tok)
+            -- ORDER BY doc_id, text: the operator's struct sort breaks
+            -- duplicate order keys by the text itself (doc_id is unique
+            -- here, but the replay must match the full contract)
             SELECT source, pack_id, count(*) AS n_docs,
-                   md5(string_agg(text, ' ' ORDER BY doc_id))
+                   md5(string_agg(text, ' ' ORDER BY doc_id, text))
                        AS fingerprint
             FROM packed GROUP BY source, pack_id
         """,

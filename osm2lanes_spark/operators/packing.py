@@ -614,7 +614,15 @@ def pack_texts(packed: DataFrame, text_col: str = "text",
     structs — bounded by the pack BUDGET (a pack holds at most
     budget-tokens worth of text by construction), never by corpus or
     key size — then sorted and joined in-row by ``array_sort`` +
-    ``array_join`` (JVM-side, no Python, no window)."""
+    ``array_join`` (JVM-side, no Python, no window).
+
+    Ordering contract (ADVICE r05): ``order_col`` should be unique
+    within each (part, pack) — it already must be for
+    :func:`contiguous_packs` — and any external replay must order by
+    BOTH (order, text): duplicated order keys tie-break by the text
+    itself here (the struct sort's second field), whereas a plain
+    ``string_agg(text ORDER BY order)`` leaves tie order unspecified
+    and would diverge engine-to-engine."""
     keys = ([part_col] if part_col else []) + [pack_col]
     pair = F.struct(F.col(order_col).alias("o"),
                     F.col(text_col).alias("t"))

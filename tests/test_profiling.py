@@ -361,3 +361,16 @@ def test_pack_texts_order_and_global(spark):
     glob = {r["pack_id"]: r["pack_text"]
             for r in pack_texts(df.drop("source")).collect()}
     assert glob == {0: "aa bb zz", 1: "cc"}
+
+
+def test_pack_texts_duplicate_order_keys_tiebreak_by_text(spark):
+    """ADVICE r05: duplicated order keys tie-break by the text itself
+    (struct sort's second field) — deterministic, and the documented
+    contract any external replay must add to its ORDER BY."""
+    from osm2lanes_spark.operators.packing import pack_texts
+
+    rows = [("s", 1, "bb", 0), ("s", 1, "aa", 0), ("s", 1, "cc", 0)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, text string, pack_id long")
+    out = pack_texts(df, part_col="source").collect()
+    assert len(out) == 1 and out[0]["pack_text"] == "aa bb cc"
