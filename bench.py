@@ -231,13 +231,17 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                .withColumn("embedding", F.col("embedding").cast("array<double>")))
         ivf_queries = (emb.where(F.col("vec_id") < 10)
                        .select(F.col("vec_id").alias("query_id"), "embedding"))
-        # NOTE: curation_pipeline joined in r05 — cross-round comparisons
-        # of the summed "value" should exclude it (or compare per-query)
+        # NOTE: curation_pipeline joined in r05; contamination_hash,
+        # chunk_pack_chain, asof_bucketed, sessions_scale, line_dedup and
+        # token_quantiles_global joined in r06 — cross-round comparisons
+        # of the summed "value" should exclude them (or compare per-query)
         aux_names = ("pricing_summary", "region_revenue", "event_ranks",
                      "grid_binning", "s2_binning", "zonal", "dedup_exact",
                      "token_stats", "ann_topk", "minhash_pairs", "knn",
                      "dedup_components", "ann_ivf_nprobe4",
-                     "curation_pipeline")
+                     "curation_pipeline", "contamination_hash",
+                     "chunk_pack_chain", "asof_bucketed", "sessions_scale",
+                     "line_dedup", "token_quantiles_global")
 
         def run_one(name):
             t0 = time.perf_counter()
@@ -247,6 +251,30 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                 # oracle flavor)
                 df = ivf_topk(ivf_queries, emb, k=5, n_centroids=16,
                               nprobe=4)
+            elif name == "contamination_hash":
+                # decontamination's corpus-vs-corpus flavor: the gram join
+                # hash-partitions instead of broadcasting the eval set
+                from osm2lanes_spark.operators.profiling import ngram_overlap
+                d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+                df = ngram_overlap(d.where(F.col("doc_id") % 97 != 0),
+                                   d.where(F.col("doc_id") % 97 == 0),
+                                   n=3, broadcast_reference=False)
+            elif name == "chunk_pack_chain":
+                # the embed-shaping chain: overlapping chunks → offset
+                # packing on chunk tokens → pack materialization
+                from osm2lanes_spark.operators.packing import (
+                    chunk_documents, contiguous_packs, pack_texts)
+                d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+                chunks = chunk_documents(d, chunk_tokens=64,
+                                         overlap_tokens=8)
+                items = chunks.withColumn(
+                    "item_id",
+                    F.concat_ws("#", F.col("doc_id").cast("string"),
+                                F.col("chunk_idx").cast("string")))
+                packed = contiguous_packs(items, "n_chunk_tokens",
+                                          budget=2048, order_col="item_id")
+                df = pack_texts(packed, text_col="chunk_text",
+                                order_col="item_id")
             else:
                 df = qs[name](spark, sf_dir)
             df.agg(F.count("*")).collect()
