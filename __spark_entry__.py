@@ -882,6 +882,42 @@ def _q_line_dedup(spark, sf_dir):
                       F.md5(F.col("clean_text")).alias("fingerprint"))
 
 
+def _q_duplicate_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (operators/dedup.py
+    duplicate_spans — Lee et al. 2022 at token granularity): maximal
+    runs of 8-token windows occurring in ≥2 distinct documents, merged
+    per document into (span_start, span_end) intervals. Window
+    fingerprints are built JVM-side (transform/slice/xxhash64 — narrow);
+    doc frequencies are one map-side-combined distinct+count shuffle
+    over 8-byte hashes; the flagged set joins back broadcast. The
+    DuckDB oracle replays the windows on the gram STRINGS (engine hash
+    functions differ; equality semantics are identical modulo xxhash64
+    collisions, absent in this corpus)."""
+    from osm2lanes_spark.operators.dedup import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=8, min_docs=2)
+
+
+def _q_strip_spans(spark, sf_dir):
+    """Duplicated-span removal (operators/dedup.py
+    strip_duplicate_spans): the destructive arm of `duplicate_spans` —
+    flagged documents are rebuilt from their surviving tokens
+    (single-space joined), unflagged documents pass through verbatim.
+    The md5 of every output text pins byte-exact reconstruction under
+    the hard oracle (full DuckDB replay: windows → flags → covered
+    positions → anti-join → ordered string_agg)."""
+    from osm2lanes_spark.operators.dedup import strip_duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    out = strip_duplicate_spans(docs, k=8, min_docs=2)
+    return out.select("doc_id",
+                      F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                      F.col("n_removed_tokens").cast("bigint")
+                      .alias("n_removed_tokens"),
+                      F.md5(F.col("clean_text")).alias("fingerprint"))
+
+
 def _q_packed_texts(spark, sf_dir):
     """Pack materialization (operators/packing.py pack_texts): the emit
     step after pack assignment — each pack becomes ONE concatenated
@@ -1207,6 +1243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _shipped(_q_contamination),
         "pii_redact": _shipped(_q_pii_redact),
         "line_dedup": _shipped(_q_line_dedup),
+        "duplicate_spans": _shipped(_q_duplicate_spans),
+        "strip_spans": _shipped(_q_strip_spans),
         "doc_chunks": _shipped(_q_doc_chunks),
         "tfidf_terms": _shipped(_q_tfidf_terms),
         "packed_texts": _shipped(_q_packed_texts),
@@ -2527,6 +2565,139 @@ def oracle_sql() -> dict[str, str]:
                        - coalesce(r.n_kept, 0) AS n_removed_lines,
                    md5(coalesce(r.clean, '')) AS fingerprint
             FROM planted p LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "duplicate_spans": """
+            -- operators/dedup.py duplicate_spans: 8-token rolling
+            -- windows, flag grams in >= 2 distinct docs, merge flagged
+            -- positions (gap > k breaks) into maximal spans. Replayed
+            -- on gram STRINGS (Spark groups by xxhash64 of the same
+            -- string; equality semantics identical modulo collisions).
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           regexp_replace(text,
+                               '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$',
+                               '', 'g'),
+                           '[ \\t\\n\\r\\f\\x0B]+') AS t
+                FROM documents
+                WHERE length(regexp_replace(text,
+                    '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$',
+                    '', 'g')) > 0),
+            wins AS (
+                SELECT doc_id, pos - 1 AS pos,
+                       array_to_string(t[pos:pos+7], ' ') AS gram
+                FROM toks,
+                     unnest(generate_series(1, len(t) - 7)) AS u(pos)
+                WHERE len(t) >= 8),
+            flagged AS (
+                SELECT gram
+                FROM (SELECT gram, count(DISTINCT doc_id) AS d
+                      FROM wins GROUP BY gram)
+                WHERE d >= 2),
+            hits AS (
+                SELECT w.doc_id, w.pos
+                FROM wins w JOIN flagged USING (gram)),
+            marked AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER
+                                (PARTITION BY doc_id ORDER BY pos) > 8
+                            THEN 1 ELSE 0 END AS brk
+                FROM hits),
+            grp AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER
+                           (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM marked)
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 7 AS BIGINT) AS span_end,
+                   count(*) AS n_windows
+            FROM grp GROUP BY doc_id, g
+        """,
+        "strip_spans": """
+            -- operators/dedup.py strip_duplicate_spans: full replay —
+            -- windows -> flags -> spans -> covered positions ->
+            -- anti-join -> ordered string_agg rebuild; unflagged docs
+            -- pass through verbatim
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           regexp_replace(text,
+                               '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$',
+                               '', 'g'),
+                           '[ \\t\\n\\r\\f\\x0B]+') AS t
+                FROM documents
+                WHERE length(regexp_replace(text,
+                    '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$',
+                    '', 'g')) > 0),
+            wins AS (
+                SELECT doc_id, pos - 1 AS pos,
+                       array_to_string(t[pos:pos+7], ' ') AS gram
+                FROM toks,
+                     unnest(generate_series(1, len(t) - 7)) AS u(pos)
+                WHERE len(t) >= 8),
+            flagged AS (
+                SELECT gram
+                FROM (SELECT gram, count(DISTINCT doc_id) AS d
+                      FROM wins GROUP BY gram)
+                WHERE d >= 2),
+            hits AS (
+                SELECT w.doc_id, w.pos
+                FROM wins w JOIN flagged USING (gram)),
+            marked AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER
+                                (PARTITION BY doc_id ORDER BY pos) > 8
+                            THEN 1 ELSE 0 END AS brk
+                FROM hits),
+            grp AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER
+                           (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM marked),
+            spans AS (
+                SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                FROM grp GROUP BY doc_id, g),
+            covered AS (
+                SELECT doc_id, unnest(generate_series(s, e)) AS pos
+                FROM spans),
+            flagged_docs AS (
+                SELECT doc_id, sum(e - s + 1) AS n_covered
+                FROM spans GROUP BY doc_id),
+            all_toks AS (
+                SELECT tk.doc_id, pos - 1 AS pos, tk.t[pos] AS tok
+                FROM toks tk JOIN flagged_docs USING (doc_id),
+                     unnest(generate_series(1, len(tk.t))) AS u(pos)),
+            kept AS (
+                SELECT a.* FROM all_toks a
+                ANTI JOIN covered c
+                ON a.doc_id = c.doc_id AND a.pos = c.pos),
+            rebuilt AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY pos) AS clean
+                FROM kept GROUP BY doc_id),
+            n_tok AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(text,
+                            '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$',
+                            '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(
+                                regexp_replace(text,
+                                    '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$',
+                                    '', 'g'),
+                                '[ \\t\\n\\r\\f\\x0B]+'))
+                       END AS n_tokens
+                FROM documents)
+            SELECT d.doc_id,
+                   CAST(n.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(coalesce(f.n_covered, 0) AS BIGINT)
+                       AS n_removed_tokens,
+                   md5(CASE WHEN f.doc_id IS NULL THEN d.text
+                            ELSE coalesce(r.clean, '') END) AS fingerprint
+            FROM documents d
+            JOIN n_tok n USING (doc_id)
+            LEFT JOIN flagged_docs f USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
         """,
         "token_quantiles_global": """
             -- grouped_quantiles(by=None): the same selection rule over

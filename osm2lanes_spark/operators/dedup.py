@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .text import normalized
+from .text import normalized, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -695,3 +695,165 @@ def line_dedup(df: DataFrame, text_col: str = "text",
                                     F.coalesce(F.col("__rebuilt"),
                                                F.lit(""))))
             .drop("__ld_id", "__n_kept", "__rebuilt"))
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (Lee et al. 2022 style)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8,
+                    min_docs: int = 2,
+                    broadcast_fingerprints: bool = True) -> DataFrame:
+    """Find maximal token spans whose every ``k``-token window occurs in
+    at least ``min_docs`` DISTINCT documents — the exact-substring dedup
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), at whitespace-token granularity instead of the
+    paper's byte-level suffix array (no reference counterpart —
+    engine-side operator).
+
+    Every document contributes one rolling window per token position
+    (``n_tokens - k + 1`` windows); a window is *flagged* when its
+    fingerprint appears in >= ``min_docs`` distinct documents; flagged
+    window positions are merged per document into maximal spans (two
+    flagged windows at positions ``p < q`` merge iff ``q - p <= k``,
+    i.e. iff their covered token intervals ``[p, p+k-1]`` and
+    ``[q, q+k-1]`` overlap or touch — a span is exactly one connected
+    run of duplicated-window coverage).
+
+    Returns one row per span: (``id_col``, ``span_start``, ``span_end``
+    — 0-based inclusive token positions — ``n_windows``), all counts as
+    BIGINT. Documents with fewer than ``k`` tokens contribute nothing.
+
+    Scale shape at 100 TB: windows are built JVM-side
+    (transform/slice/xxhash64 over the token array — narrow); the
+    document-frequency pass shuffles DISTINCT (doc, fingerprint) 8-byte
+    hashes with map-side combine, so the hot boilerplate gram combines
+    hardest and the shuffle carries distinct grams, not occurrences.
+    The >= ``min_docs`` fingerprint set joins back broadcast by default
+    (duplicated-gram vocabularies are small relative to the corpus);
+    ``broadcast_fingerprints=False`` switches to a hash join whose probe
+    side has no ordering requirement, so AQE's skew split handles hot
+    grams. Span merging is one per-document window — bounded by the
+    document's own flagged-window count, the natural unit of work.
+    Fingerprint equality stands in for string equality (64-bit xxhash64
+    collisions are negligible at corpus scale — same assumption as the
+    MinHash band join).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+
+    toks = tokens(F.col(text_col))
+    base = (df.select(F.col(id_col), toks.alias("__toks"))
+            .withColumn("__n", F.size("__toks"))
+            .where(F.col("__n") >= k))
+    # window starts are 0-based; slice() is 1-based, so window i covers
+    # tokens [i, i+k-1] 0-based == slice(toks, i+1, k)
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - k + 1),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("__toks"), i, k)))))
+        .alias("__pos", "__fp"))
+
+    flagged = (wins
+               .select(id_col, "__fp").distinct()
+               .groupBy("__fp")
+               .agg(F.count(F.lit(1)).alias("__docs"))
+               .where(F.col("__docs") >= min_docs)
+               .select("__fp"))
+    if broadcast_fingerprints:
+        flagged = F.broadcast(flagged)
+    hits = wins.join(flagged, "__fp").select(id_col, "__pos")
+
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    brk = F.when(
+        F.col("__pos") - F.lag("__pos").over(w) > F.lit(k),
+        F.lit(1)).otherwise(F.lit(0))
+    grouped = (hits
+               .withColumn("__brk", brk)
+               .withColumn("__grp", F.sum("__brk").over(
+                   w.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow))))
+    return (grouped
+            .groupBy(id_col, "__grp")
+            .agg(F.min("__pos").cast("bigint").alias("span_start"),
+                 (F.max("__pos") + k - 1).cast("bigint").alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .drop("__grp"))
+
+
+def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8,
+                          min_docs: int = 2, out: str = "clean_text",
+                          broadcast_fingerprints: bool = True) -> DataFrame:
+    """Remove every :func:`duplicate_spans` span from the text,
+    rebuilding each document from its surviving tokens (single-space
+    joined — span removal is defined at token granularity, so original
+    inter-token whitespace inside a document is normalized; documents
+    with no flagged span pass through verbatim).
+
+    Returns df.* + ``out`` + ``n_tokens`` + ``n_removed_tokens``.
+
+    Scale shape: :func:`duplicate_spans`'s passes plus one explode of
+    covered positions (bounded by span length <= document length) and
+    one (id, pos) anti-join + per-document rebuild aggregate — the
+    line_dedup reconstruction pattern.
+    """
+    reserved = {out, "n_tokens", "n_removed_tokens"}
+    clash = sorted(reserved.intersection(df.columns))
+    if clash:
+        raise ValueError(f"output column(s) {clash} already exist in the "
+                         "input — rename them or pass a different out=")
+
+    spans = duplicate_spans(
+        df, text_col=text_col, id_col=id_col, k=k, min_docs=min_docs,
+        broadcast_fingerprints=broadcast_fingerprints)
+    # only flagged documents are rebuilt; everything else passes
+    # through verbatim (original whitespace intact)
+    flagged_docs = (spans
+                    .groupBy(id_col)
+                    .agg(F.sum(F.col("span_end") - F.col("span_start") + 1)
+                         .alias("__n_covered"))
+                    .select(F.col(id_col).alias("__ds_id"), "__n_covered"))
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence("span_start", "span_end")).alias("__pos"))
+
+    toks = (df
+            .join(flagged_docs, df[id_col] == F.col("__ds_id"), "left_semi")
+            .select(
+                F.col(id_col),
+                F.posexplode(tokens(F.col(text_col)))
+                .alias("__pos", "__tok"))
+            .withColumn("__pos", F.col("__pos").cast("bigint")))
+    kept = toks.join(covered, [id_col, "__pos"], "left_anti")
+    rebuilt = (kept
+               .groupBy(id_col)
+               .agg(F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("__pos"), F.col("__tok")))),
+                        lambda s: s["__tok"])).alias("__rebuilt"))
+               .select(F.col(id_col).alias("__rb_id"), "__rebuilt"))
+
+    n_tokens = F.when(F.col(text_col).isNotNull(),
+                      F.size(tokens(F.col(text_col))))
+    return (df.join(flagged_docs, df[id_col] == F.col("__ds_id"), "left")
+            .join(rebuilt, df[id_col] == F.col("__rb_id"), "left")
+            .withColumn("n_tokens", n_tokens)
+            .withColumn("n_removed_tokens",
+                        F.when(n_tokens.isNull(), F.lit(None))
+                        .otherwise(F.coalesce(F.col("__n_covered"),
+                                              F.lit(0))))
+            .withColumn(out, F.when(F.col(text_col).isNull(), F.lit(None))
+                        .when(F.col("__n_covered").isNull(),
+                              F.col(text_col))
+                        .otherwise(F.coalesce(F.col("__rebuilt"),
+                                              F.lit(""))))
+            .drop("__ds_id", "__rb_id", "__n_covered", "__rebuilt"))

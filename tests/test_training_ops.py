@@ -1003,3 +1003,119 @@ def test_line_dedup_plan_shape(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans / strip_duplicate_spans (Lee et al. 2022 style)
+# ---------------------------------------------------------------------------
+
+def _span_docs(spark):
+    # docs 1 and 2 share the 6-token run "a b c d e f"; doc 3 shares
+    # nothing; doc 4 is shorter than k; doc 5 is an exact copy of doc 1
+    # except one trailing token
+    return spark.createDataFrame(
+        [(1, "a b c d e f x1 y1 z1 w1"),
+         (2, "p q a b c d e f r s"),
+         (3, "u v w aa bb cc dd ee ff gg"),
+         (4, "a b c"),
+         (5, "a b c d e f x1 y1 z1 OTHER"),
+         (6, None),
+         (7, "   \t  ")],
+        "doc_id long, text string")
+
+
+def test_duplicate_spans_known_overlap(spark):
+    # k=4: flagged windows are every 4-gram inside each shared run
+    spans = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+             for r in D.duplicate_spans(_span_docs(spark), k=4).collect()}
+    # doc1 shares "a b c d e f" with doc2 (pos 0-5) AND
+    # "a b c d e f x1 y1 z1" with doc5 (pos 0-8): union span 0-8
+    assert (1, 0, 8, 6) in spans
+    # doc2's shared run sits at pos 2-7: windows at 2,3,4 → span 2-7
+    assert (2, 2, 7, 3) in spans
+    # doc5 shares pos 0-8 with doc1
+    assert (5, 0, 8, 6) in spans
+    # docs 3,4,6,7 contribute nothing
+    assert {d for d, *_ in spans} == {1, 2, 5}
+
+
+def test_duplicate_spans_merge_rule(spark):
+    # two flagged k=2 windows at gap exactly k merge (coverage touches);
+    # at gap > k they split
+    df = spark.createDataFrame(
+        [(1, "s1 s2 g1 s3 s4 q1 q2 q3 s5 s6"),
+         (2, "s1 s2 x s3 s4 y s5 s6")],
+        "doc_id long, text string")
+    spans = {(r.doc_id, r.span_start, r.span_end)
+             for r in D.duplicate_spans(df, k=2).collect()}
+    # doc1: flagged windows at 0 (s1 s2), 3 (s3 s4), 8 (s5 s6):
+    # 3-0=3 > k=2 → split; 8-3=5 > 2 → split: three separate spans
+    assert {(1, 0, 1), (1, 3, 4), (1, 8, 9)} <= spans
+    # doc2: windows at 0, 3, 6 → all gaps 3 > 2 → three spans
+    assert {(2, 0, 1), (2, 3, 4), (2, 6, 7)} <= spans
+
+
+def test_duplicate_spans_touching_windows_merge(spark):
+    df = spark.createDataFrame(
+        [(1, "a1 a2 b1 b2 zz"), (2, "a1 a2 yy xx ww"),
+         (3, "qq b1 b2 rr tt")],
+        "doc_id long, text string")
+    # k=2: doc1 windows flagged at 0 ("a1 a2", shared w/ doc2) and
+    # 2 ("b1 b2", shared w/ doc3); gap 2 == k → coverage [0,1]+[2,3]
+    # touches → ONE span 0-3
+    spans = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+             for r in D.duplicate_spans(df, k=2).collect()}
+    assert (1, 0, 3, 2) in spans
+
+
+def test_duplicate_spans_hash_path_matches_broadcast(spark):
+    docs = _span_docs(spark)
+    a = {tuple(r) for r in D.duplicate_spans(docs, k=4).collect()}
+    b = {tuple(r) for r in D.duplicate_spans(
+        docs, k=4, broadcast_fingerprints=False).collect()}
+    assert a == b
+
+
+def test_strip_duplicate_spans_semantics(spark):
+    out = {r.doc_id: r for r in
+           D.strip_duplicate_spans(_span_docs(spark), k=4).collect()}
+    # doc1: span 0-8 removed → only w1 survives
+    assert out[1].clean_text == "w1"
+    assert (out[1].n_tokens, out[1].n_removed_tokens) == (10, 9)
+    # doc2: pos 2-7 removed → p q r s
+    assert out[2].clean_text == "p q r s"
+    # unflagged docs pass through VERBATIM (whitespace intact)
+    assert out[3].clean_text == "u v w aa bb cc dd ee ff gg"
+    assert out[7].clean_text == "   \t  "
+    assert out[7].n_removed_tokens == 0
+    # null text stays null
+    assert out[6].clean_text is None and out[6].n_removed_tokens is None
+
+
+def test_strip_duplicate_spans_fully_covered_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "c1 c2 c3 c4"), (2, "c1 c2 c3 c4")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           D.strip_duplicate_spans(df, k=4).collect()}
+    assert out[1].clean_text == "" and out[1].n_removed_tokens == 4
+    assert out[2].clean_text == "" and out[2].n_removed_tokens == 4
+
+
+def test_duplicate_spans_validation(spark):
+    df = _span_docs(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        D.duplicate_spans(df, k=0)
+    with pytest.raises(ValueError, match="min_docs"):
+        D.duplicate_spans(df, min_docs=0)
+    with pytest.raises(ValueError, match="already exist"):
+        D.strip_duplicate_spans(df.withColumn("n_tokens", F.lit(1)))
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """Fingerprint frequencies must partial-combine map-side and the
+    flagged set must join back broadcast (default)."""
+    plan = (D.duplicate_spans(_span_docs(spark), k=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan
