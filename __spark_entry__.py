@@ -918,6 +918,43 @@ def _q_strip_spans(spark, sf_dir):
                       F.md5(F.col("clean_text")).alias("fingerprint"))
 
 
+def _q_classifier_score(spark, sf_dir):
+    """Hashed-feature linear quality score (operators/text.py
+    with_classifier_score, weights=None): sigmoid of the mean
+    md5-derived pseudo-weight over hashing-trick token buckets — the
+    fastText-style curation filter with a deterministic placeholder
+    weight vector. ZERO-shuffle: tokenize/bucket/weight/mean/sigmoid
+    are all Catalyst expressions. The DuckDB oracle replays the md5
+    bucket + weight derivation with strpos hex arithmetic."""
+    from osm2lanes_spark.operators.text import with_classifier_score
+
+    docs = _read(spark, sf_dir, "documents")
+    out = with_classifier_score(docs, n_buckets=65536, seed=0)
+    return out.select("doc_id",
+                      F.round(F.col("clf_score"), 6).alias("clf_score"))
+
+
+def _q_classifier_score_trained(spark, sf_dir):
+    """Trained-weights arm of with_classifier_score: a 3-term weight
+    vector (as a tiny (bucket, weight) DataFrame) is broadcast-joined
+    onto exploded token buckets and re-aggregated to one mean per
+    document — the shape a real fastText-distilled model ships in.
+    The oracle derives the SAME buckets from the raw words in SQL."""
+    from osm2lanes_spark.operators.text import (token_bucket,
+                                                with_classifier_score)
+
+    docs = _read(spark, sf_dir, "documents")
+    words = spark.createDataFrame(
+        [("spark", 2.0), ("slow", -3.0), ("table", 0.5)],
+        "word string, weight double")
+    weights = words.select(
+        token_bucket(F.col("word"), 65536, 0).alias("bucket"), "weight")
+    out = with_classifier_score(docs, n_buckets=65536, seed=0,
+                                weights=weights)
+    return out.select("doc_id",
+                      F.round(F.col("clf_score"), 6).alias("clf_score"))
+
+
 def _q_packed_texts(spark, sf_dir):
     """Pack materialization (operators/packing.py pack_texts): the emit
     step after pack assignment — each pack becomes ONE concatenated
@@ -1245,6 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _shipped(_q_line_dedup),
         "duplicate_spans": _shipped(_q_duplicate_spans),
         "strip_spans": _shipped(_q_strip_spans),
+        "classifier_score": _shipped(_q_classifier_score),
+        "classifier_score_trained": _shipped(_q_classifier_score_trained),
         "doc_chunks": _shipped(_q_doc_chunks),
         "tfidf_terms": _shipped(_q_tfidf_terms),
         "packed_texts": _shipped(_q_packed_texts),
@@ -2698,6 +2737,98 @@ def oracle_sql() -> dict[str, str]:
             JOIN n_tok n USING (doc_id)
             LEFT JOIN flagged_docs f USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "classifier_score": """
+            -- operators/text.py with_classifier_score (hashed path):
+            -- bucket = first-8-hex(md5('b:0:'||tok)) % 65536, weight =
+            -- first-8-hex(md5('w:0:'||bucket))/2^32*2-1, score =
+            -- sigmoid(mean weight); strpos hex arithmetic (no strtol)
+            WITH base AS (
+                SELECT doc_id, text, regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g') AS trimmed
+                FROM documents),
+            tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trimmed, '[ \\t\\n\\r\\f\\x0B]+')) AS tok
+                FROM base WHERE length(trimmed) > 0),
+            bk AS (
+                SELECT doc_id,
+                       ((strpos('0123456789abcdef', substring(md5('b:0:' || tok), 1, 1)) - 1) * 268435456
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || tok), 2, 1)) - 1) * 16777216
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || tok), 3, 1)) - 1) * 1048576
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || tok), 4, 1)) - 1) * 65536
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || tok), 5, 1)) - 1) * 4096
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || tok), 6, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || tok), 7, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || tok), 8, 1)) - 1) * 1) % 65536 AS bucket
+                FROM tok),
+            wt AS (
+                SELECT doc_id,
+                       ((strpos('0123456789abcdef', substring(md5('w:0:' || CAST(bucket AS VARCHAR)), 1, 1)) - 1) * 268435456
+                       + (strpos('0123456789abcdef', substring(md5('w:0:' || CAST(bucket AS VARCHAR)), 2, 1)) - 1) * 16777216
+                       + (strpos('0123456789abcdef', substring(md5('w:0:' || CAST(bucket AS VARCHAR)), 3, 1)) - 1) * 1048576
+                       + (strpos('0123456789abcdef', substring(md5('w:0:' || CAST(bucket AS VARCHAR)), 4, 1)) - 1) * 65536
+                       + (strpos('0123456789abcdef', substring(md5('w:0:' || CAST(bucket AS VARCHAR)), 5, 1)) - 1) * 4096
+                       + (strpos('0123456789abcdef', substring(md5('w:0:' || CAST(bucket AS VARCHAR)), 6, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substring(md5('w:0:' || CAST(bucket AS VARCHAR)), 7, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(md5('w:0:' || CAST(bucket AS VARCHAR)), 8, 1)) - 1) * 1)
+                       / 4294967296.0 * 2 - 1 AS w
+                FROM bk),
+            agg AS (
+                SELECT doc_id, sum(w) / count(*) AS logit
+                FROM wt GROUP BY doc_id)
+            SELECT d.doc_id,
+                   round(CASE WHEN d.text IS NULL THEN NULL
+                              ELSE 1.0 / (1.0 + exp(-coalesce(a.logit, 0.0)))
+                         END, 6) AS clf_score
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "classifier_score_trained": """
+            -- with_classifier_score (trained path): the 3-term weight
+            -- vector is derived from the raw words in SQL, joined on
+            -- bucket, missing buckets weigh 0
+            WITH base AS (
+                SELECT doc_id, text, regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g') AS trimmed
+                FROM documents),
+            tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trimmed, '[ \\t\\n\\r\\f\\x0B]+')) AS tok
+                FROM base WHERE length(trimmed) > 0),
+            bk AS (
+                SELECT doc_id,
+                       ((strpos('0123456789abcdef', substring(md5('b:0:' || tok), 1, 1)) - 1) * 268435456
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || tok), 2, 1)) - 1) * 16777216
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || tok), 3, 1)) - 1) * 1048576
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || tok), 4, 1)) - 1) * 65536
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || tok), 5, 1)) - 1) * 4096
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || tok), 6, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || tok), 7, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || tok), 8, 1)) - 1) * 1) % 65536 AS bucket
+                FROM tok),
+            wwords AS (
+                SELECT * FROM (VALUES ('spark', 2.0), ('slow', -3.0),
+                                      ('table', 0.5)) AS t(word, weight)),
+            wbuck AS (
+                SELECT ((strpos('0123456789abcdef', substring(md5('b:0:' || word), 1, 1)) - 1) * 268435456
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || word), 2, 1)) - 1) * 16777216
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || word), 3, 1)) - 1) * 1048576
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || word), 4, 1)) - 1) * 65536
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || word), 5, 1)) - 1) * 4096
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || word), 6, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || word), 7, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(md5('b:0:' || word), 8, 1)) - 1) * 1) % 65536 AS bucket,
+                       weight
+                FROM wwords),
+            joined AS (
+                SELECT t.doc_id, coalesce(w.weight, 0.0) AS wv
+                FROM bk t LEFT JOIN wbuck w USING (bucket)),
+            agg AS (
+                SELECT doc_id, sum(wv) / count(*) AS logit
+                FROM joined GROUP BY doc_id)
+            SELECT d.doc_id,
+                   round(CASE WHEN d.text IS NULL THEN NULL
+                              ELSE 1.0 / (1.0 + exp(-coalesce(a.logit, 0.0)))
+                         END, 6) AS clf_score
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "token_quantiles_global": """
             -- grouped_quantiles(by=None): the same selection rule over

@@ -180,3 +180,105 @@ def with_redactions(df: DataFrame, text_col: str = "text",
     for cname, cexpr in counts:
         res = res.withColumn(cname, cexpr)
     return res.withColumn(out, cur)
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier
+# ---------------------------------------------------------------------------
+
+def token_bucket(tok: Column, n_buckets: int, seed: int) -> Column:
+    """Deterministic feature bucket for a token: first 8 md5 hex chars of
+    ``"b:<seed>:<token>"`` as a 32-bit integer, mod ``n_buckets`` — the
+    hashing-trick feature map (Weinberger et al. 2009), reproducible in
+    any engine with md5 (the DuckDB oracles replay it with strpos hex
+    arithmetic, the ``hash_uniform`` pattern)."""
+    h = F.md5(F.concat(F.lit(f"b:{seed}:"), tok))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets))
+
+
+def _hashed_weight(bucket: Column, seed: int) -> Column:
+    """Deterministic pseudo-weight in [-1, 1) for a bucket id: the md5
+    uniform of ``"w:<seed>:<bucket>"`` stretched to [-1, 1). Stands in
+    for a trained weight vector when none is supplied — the score is
+    then a fixed random projection of the hashed bag-of-words, useful
+    as a deterministic pipeline placeholder and for tests."""
+    h = F.md5(F.concat(F.lit(f"w:{seed}:"), bucket.cast("string")))
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+         / F.lit(float(1 << 32)))
+    return u * 2.0 - 1.0
+
+
+def with_classifier_score(df: DataFrame, text_col: str = "text",
+                          out: str = "clf_score",
+                          n_buckets: int = 1 << 16, seed: int = 0,
+                          weights: DataFrame | None = None,
+                          id_col: str = "doc_id",
+                          bucket_col: str = "bucket",
+                          weight_col: str = "weight",
+                          broadcast_weights: bool = True) -> DataFrame:
+    """Score every document with a linear model over hashing-trick
+    bag-of-words features — the fastText-style quality-classifier
+    filter of LLM curation pipelines (GPT-3 §2.2 / CCNet-style; no
+    reference counterpart — engine-side operator):
+
+        score = sigmoid(mean over tokens of weight[bucket(token)])
+
+    With ``weights=None`` the weight vector is the deterministic
+    md5-derived pseudo-random projection of :func:`_hashed_weight` —
+    a reproducible placeholder (plumbing, tests, oracles). Pass a
+    trained model as a ``weights`` DataFrame (``bucket_col``,
+    ``weight_col``); missing buckets weigh 0.
+
+    Empty or whitespace-only text has no tokens: mean := 0 → score 0.5.
+    NULL text → NULL score.
+
+    Scale shape at 100 TB: the hashed path is ZERO-shuffle — tokenize /
+    bucket / weight / mean / sigmoid are all Catalyst expressions
+    (transform + aggregate over the token array, whole-stage codegen).
+    The trained path explodes tokens and joins the weight vector —
+    broadcast by default (a 2^16..2^21-bucket model is a few MB);
+    ``broadcast_weights=False`` for a hash join — then re-aggregates
+    one mean per document keyed by ``id_col``: one shuffle of (id,
+    weight-sum) partials, map-side combined, plus the join back.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already exists in the "
+                         "input — pass a different out=")
+
+    toks = tokens(F.col(text_col))
+    if weights is None:
+        wts = F.transform(
+            toks, lambda t: _hashed_weight(
+                token_bucket(t, n_buckets, seed), seed))
+        logit = F.when(
+            F.size(toks) > 0,
+            F.aggregate(wts, F.lit(0.0), lambda a, x: a + x)
+            / F.size(toks)).otherwise(
+                F.when(F.size(toks) == 0, F.lit(0.0)))
+        return df.withColumn(out, F.lit(1.0)
+                             / (F.lit(1.0) + F.exp(-logit)))
+
+    wdf = weights.select(F.col(bucket_col).cast("long").alias("__bkt"),
+                         F.col(weight_col).cast("double").alias("__wt"))
+    if broadcast_weights:
+        wdf = F.broadcast(wdf)
+    tok_rows = df.select(
+        F.col(id_col),
+        F.explode(toks).alias("__tok")).withColumn(
+            "__bkt", token_bucket(F.col("__tok"), n_buckets, seed))
+    scored = (tok_rows
+              .join(wdf, "__bkt", "left")
+              .groupBy(id_col)
+              .agg((F.sum(F.coalesce(F.col("__wt"), F.lit(0.0)))
+                    / F.count(F.lit(1))).alias("__logit"))
+              .select(F.col(id_col).alias("__cs_id"), "__logit"))
+    # empty-token docs never explode a row: logit 0 via coalesce;
+    # NULL text also never explodes — distinguished by text NULLness
+    logit = F.when(F.col(text_col).isNotNull(),
+                   F.coalesce(F.col("__logit"), F.lit(0.0)))
+    return (df.join(scored, df[id_col] == F.col("__cs_id"), "left")
+            .withColumn(out, F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)))
+            .drop("__cs_id", "__logit"))

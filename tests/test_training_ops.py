@@ -1119,3 +1119,91 @@ def test_duplicate_spans_plan_shape(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# with_classifier_score (hashed-feature linear quality model)
+# ---------------------------------------------------------------------------
+
+def _clf_docs(spark):
+    return spark.createDataFrame(
+        [(1, "spark makes the table fast"),
+         (2, "slow slow slow"),
+         (3, ""), (4, "   \t "), (5, None)],
+        "doc_id long, text string")
+
+
+def test_classifier_score_hashed_matches_python(spark):
+    import hashlib
+    import math
+
+    out = {r.doc_id: r.clf_score for r in
+           X.with_classifier_score(_clf_docs(spark), n_buckets=64,
+                                   seed=7).collect()}
+
+    def py_score(text):
+        toks = text.split()
+        if not toks:
+            return 0.5
+        ws = []
+        for t in toks:
+            b = int(hashlib.md5(f"b:7:{t}".encode()).hexdigest()[:8],
+                    16) % 64
+            u = int(hashlib.md5(f"w:7:{b}".encode()).hexdigest()[:8],
+                    16) / 2**32
+            ws.append(u * 2 - 1)
+        return 1 / (1 + math.exp(-sum(ws) / len(ws)))
+
+    assert out[1] == pytest.approx(py_score("spark makes the table fast"))
+    assert out[2] == pytest.approx(py_score("slow slow slow"))
+    # no tokens → mean 0 → sigmoid(0) = 0.5; NULL text → NULL
+    assert out[3] == 0.5 and out[4] == 0.5
+    assert out[5] is None
+
+
+def test_classifier_score_trained_weights(spark):
+    docs = _clf_docs(spark)
+    words = spark.createDataFrame(
+        [("spark", 4.0), ("slow", -4.0)], "word string, weight double")
+    weights = words.select(
+        X.token_bucket(F.col("word"), 1 << 16, 0).alias("bucket"),
+        "weight")
+    out = {r.doc_id: r.clf_score for r in
+           X.with_classifier_score(docs, weights=weights,
+                                   n_buckets=1 << 16).collect()}
+    # doc1: one +4 hit over 5 tokens → sigmoid(0.8); doc2: mean -4
+    import math
+    assert out[1] == pytest.approx(1 / (1 + math.exp(-0.8)))
+    assert out[2] == pytest.approx(1 / (1 + math.exp(4.0)))
+    assert out[3] == 0.5 and out[4] == 0.5 and out[5] is None
+
+    hashp = {r.doc_id: r.clf_score for r in
+             X.with_classifier_score(docs, weights=weights,
+                                     n_buckets=1 << 16,
+                                     broadcast_weights=False).collect()}
+    assert out == hashp
+
+
+def test_classifier_score_validation(spark):
+    docs = _clf_docs(spark)
+    with pytest.raises(ValueError, match="n_buckets"):
+        X.with_classifier_score(docs, n_buckets=0)
+    with pytest.raises(ValueError, match="already exists"):
+        X.with_classifier_score(docs.withColumn("clf_score", F.lit(1.0)))
+
+
+def test_classifier_score_plan_shapes(spark):
+    docs = _clf_docs(spark)
+    # hashed path: pure Catalyst, ZERO exchanges
+    plan = (X.with_classifier_score(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    # trained path: the weight vector joins broadcast
+    words = spark.createDataFrame([("spark", 1.0)],
+                                  "word string, weight double")
+    weights = words.select(
+        X.token_bucket(F.col("word"), 1 << 16, 0).alias("bucket"),
+        "weight")
+    plan = (X.with_classifier_score(docs, weights=weights)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
