@@ -32,6 +32,10 @@ ADDED_SINCE_LAST_GATE = {
     # r06 additions (gate runs after this round's commits):
     "token_quantiles_global",
     "line_dedup",
+    "duplicate_spans",
+    "strip_spans",
+    "classifier_score",
+    "classifier_score_trained",
 }
 
 
