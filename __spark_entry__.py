@@ -955,6 +955,39 @@ def _q_classifier_score_trained(spark, sf_dir):
                       F.round(F.col("clf_score"), 6).alias("clf_score"))
 
 
+def _q_budget_selection(spark, sf_dir):
+    """Token-budget corpus selection (operators/packing.py
+    select_to_budget): greedy prefix selection per source until a
+    2000-token budget is hit — the "take the best N tokens" curation
+    cut. Distributed as the packing two-pass prefix sum (range shuffle
+    of a slim projection + broadcast subtotals, no per-key window);
+    the oracle is the plain SQL cumulative-sum cut."""
+    from osm2lanes_spark.operators.packing import select_to_budget
+    from osm2lanes_spark.operators.text import tokens
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens(F.col("text"))))
+    out = select_to_budget(docs, "n_tokens", budget=2000,
+                           order_col="doc_id", part_col="source")
+    return out.select("doc_id", "source",
+                      F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                      "selected")
+
+
+def _q_domain_cap(spark, sf_dir):
+    """Per-key row cap (operators/sampling.py cap_per_key,
+    scale_safe=True): at most 10 documents per source, deterministic
+    under doc_id — the RefinedWeb-style domain cap. The shipped flavor
+    is the skew-proof two-pass prefix COUNT (no per-key task at any
+    skew); the oracle is the plain row_number cut."""
+    from osm2lanes_spark.operators.sampling import cap_per_key
+
+    docs = _read(spark, sf_dir, "documents")
+    out = cap_per_key(docs, "source", cap=10, order_col="doc_id",
+                      scale_safe=True)
+    return out.select("doc_id", "source", "kept")
+
+
 def _q_packed_texts(spark, sf_dir):
     """Pack materialization (operators/packing.py pack_texts): the emit
     step after pack assignment — each pack becomes ONE concatenated
@@ -1284,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_spans": _shipped(_q_strip_spans),
         "classifier_score": _shipped(_q_classifier_score),
         "classifier_score_trained": _shipped(_q_classifier_score_trained),
+        "budget_selection": _shipped(_q_budget_selection),
+        "domain_cap": _shipped(_q_domain_cap),
         "doc_chunks": _shipped(_q_doc_chunks),
         "tfidf_terms": _shipped(_q_tfidf_terms),
         "packed_texts": _shipped(_q_packed_texts),
@@ -2829,6 +2864,41 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 1.0 / (1.0 + exp(-coalesce(a.logit, 0.0)))
                          END, 6) AS clf_score
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "budget_selection": """
+            -- operators/packing.py select_to_budget: a row is selected
+            -- iff its inclusive per-source prefix of n_tokens (doc_id
+            -- order) stays within the 2000-token budget
+            WITH t AS (
+                SELECT doc_id, source,
+                       CASE WHEN length(regexp_replace(text,
+                            '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$',
+                            '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(
+                                regexp_replace(text,
+                                    '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$',
+                                    '', 'g'),
+                                '[ \\t\\n\\r\\f\\x0B]+'))
+                       END AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       sum(n_tokens) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+                FROM t)
+            SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   cum <= 2000 AS selected
+            FROM c
+        """,
+        "domain_cap": """
+            -- operators/sampling.py cap_per_key: keep the first 10
+            -- docs per source in doc_id order
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY doc_id) <= 10 AS kept
+            FROM documents
         """,
         "token_quantiles_global": """
             -- grouped_quantiles(by=None): the same selection rule over

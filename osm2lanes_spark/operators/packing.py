@@ -633,3 +633,57 @@ def pack_texts(packed: DataFrame, text_col: str = "text",
                      F.transform(F.array_sort(F.collect_list(pair)),
                                  lambda s: s["t"]),
                      sep).alias("pack_text")))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection
+# ---------------------------------------------------------------------------
+
+def select_to_budget(df: DataFrame, token_col: str, budget: int,
+                     order_col: str = "doc_id",
+                     part_col: str | None = None,
+                     out: str = "selected",
+                     num_partitions: int | None = None) -> DataFrame:
+    """Greedy prefix selection to a token budget: walking documents in
+    (``part_col``, ``order_col``) order, mark each row ``True`` while
+    the running token total stays <= ``budget`` — the "take the best N
+    billion tokens" step between quality ranking and packing in an LLM
+    curation pipeline (order by a quality/priority key to realize it;
+    no reference counterpart — engine-side operator).
+
+    Selection is the monotone cut of the inclusive prefix sum
+    (``token_col`` must be non-negative): a row is selected iff
+    preceding-tokens + own-tokens <= budget, so the first overflowing
+    document and everything after it are excluded. With ``part_col``
+    the budget applies per key (e.g. per source). Same contracts as
+    :func:`contiguous_packs`: ``order_col`` non-null and unique within
+    each key.
+
+    Returns df.* + boolean ``out``.
+
+    Scale shape at 100 TB: the same range-partitioned two-pass prefix
+    sum as :func:`contiguous_packs` — a slim (key, order, token)
+    projection is range-shuffled ONCE; per-partition local prefixes
+    plus a broadcast O(#partitions + #keys) subtotal table replace any
+    per-key single-task window, so a source holding half the corpus
+    still spreads over all cores; the flag joins back to the untouched
+    input on (key, order).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    reserved = {out, *_INTERNAL}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"column(s) {sorted(clash)} already exist in the input — "
+            "rename them (out= and the __-prefixed internals are "
+            "reserved)")
+    part_keys = [part_col] if part_col else []
+    slim = df.select(*part_keys, F.col(order_col).alias("__ord"),
+                     F.col(token_col).cast("long").alias("__tok"))
+    ranged = _ranged(slim, "__ord", part_keys, num_partitions) \
+        .localCheckpoint(eager=False)
+    pre = _two_pass_prefix(ranged, "__tok", "__ord", part_keys)
+    flagged = pre.withColumn(
+        out, (F.col("__pre") + F.col("__tok")) <= F.lit(budget))
+    return _join_back(df, flagged, order_col, part_keys, out)

@@ -173,3 +173,45 @@ def stratified_sample(df: DataFrame, n: int, strata_col: str = "source",
         is_short = is_short | F.col(strata_col).isNull()
     return (picked.where(~is_short)
             .unionByName(top_n(hashed.where(is_short))))
+
+
+# ---------------------------------------------------------------------------
+# Per-key row caps (RefinedWeb-style domain caps)
+# ---------------------------------------------------------------------------
+
+def cap_per_key(df: DataFrame, key_col: str, cap: int,
+                order_col: str = "doc_id", out: str = "kept",
+                scale_safe: bool = False) -> DataFrame:
+    """Keep at most ``cap`` rows per ``key_col`` group, deterministic
+    under ``order_col`` (the RefinedWeb/Gopher "at most N documents per
+    domain" curation cap; order by a quality key to keep the best N; no
+    reference counterpart — engine-side operator). ``order_col`` must
+    be non-null and unique within each key.
+
+    Returns df.* + boolean ``out`` (rank within key < ``cap``).
+
+    Scale shape: the default is one per-key window (rank = row_number)
+    — per-key task footprint, the right plan while no key exceeds ~1M
+    rows (the temporal crossover). ``scale_safe=True`` switches to the
+    packing two-pass prefix COUNT over a range-partitioned slim (key,
+    order) projection — no per-key task at any skew, same answer (the
+    asof/sessionize `scale_safe` pattern; see
+    :func:`~osm2lanes_spark.operators.packing.select_to_budget`).
+    """
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already exists in the "
+                         "input — pass a different out=")
+    if not scale_safe:
+        w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+        return df.withColumn(out, F.row_number().over(w) <= F.lit(cap))
+
+    from .packing import _join_back, _ranged, _two_pass_prefix
+    slim = (df.select(key_col, F.col(order_col).alias("__ord"))
+            .withColumn("__one", F.lit(1).cast("long")))
+    ranged = _ranged(slim, "__ord", [key_col], None) \
+        .localCheckpoint(eager=False)
+    pre = _two_pass_prefix(ranged, "__one", "__ord", [key_col])
+    flagged = pre.withColumn(out, F.col("__pre") < F.lit(cap))
+    return _join_back(df, flagged, order_col, [key_col], out)

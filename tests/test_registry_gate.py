@@ -36,6 +36,8 @@ ADDED_SINCE_LAST_GATE = {
     "strip_spans",
     "classifier_score",
     "classifier_score_trained",
+    "budget_selection",
+    "domain_cap",
 }
 
 

@@ -1207,3 +1207,99 @@ def test_classifier_score_plan_shapes(spark):
     plan = (X.with_classifier_score(docs, weights=weights)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# select_to_budget / cap_per_key (corpus selection)
+# ---------------------------------------------------------------------------
+
+def test_select_to_budget_semantics(spark):
+    from osm2lanes_spark.operators.packing import select_to_budget
+
+    df = spark.createDataFrame(
+        [(1, "a", 400), (2, "a", 500), (3, "a", 200), (4, "a", 50),
+         (5, "b", 1200), (6, "b", 1)],
+        "doc_id long, source string, n long")
+    out = {r.doc_id: r.selected
+           for r in select_to_budget(df, "n", budget=1000,
+                                     order_col="doc_id",
+                                     part_col="source").collect()}
+    # source a: 400 ok (400), 500 ok (900), 200 overflows (1100) →
+    # excluded AND everything after it too (greedy prefix, not knapsack)
+    assert out == {1: True, 2: True, 3: False, 4: False,
+                   5: False, 6: False}
+
+
+def test_select_to_budget_global_and_edges(spark):
+    from osm2lanes_spark.operators.packing import select_to_budget
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 5)], "doc_id long, n long")
+    got = {r.doc_id: r.selected
+           for r in select_to_budget(df, "n", budget=10).collect()}
+    # 10 fits exactly; the 0-token doc rides along; 5 overflows
+    assert got == {1: True, 2: True, 3: False}
+    none = {r.doc_id: r.selected
+            for r in select_to_budget(df, "n", budget=0).collect()}
+    # budget 0 still selects zero-cost prefix rows after a break:
+    # doc1 (10 > 0) breaks immediately → everything excluded
+    assert none == {1: False, 2: False, 3: False}
+    with pytest.raises(ValueError, match="budget"):
+        select_to_budget(df, "n", budget=-1)
+    with pytest.raises(ValueError, match="already exist"):
+        select_to_budget(df.withColumn("selected", F.lit(True)),
+                         "n", budget=10)
+
+
+def test_select_to_budget_plan_no_per_key_window(spark):
+    from osm2lanes_spark.operators.packing import select_to_budget
+
+    df = spark.createDataFrame(
+        [(i, "s", 10) for i in range(100)],
+        "doc_id long, source string, n long")
+    plan = (select_to_budget(df, "n", budget=100, part_col="source")
+            ._jdf.queryExecution().executedPlan().toString())
+    # the full-data shuffle is the checkpointed RANGE stage (shows as
+    # Scan ExistingRDD — the contiguous_packs shape); the data-bearing
+    # window is keyed by __pid, never hash-partitioned on the key alone
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "hashpartitioning(__pid" in plan, plan
+    # (the only hash exchange on the bare key feeds the O(#partitions)
+    # SUBTOTAL window — tiny by construction); never a single partition
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_cap_per_key_both_flavors(spark):
+    from osm2lanes_spark.operators.sampling import cap_per_key
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 8 else "b") for i in range(12)],
+        "doc_id long, source string")
+    plain = {(r.doc_id, r.kept)
+             for r in cap_per_key(df, "source", 3).collect()}
+    safe = {(r.doc_id, r.kept)
+            for r in cap_per_key(df, "source", 3,
+                                 scale_safe=True).collect()}
+    assert plain == safe
+    kept = {d for d, k in plain if k}
+    # first 3 of a (0,1,2) and first 3 of b (8,9,10)
+    assert kept == {0, 1, 2, 8, 9, 10}
+
+
+def test_cap_per_key_edges(spark):
+    from osm2lanes_spark.operators.sampling import cap_per_key
+
+    df = spark.createDataFrame([(1, "a"), (2, None)],
+                               "doc_id long, source string")
+    # NULL is a legal key group in both flavors
+    for flavor in (False, True):
+        got = {r.doc_id: r.kept
+               for r in cap_per_key(df, "source", 1,
+                                    scale_safe=flavor).collect()}
+        assert got == {1: True, 2: True}
+    zero = {r.kept for r in cap_per_key(df, "source", 0).collect()}
+    assert zero == {False}
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_key(df, "source", -1)
+    with pytest.raises(ValueError, match="already exists"):
+        cap_per_key(df.withColumn("kept", F.lit(True)), "source", 1)
