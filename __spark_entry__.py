@@ -19,6 +19,7 @@ Determinism rules used throughout:
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 from collections.abc import Callable
@@ -988,6 +989,24 @@ def _q_domain_cap(spark, sf_dir):
     return out.select("doc_id", "source", "kept")
 
 
+def _q_kmeans_centroids(spark, sf_dir):
+    """IVF coarse-quantizer training (operators/similarity.py
+    kmeans_fit): 8 spherical k-means centroids over the embeddings
+    table, 3 Lloyd's iterations from the deterministic bucketed-argmin
+    init. Iterative — NOT SQL-expressible, so no oracle_sql entry (the
+    driver records the weaker rows-only check); the hard correctness
+    pin is the NumPy-reference parity test
+    (tests/test_training_ops.py::test_kmeans_fit_matches_numpy_reference)
+    and the exhaustive-probe-equals-brute-force IVF invariant."""
+    from osm2lanes_spark.operators.similarity import kmeans_fit
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = kmeans_fit(emb, k=8, iterations=3)
+    return out.select("centroid_id", "n_assigned",
+                      F.round(F.element_at("centroid", 1), 6)
+                      .alias("centroid_dim0"))
+
+
 def _q_packed_texts(spark, sf_dir):
     """Pack materialization (operators/packing.py pack_texts): the emit
     step after pack assignment — each pack becomes ONE concatenated
@@ -1262,6 +1281,7 @@ def _q_events_rollup(spark, sf_dir):
 
 
 def _shipped(fn):
+    @functools.wraps(fn)
     def wrapper(spark, sf_dir):
         _ensure_workers(spark)
         # timestamp-vs-string comparisons parse literals in the session
@@ -1319,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score_trained": _shipped(_q_classifier_score_trained),
         "budget_selection": _shipped(_q_budget_selection),
         "domain_cap": _shipped(_q_domain_cap),
+        "kmeans_centroids": _shipped(_q_kmeans_centroids),
         "doc_chunks": _shipped(_q_doc_chunks),
         "tfidf_terms": _shipped(_q_tfidf_terms),
         "packed_texts": _shipped(_q_packed_texts),

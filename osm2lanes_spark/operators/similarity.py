@@ -124,17 +124,27 @@ def select_centroids(corpus_unit: DataFrame, corpus_id: str,
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              n_centroids: int = 16, nprobe: int = 4,
              query_id: str = "query_id", corpus_id: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF-bucketed approximate top-k with deterministic centroids.
 
     Centroids: a deterministic bucketed-argmin sample — one partial
     aggregate, no full-corpus sort, no count jobs (see
-    :func:`select_centroids`). Assignment and probing are broadcast
-    joins; only probed clusters shuffle into the ranking window.
+    :func:`select_centroids`) — or pass a trained coarse quantizer via
+    ``centroids`` (a (centroid_id, centroid) DataFrame, e.g. from
+    :func:`kmeans_fit`; ``n_centroids`` is then ignored). Assignment
+    and probing are broadcast joins; only probed clusters shuffle into
+    the ranking window.
     """
     c_unit = with_unit(_spread(corpus, corpus_id), vec_col, "_cv").select(
         F.col(corpus_id), "_cv")
-    cb = F.broadcast(select_centroids(c_unit, corpus_id, n_centroids))
+    if centroids is not None:
+        cb = F.broadcast(
+            with_unit(centroids, "centroid", "_centroid")
+            .select(F.col("centroid_id").cast("int").alias("centroid_id"),
+                    "_centroid"))
+    else:
+        cb = F.broadcast(select_centroids(c_unit, corpus_id, n_centroids))
 
     # corpus → nearest centroid. A max(struct) partial aggregate, NOT a
     # window: the argmax combines map-side (one shuffle of one row per
@@ -189,3 +199,115 @@ def label_centroids(df: DataFrame, label_col: str = "label",
                    F.posexplode(vec_col).alias("pos", "v"))
     return (ex.groupBy("label", "pos")
             .agg(F.avg("v").alias("mean"), F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Distributed spherical k-means (Lloyd's) — IVF centroid training
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(df: DataFrame, vec_col: str = "embedding",
+               id_col: str = "vec_id", k: int = 16,
+               iterations: int = 5, init: DataFrame | None = None,
+               tol: float = 0.0) -> DataFrame:
+    """Train ``k`` spherical k-means centroids with Lloyd's iterations —
+    the IVF coarse quantizer trained on the data instead of sampled from
+    it (no reference counterpart — engine-side operator; the standard
+    recipe of IVF indexes, cf. Jégou et al. 2011 §III).
+
+    Each iteration: (1) assign every unit-normalized vector to its
+    max-dot centroid — the :func:`ivf_topk` broadcast argmax-struct
+    aggregate, one map-combined shuffle of one row per vector; (2)
+    recompute per-cluster mean via ``posexplode`` + partial-aggregated
+    (cluster, dim) sums — the :func:`label_centroids` shape, k*d tiny
+    rows; (3) renormalize means to the sphere. Only the k*d per-cluster
+    sums are collected driver-side per iteration (bounded metadata —
+    centroids must broadcast anyway); the corpus itself never moves to
+    the driver. Empty clusters keep their previous centroid. Stops
+    early when every centroid moves less than ``tol`` (L2).
+
+    ``init``: optional (centroid_id, centroid) DataFrame; defaults to
+    the deterministic bucketed-argmin sample of
+    :func:`select_centroids`, so the whole fit is a pure function of
+    the corpus.
+
+    Returns a (centroid_id int, centroid array<double>, n_assigned
+    long) DataFrame (unit-length centroids; ``n_assigned`` from the
+    final assignment), directly pluggable into
+    :func:`ivf_topk`'s ``centroids=``.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+
+    spark = df.sparkSession
+    c_unit = with_unit(_spread(df, id_col), vec_col, "_cv").select(
+        F.col(id_col), "_cv")
+
+    if init is None:
+        cur = [(int(r["centroid_id"]), list(r["_centroid"]))
+               for r in select_centroids(c_unit, id_col, k).collect()]
+    else:
+        cur = [(int(r["centroid_id"]), list(r["centroid"]))
+               for r in init.collect()]
+    if not cur:
+        raise ValueError("no initial centroids (empty corpus?)")
+
+    def unit(v):
+        n = float(np.linalg.norm(v))
+        return [x / n for x in v] if n > 0 else list(v)
+
+    cur = [(cid, unit(v)) for cid, v in cur]
+    cent_schema = "centroid_id int, _centroid array<double>"
+
+    def assign(cent_df):
+        best = F.max(F.struct(
+            F.col("_sim"),
+            (-F.col("centroid_id")).alias("_negc"))).alias("_b")
+        return (c_unit.crossJoin(F.broadcast(cent_df))
+                .withColumn("_sim", _dot(F.col("_cv"), F.col("_centroid")))
+                .groupBy(id_col)
+                .agg(best, F.first("_cv").alias("_cv"))
+                .select(id_col, "_cv",
+                        (-F.col("_b._negc")).cast("int")
+                        .alias("centroid_id")))
+
+    counts = {}
+    for _ in range(iterations):
+        cent_df = spark.createDataFrame(cur, cent_schema)
+        assigned = assign(cent_df)
+        sums = (assigned
+                .select("centroid_id",
+                        F.posexplode("_cv").alias("_pos", "_v"))
+                .groupBy("centroid_id", "_pos")
+                .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+                .collect())
+        by_cid: dict[int, dict[int, float]] = {}
+        counts = {}
+        for r in sums:
+            by_cid.setdefault(r["centroid_id"], {})[r["_pos"]] = r["_s"]
+            counts[r["centroid_id"]] = r["_n"]
+        nxt, shift = [], 0.0
+        for cid, old in cur:
+            dims = by_cid.get(cid)
+            if not dims:  # empty cluster: keep the previous centroid
+                nxt.append((cid, old))
+                continue
+            mean = [dims[i] / counts[cid] for i in range(len(old))]
+            new = unit(mean)
+            shift = max(shift, float(np.linalg.norm(
+                np.array(new) - np.array(old))))
+            nxt.append((cid, new))
+        cur = nxt
+        if tol > 0 and shift < tol:
+            break
+
+    final = spark.createDataFrame(cur, cent_schema)
+    n_assigned = assign(final).groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_assigned"))
+    return (final.join(n_assigned, "centroid_id", "left")
+            .select("centroid_id",
+                    F.col("_centroid").alias("centroid"),
+                    F.coalesce("n_assigned", F.lit(0)).alias("n_assigned")))

@@ -1303,3 +1303,100 @@ def test_cap_per_key_edges(spark):
         cap_per_key(df, "source", -1)
     with pytest.raises(ValueError, match="already exists"):
         cap_per_key(df.withColumn("kept", F.lit(True)), "source", 1)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_fit (distributed spherical Lloyd's)
+# ---------------------------------------------------------------------------
+
+def _np_spherical_kmeans(X, C, iters):
+    """Independent NumPy reference: unit vectors, argmax-dot assignment
+    (ties to the lowest centroid id), mean + renormalize, empty
+    clusters keep their previous centroid."""
+    def unit(M):
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return M / n
+
+    Xu, C = unit(X.astype(float)), unit(C.astype(float))
+    for _ in range(iters):
+        a = np.argmax(Xu @ C.T, axis=1)
+        for j in range(len(C)):
+            members = Xu[a == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    return C
+
+
+def test_kmeans_fit_matches_numpy_reference(spark):
+    rng = np.random.RandomState(42)
+    X = np.vstack([rng.normal(loc, 0.3, size=(20, 4))
+                   for loc in (-2.0, 0.0, 2.0)])
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init_np = X[[0, 20, 40]].copy()
+    init = spark.createDataFrame(
+        [(j, [float(x) for x in init_np[j]]) for j in range(3)],
+        "centroid_id int, centroid array<double>")
+
+    got = {r.centroid_id: np.array(r.centroid) for r in
+           S.kmeans_fit(df, k=3, iterations=4, init=init).collect()}
+    want = _np_spherical_kmeans(X, init_np, 4)
+    for j in range(3):
+        assert np.allclose(got[j], want[j], atol=1e-9), (j, got[j], want[j])
+
+
+def test_kmeans_fit_empty_cluster_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    # centroid 9 points AWAY from every vector → never assigned →
+    # keeps its init verbatim (unit-normalized)
+    init = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (9, [-1.0, -1.0])],
+        "centroid_id int, centroid array<double>")
+    out = {r.centroid_id: r for r in
+           S.kmeans_fit(df, k=3, iterations=2, init=init).collect()}
+    assert out[9].n_assigned == 0
+    assert np.allclose(out[9].centroid,
+                       np.array([-1.0, -1.0]) / np.sqrt(2))
+    assert out[0].n_assigned == 2 and out[1].n_assigned == 1
+
+
+def test_kmeans_fit_tol_early_stop_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    # with each point its own cluster the fit converges after one
+    # iteration; a huge tol must not change the answer, just stop early
+    init = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [0.1, 1.0])],
+        "centroid_id int, centroid array<double>")
+    a = {r.centroid_id: list(r.centroid) for r in
+         S.kmeans_fit(df, k=2, iterations=8, init=init).collect()}
+    b = {r.centroid_id: list(r.centroid) for r in
+         S.kmeans_fit(df, k=2, iterations=8, init=init,
+                      tol=1e-12).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="k must be"):
+        S.kmeans_fit(df, k=0)
+    with pytest.raises(ValueError, match="iterations"):
+        S.kmeans_fit(df, k=2, iterations=-1)
+
+
+def test_ivf_trained_centroids_exhaustive_probe_is_exact(spark, embeddings):
+    """With nprobe == n_centroids IVF must equal brute force regardless
+    of centroid quality — trained centroids included."""
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = S.kmeans_fit(embeddings, k=4, iterations=2)
+    exact = {(r.query_id, r.vec_id, r.rank) for r in
+             S.cosine_topk(queries, embeddings, k=5).collect()}
+    ivf = {(r.query_id, r.vec_id, r.rank) for r in
+           S.ivf_topk(queries, embeddings, k=5, nprobe=4,
+                      centroids=cents.where(F.col("n_assigned") >= 0)
+                      ).collect()}
+    assert ivf == exact
