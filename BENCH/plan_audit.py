@@ -19,6 +19,44 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 NOTES = {
+    "duplicate_spans": """\
+Exact substring dedup: windows are built in the scan's narrow stage
+(transform/slice/xxhash64 over the token array — Generate + codegen, no
+shuffle); the doc-frequency pass is distinct+count over 8-byte gram
+hashes, BOTH partial-combined map-side (a billion-occurrence navbar
+gram combines down to one row per map task); the flagged set joins back
+as a BroadcastHashJoin; the only per-doc work (span merge window)
+partitions by doc_id — bounded by a document's own flagged windows.""",
+    "strip_spans": """\
+duplicate_spans' passes plus reconstruction: covered positions explode
+from the tiny span table, the token anti-join is keyed (doc, pos), the
+rebuild is one map-side-combined collect_list aggregate per FLAGGED doc
+(unflagged docs never explode — a left_semi prunes them), and the final
+stitch joins the rebuilt text back onto the untouched input by id.""",
+    "classifier_score": """\
+ZERO Exchange: tokenize, bucket (md5 mod), weight (md5 stretch), mean
+and sigmoid are one narrow Project over the parquet scan — the hashed
+linear model is pure whole-stage-codegen expression work and scales
+embarrassingly at any corpus size.""",
+    "classifier_score_trained": """\
+The trained-weights flavor: tokens explode in the narrow stage, the
+weight vector joins as a BroadcastHashJoin (a 2^16-bucket model is a
+few MB), and the per-document mean partial-aggregates map-side before
+ONE hash shuffle on doc_id; the score joins back to the untouched input
+broadcast-side. No per-row Python anywhere.""",
+    "budget_selection": """\
+The packing two-pass prefix shape: a slim (source, doc_id, n_tokens)
+projection range-shuffles ONCE (checkpointed — shows as Scan
+ExistingRDD), local prefix windows key by (__pid, source) so a hot
+source spreads over all range partitions, the O(#partitions + #keys)
+subtotal table broadcasts back, and the selected flag joins onto the
+untouched input. No per-key window over the data anywhere.""",
+    "domain_cap": """\
+cap_per_key's scale_safe flavor — the same checkpointed range stage and
+broadcast subtotal table as budget_selection with the summand fixed to
+1 (prefix COUNT): rank-within-key without a per-key window task at any
+skew. The plain flavor (one row_number window) stays the right call
+below ~1M rows per key; this dump pins the skew-proof shape.""",
     "mixture_sample": """\
 The mixture operator contributes ZERO exchanges: rate CASE, md5-uniform
 and explode(sequence) run in the scan's narrow stage (Generate splits
@@ -288,7 +326,10 @@ def main() -> None:
                  "sessions_scale", "ngram_topk", "token_quantiles",
                  "curation_pipeline", "contamination", "pii_redact",
                  "doc_chunks", "tfidf_terms", "packed_texts",
-                 "line_dedup", "token_quantiles_global"):
+                 "line_dedup", "token_quantiles_global",
+                 "duplicate_spans", "strip_spans", "classifier_score",
+                 "classifier_score_trained", "budget_selection",
+                 "domain_cap"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

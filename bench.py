@@ -232,16 +232,20 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
         ivf_queries = (emb.where(F.col("vec_id") < 10)
                        .select(F.col("vec_id").alias("query_id"), "embedding"))
         # NOTE: curation_pipeline joined in r05; contamination_hash,
-        # chunk_pack_chain, asof_bucketed, sessions_scale, line_dedup and
-        # token_quantiles_global joined in r06 — cross-round comparisons
-        # of the summed "value" should exclude them (or compare per-query)
+        # chunk_pack_chain, asof_bucketed, sessions_scale, line_dedup,
+        # token_quantiles_global, duplicate_spans, classifier_score,
+        # budget_selection and kmeans_centroids joined in r06 —
+        # cross-round comparisons of the summed "value" should exclude
+        # them (or compare per-query)
         aux_names = ("pricing_summary", "region_revenue", "event_ranks",
                      "grid_binning", "s2_binning", "zonal", "dedup_exact",
                      "token_stats", "ann_topk", "minhash_pairs", "knn",
                      "dedup_components", "ann_ivf_nprobe4",
                      "curation_pipeline", "contamination_hash",
                      "chunk_pack_chain", "asof_bucketed", "sessions_scale",
-                     "line_dedup", "token_quantiles_global")
+                     "line_dedup", "token_quantiles_global",
+                     "duplicate_spans", "classifier_score",
+                     "budget_selection", "kmeans_centroids")
 
         def run_one(name):
             t0 = time.perf_counter()
