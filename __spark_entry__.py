@@ -1007,6 +1007,21 @@ def _q_kmeans_centroids(spark, sf_dir):
                       .alias("centroid_dim0"))
 
 
+def _q_unigram_ppl(spark, sf_dir):
+    """Unigram LM quality scoring (operators/profiling.py
+    with_unigram_logprob): mean negative log-probability per document
+    under the add-1-smoothed unigram model fit on the corpus itself —
+    the CCNet-style perplexity filter. One map-side-combined vocabulary
+    count shuffle + a token-to-vocab hash join (AQE-skew-safe; no
+    ordering on the probe side) + one per-doc mean. The DuckDB oracle
+    replays the same smoothed formula."""
+    from osm2lanes_spark.operators.profiling import with_unigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    out = with_unigram_logprob(docs, alpha=1.0)
+    return out.select("doc_id", F.round(F.col("nll"), 6).alias("nll"))
+
+
 def _q_packed_texts(spark, sf_dir):
     """Pack materialization (operators/packing.py pack_texts): the emit
     step after pack assignment — each pack becomes ONE concatenated
@@ -1340,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_selection": _shipped(_q_budget_selection),
         "domain_cap": _shipped(_q_domain_cap),
         "kmeans_centroids": _shipped(_q_kmeans_centroids),
+        "unigram_ppl": _shipped(_q_unigram_ppl),
         "doc_chunks": _shipped(_q_doc_chunks),
         "tfidf_terms": _shipped(_q_tfidf_terms),
         "packed_texts": _shipped(_q_packed_texts),
@@ -2920,6 +2936,30 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY source
                                       ORDER BY doc_id) <= 10 AS kept
             FROM documents
+        """,
+        "unigram_ppl": """
+            -- operators/profiling.py with_unigram_logprob: add-1
+            -- smoothed self-trained unigram model, mean -ln p per doc
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+')) AS tok
+                FROM documents
+                WHERE length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) > 0),
+            vocab AS (
+                SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+            tot AS (
+                SELECT sum(cnt) AS total, count(*) AS v FROM vocab),
+            lp AS (
+                SELECT t.doc_id,
+                       ln(v.cnt + 1.0) - ln(tot.total + 1.0 * (tot.v + 1))
+                           AS lp
+                FROM tok t JOIN vocab v USING (tok), tot),
+            agg AS (
+                SELECT doc_id, -avg(lp) AS nll FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   round(CASE WHEN d.text IS NULL THEN NULL
+                              ELSE coalesce(a.nll, 0.0) END, 6) AS nll
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "token_quantiles_global": """
             -- grouped_quantiles(by=None): the same selection rule over

@@ -267,3 +267,78 @@ def tfidf_top_terms(df: DataFrame, k: int = 1, id_col: str = "doc_id",
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k)
             .select(id_col, "term", "tf", "term_df", "score"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM perplexity (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+def with_unigram_logprob(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         train: DataFrame | None = None,
+                         alpha: float = 1.0,
+                         out: str = "nll",
+                         broadcast_vocab: bool = False) -> DataFrame:
+    """Score every document by its mean negative log-probability under
+    an add-``alpha``-smoothed unigram language model — the
+    perplexity-style quality filter of CCNet (Wenzek et al. 2020 §4.3;
+    boilerplate and natural prose score low, gibberish and rare-token
+    spam score high; no reference counterpart — engine-side operator).
+
+    The model is fit on ``train`` (default: ``df`` itself — the usual
+    self-scored corpus profile): ``p(t) = (count(t) + alpha) /
+    (total + alpha * (V + 1))``, with unseen tokens (possible only when
+    ``train`` is a different corpus) falling back to the
+    ``count = 0`` mass of the same formula. Returns df.* + ``out``
+    (mean −ln p per token, NULL for NULL text, 0.0 for token-less
+    text) + ``ppl`` (exp(out)).
+
+    Scale shape at 100 TB: the vocabulary fit is ONE map-side-combined
+    count shuffle over tokens (hot tokens combine hardest); totals ride
+    a 1-row broadcast. Scoring joins exploded tokens to the vocabulary
+    — a hash join by default (a web-corpus vocab is GBs; AQE's skew
+    split handles hot tokens since the probe side carries no ordering),
+    ``broadcast_vocab=True`` when the vocabulary is known small — then
+    one map-side-combined mean per document and a join back to the
+    untouched input.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    reserved = {out, "ppl"}
+    clash = sorted(reserved.intersection(df.columns))
+    if clash:
+        raise ValueError(f"output column(s) {clash} already exist in the "
+                         "input — rename them or pass a different out=")
+
+    fit_on = df if train is None else train
+    tok_train = fit_on.select(
+        F.explode(tokens(F.col(text_col))).alias("__tok"))
+    vocab = tok_train.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__cnt"))
+    totals = F.broadcast(vocab.agg(
+        F.sum("__cnt").alias("__total"),
+        F.count(F.lit(1)).alias("__v")))
+
+    scored_toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("__tok"))
+    v = F.broadcast(vocab) if broadcast_vocab else vocab
+    # log p = ln(cnt + alpha) - ln(total + alpha*(V+1)); unseen → cnt 0
+    joined = (scored_toks
+              .join(v, "__tok", "left")
+              .crossJoin(totals)
+              .withColumn(
+                  "__lp",
+                  F.log(F.coalesce(F.col("__cnt"), F.lit(0)) + F.lit(alpha))
+                  - F.log(F.col("__total")
+                          + F.lit(alpha) * (F.col("__v") + 1))))
+    per_doc = (joined
+               .groupBy(id_col)
+               .agg((-F.avg("__lp")).alias("__nll"))
+               .select(F.col(id_col).alias("__lm_id"), "__nll"))
+    nll = F.when(F.col(text_col).isNotNull(),
+                 F.coalesce(F.col("__nll"), F.lit(0.0)))
+    return (df.join(per_doc, df[id_col] == F.col("__lm_id"), "left")
+            .withColumn(out, nll)
+            .withColumn("ppl", F.exp(nll))
+            .drop("__lm_id", "__nll"))

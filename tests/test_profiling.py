@@ -374,3 +374,62 @@ def test_pack_texts_duplicate_order_keys_tiebreak_by_text(spark):
         rows, "source string, doc_id long, text string, pack_id long")
     out = pack_texts(df, part_col="source").collect()
     assert len(out) == 1 and out[0]["pack_text"] == "aa bb cc"
+
+
+# ---------------------------------------------------------------------------
+# with_unigram_logprob (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+def test_unigram_logprob_matches_python(spark):
+    import math
+
+    from osm2lanes_spark.operators.profiling import with_unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in with_unigram_logprob(df).collect()}
+    # corpus: a:2 b:2 c:1, total 5, V=3; p(t) = (c+1)/(5+1*4)
+    p = {"a": 3 / 9, "b": 3 / 9, "c": 2 / 9}
+    nll1 = -(math.log(p["a"]) * 2 + math.log(p["b"])) / 3
+    nll2 = -(math.log(p["b"]) + math.log(p["c"])) / 2
+    assert out[1].nll == pytest.approx(nll1)
+    assert out[2].nll == pytest.approx(nll2)
+    assert out[1].ppl == pytest.approx(math.exp(nll1))
+    # token-less text scores 0 (ppl 1); NULL text stays NULL
+    assert out[3].nll == 0.0 and out[3].ppl == 1.0
+    assert out[4].nll is None and out[4].ppl is None
+
+
+def test_unigram_logprob_external_train_and_unseen(spark):
+    import math
+
+    from osm2lanes_spark.operators.profiling import with_unigram_logprob
+
+    train = spark.createDataFrame([(10, "x x y")],
+                                  "doc_id long, text string")
+    score = spark.createDataFrame([(1, "x z")],
+                                  "doc_id long, text string")
+    out = with_unigram_logprob(score, train=train).collect()[0]
+    # train: x:2 y:1, total 3, V=2; p(x)=(2+1)/(3+3)=.5,
+    # unseen z → (0+1)/(3+3)
+    want = -(math.log(0.5) + math.log(1 / 6)) / 2
+    assert out.nll == pytest.approx(want)
+
+
+def test_unigram_logprob_flavors_and_validation(spark):
+    from osm2lanes_spark.operators.profiling import with_unigram_logprob
+
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3} common") for i in range(20)],
+        "doc_id long, text string")
+    hashj = {(r.doc_id, round(r.nll, 9))
+             for r in with_unigram_logprob(df).collect()}
+    bcast = {(r.doc_id, round(r.nll, 9))
+             for r in with_unigram_logprob(
+                 df, broadcast_vocab=True).collect()}
+    assert hashj == bcast
+    with pytest.raises(ValueError, match="alpha"):
+        with_unigram_logprob(df, alpha=0)
+    with pytest.raises(ValueError, match="already exist"):
+        with_unigram_logprob(df.withColumn("ppl", F.lit(1.0)))

@@ -39,6 +39,7 @@ ADDED_SINCE_LAST_GATE = {
     "budget_selection",
     "domain_cap",
     "kmeans_centroids",
+    "unigram_ppl",
 }
 
 
