@@ -19,6 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 NOTES = {
+    "unigram_ppl": """\
+Unigram LM scoring: the vocabulary fit is one map-side-combined count
+shuffle over exploded tokens; totals ride a 1-row broadcast
+(BroadcastNestedLoopJoin on a single row — declared, bounded); scoring
+joins tokens to the vocabulary as a shuffled hash join (probe side has
+no ordering — AQE splits hot tokens) and the per-doc mean partial-
+aggregates before one doc_id shuffle; the score joins back broadcast.""",
     "duplicate_spans": """\
 Exact substring dedup: windows are built in the scan's narrow stage
 (transform/slice/xxhash64 over the token array — Generate + codegen, no
@@ -329,7 +336,7 @@ def main() -> None:
                  "line_dedup", "token_quantiles_global",
                  "duplicate_spans", "strip_spans", "classifier_score",
                  "classifier_score_trained", "budget_selection",
-                 "domain_cap"):
+                 "domain_cap", "unigram_ppl"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -234,7 +234,7 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
         # NOTE: curation_pipeline joined in r05; contamination_hash,
         # chunk_pack_chain, asof_bucketed, sessions_scale, line_dedup,
         # token_quantiles_global, duplicate_spans, classifier_score,
-        # budget_selection and kmeans_centroids joined in r06 —
+        # budget_selection, kmeans_centroids and unigram_ppl joined in r06 —
         # cross-round comparisons of the summed "value" should exclude
         # them (or compare per-query)
         aux_names = ("pricing_summary", "region_revenue", "event_ranks",
@@ -245,7 +245,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "chunk_pack_chain", "asof_bucketed", "sessions_scale",
                      "line_dedup", "token_quantiles_global",
                      "duplicate_spans", "classifier_score",
-                     "budget_selection", "kmeans_centroids")
+                     "budget_selection", "kmeans_centroids",
+                     "unigram_ppl")
 
         def run_one(name):
             t0 = time.perf_counter()
