@@ -19,6 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 NOTES = {
+    "dsir_select": """\
+DSIR resampling: the two bucket-count fits and the broadcast-ratio
+scoring join live inside the checkpointed slim relation (Scan
+ExistingRDD in this plan — computed once, three narrow columns); the
+top-k threshold is TakeOrderedAndProject aggregated to ONE broadcast
+row (never a global sort or single-partition window), and the flag
+joins back onto the untouched input by id. The only O(corpus) shuffles
+are the bounded bucket counts and the per-doc sum.""",
     "unigram_ppl": """\
 Unigram LM scoring: the vocabulary fit is one map-side-combined count
 shuffle over exploded tokens; totals ride a 1-row broadcast
@@ -336,7 +344,7 @@ def main() -> None:
                  "line_dedup", "token_quantiles_global",
                  "duplicate_spans", "strip_spans", "classifier_score",
                  "classifier_score_trained", "budget_selection",
-                 "domain_cap", "unigram_ppl"):
+                 "domain_cap", "unigram_ppl", "dsir_select"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -989,6 +989,28 @@ def _q_domain_cap(spark, sf_dir):
     return out.select("doc_id", "source", "kept")
 
 
+def _q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/sampling.py
+    dsir_resample): score every document by the log-ratio of
+    add-1-smoothed hashed-unigram+bigram distributions (target = the
+    doc_id % 97 == 0 eval-like slice, the decontamination convention;
+    raw = the full corpus), add deterministic md5-Gumbel noise, select
+    the top 50 — Xie et al. 2023. Two bounded bucket-count shuffles +
+    a broadcast ratio join + a TakeOrdered threshold; the scored slim
+    relation is checkpointed so the fits run once. The DuckDB oracle
+    replays features, smoothing, Gumbel and threshold bit-for-bit."""
+    from osm2lanes_spark.operators.sampling import dsir_resample
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 97 == 0)
+    out = dsir_resample(docs, target, k=50, ns=(1, 2),
+                        n_buckets=65536, seed=0, alpha=1.0)
+    return out.select("doc_id",
+                      F.round(F.col("dsir_logw"), 6).alias("logw"),
+                      F.round(F.col("dsir_key"), 6).alias("key"),
+                      "selected")
+
+
 def _q_kmeans_centroids(spark, sf_dir):
     """IVF coarse-quantizer training (operators/similarity.py
     kmeans_fit): 8 spherical k-means centroids over the embeddings
@@ -1355,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_selection": _shipped(_q_budget_selection),
         "domain_cap": _shipped(_q_domain_cap),
         "kmeans_centroids": _shipped(_q_kmeans_centroids),
+        "dsir_select": _shipped(_q_dsir_select),
         "unigram_ppl": _shipped(_q_unigram_ppl),
         "doc_chunks": _shipped(_q_doc_chunks),
         "tfidf_terms": _shipped(_q_tfidf_terms),
@@ -1425,6 +1448,95 @@ def _md5_uniform_sql(mcol: str) -> str:
         f"(strpos('0123456789abcdef', substring({mcol}, {i}, 1)) - 1)"
         f" * {float(16 ** (8 - i)):.1f}"
         for i in range(1, 9)) + ") / 4294967296.0")
+
+
+def _md5_hex32_sql(mcol: str) -> str:
+    """First 8 md5 hex chars as a plain 32-bit integer (the
+    token_bucket / hash-uniform numerator); strpos hex arithmetic, no
+    strtol in DuckDB 1.0."""
+    return ("(" + "\n                      + ".join(
+        f"(strpos('0123456789abcdef', substring({mcol}, {i}, 1)) - 1)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)) + ")")
+
+
+def _dsir_oracle() -> str:
+    """operators/sampling.py dsir_resample replayed end-to-end:
+    lowercased unigram+bigram features → md5 hashing-trick buckets →
+    add-1-smoothed log-ratio of target (doc_id % 97 == 0) vs raw (all
+    docs) bucket distributions → per-doc sum → md5-Gumbel key →
+    top-50 threshold."""
+    bkt = _md5_hex32_sql("md5('b:0:' || gram)") + " % 65536"
+    gum = ("(" + _md5_hex32_sql("md5('g:0:' || CAST(doc_id AS VARCHAR))")
+           + " + 0.5) / 4294967296.0")
+    ws = r"[ \t\n\r\f\x0B]"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   regexp_replace(text, '^{ws}+|{ws}+$', '', 'g')
+                       AS trimmed
+            FROM documents),
+        tokl AS (
+            SELECT doc_id,
+                   CASE WHEN length(trimmed) = 0
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(
+                            regexp_split_to_array(trimmed, '{ws}+'),
+                            x -> lower(x)) END AS toks
+            FROM base WHERE text IS NOT NULL),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_concat(
+                       toks,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(
+                                range(1, len(toks)),
+                                i -> array_to_string(toks[i:i+1], ' '))
+                            ELSE CAST([] AS VARCHAR[]) END)) AS gram
+            FROM tokl),
+        bk AS (SELECT doc_id, {bkt} AS bucket FROM g),
+        qc AS (SELECT bucket, count(*) AS cq FROM bk GROUP BY bucket),
+        pc AS (SELECT bucket, count(*) AS cp FROM bk
+               WHERE doc_id % 97 = 0 GROUP BY bucket),
+        tot AS (SELECT (SELECT coalesce(sum(cq), 0) FROM qc) AS tq,
+                       (SELECT coalesce(sum(cp), 0) FROM pc) AS tp),
+        ratio AS (
+            SELECT b.bucket,
+                   ln(coalesce(pc.cp, 0) + 1.0) - ln(tot.tp + 65536.0)
+                 - ln(coalesce(qc.cq, 0) + 1.0) + ln(tot.tq + 65536.0)
+                       AS lr
+            FROM (SELECT DISTINCT bucket FROM bk) b
+            LEFT JOIN qc USING (bucket)
+            LEFT JOIN pc USING (bucket), tot),
+        agg AS (
+            SELECT bk.doc_id, sum(r.lr) AS logw
+            FROM bk JOIN ratio r USING (bucket) GROUP BY bk.doc_id),
+        keyed AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(a.logw, 0.0) END AS logw,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(a.logw, 0.0)
+                             - ln(-ln({gum})) END AS key
+            FROM documents d LEFT JOIN agg a USING (doc_id)),
+        kth AS (
+            -- the rank-50 row of the (round(key,6) DESC, doc_id ASC)
+            -- order == the lexicographic max of (-key6, doc_id) over
+            -- the top 50 (the operator's quantized, tie-broken
+            -- threshold — float-jitter-proof)
+            SELECT -nk AS kth6, kid FROM (
+                SELECT -round(key, 6) AS nk, doc_id AS kid FROM keyed
+                WHERE key IS NOT NULL
+                ORDER BY round(key, 6) DESC, doc_id ASC LIMIT 50)
+            ORDER BY nk DESC, kid DESC LIMIT 1)
+        SELECT k.doc_id, round(k.logw, 6) AS logw,
+               round(k.key, 6) AS key,
+               coalesce(round(k.key, 6) > kth.kth6
+                        OR (round(k.key, 6) = kth.kth6
+                            AND k.doc_id <= kth.kid),
+                        FALSE) AS selected
+        FROM keyed k LEFT JOIN kth ON TRUE
+    """
 
 
 def _curation_oracle() -> str:
@@ -2937,6 +3049,7 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY doc_id) <= 10 AS kept
             FROM documents
         """,
+        "dsir_select": _dsir_oracle(),
         "unigram_ppl": """
             -- operators/profiling.py with_unigram_logprob: add-1
             -- smoothed self-trained unigram model, mean -ln p per doc

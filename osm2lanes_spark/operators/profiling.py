@@ -6,8 +6,9 @@ document lengths distributed (packing-budget and truncation decisions)?
 Both operators here are EXACT — no sketches — yet scale-shaped:
 
 - :func:`ngram_top_k` — exact heavy hitters over sliding word n-grams.
-  The n-gram expansion is a Catalyst ``transform(sequence(...))`` over
-  the token array (JVM-side, no Python), the count is one hash
+  The n-gram expansion is a Catalyst ``zip_with`` composition of
+  shifted token arrays (JVM-side, no Python — see :func:`ngrams` for
+  why not ``transform(sequence(...))``), the count is one hash
   aggregate with map-side partial combine (the shuffle carries one row
   per *distinct* n-gram per task, not one per occurrence), and the
   top-k is ``TakeOrderedAndProject`` — each task keeps only its local
@@ -43,15 +44,28 @@ from .text import tokens
 
 def ngrams(text: Column, n: int, lowercase: bool = True) -> Column:
     """Sliding word n-grams of ``text`` as an array column (empty when
-    the text has fewer than ``n`` tokens). Pure Catalyst expressions:
-    tokenize, then ``transform(sequence(1, len-n+1), i -> concat_ws(' ',
-    slice(toks, i, n)))``."""
+    the text has fewer than ``n`` tokens). Pure Catalyst expressions,
+    built by ``zip_with``-composing shifted token arrays — NOT by
+    ``transform(sequence(...), i -> slice(toks, i, n))``: a lambda that
+    references the token subtree re-evaluates the whole
+    regexp-tokenization once PER ELEMENT (interpreted HOF path, no
+    common-subexpression reuse), which made gram construction O(tokens)
+    regex passes per document (measured 5x end-to-end on the DSIR leg).
+    ``zip_with`` lambdas touch only their element arguments, so the
+    tokenization runs O(n) times per row."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = tokens(F.lower(text) if lowercase else text)
-    window_starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    grams = F.transform(
-        window_starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    if n == 1:
+        return toks
+    grams = toks
+    for k in range(2, n + 1):
+        # tokens shifted by k-1: positions k..size (empty when size < k)
+        shifted = F.slice(
+            toks, k, F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0)))
+        grams = F.zip_with(
+            F.slice(grams, 1, F.size(shifted)), shifted,
+            lambda a, b: F.concat(a, F.lit(" "), b))
     return (F.when(F.size(toks) >= F.lit(n), grams)
             .otherwise(F.array().cast("array<string>")))
 

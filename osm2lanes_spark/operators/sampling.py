@@ -215,3 +215,207 @@ def cap_per_key(df: DataFrame, key_col: str, cap: int,
     pre = _two_pass_prefix(ranged, "__one", "__ord", [key_col])
     flagged = pre.withColumn(out, F.col("__pre") < F.lit(cap))
     return _join_back(df, flagged, order_col, [key_col], out)
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _grams(text: Column, ns: tuple[int, ...]) -> Column:
+    """The DSIR feature grams of ``text`` as one ``array<string>`` —
+    lowercased word n-grams for each n in ``ns`` concatenated (Xie et
+    al. 2023 §3 uses hashed unigrams + bigrams). Bucketing happens
+    AFTER the explode on the flat gram column (whole-stage codegen),
+    not inside a per-element lambda (interpreted HOF path)."""
+    from .profiling import ngrams
+
+    arrs = [ngrams(text, n) for n in ns]
+    return F.concat(*arrs) if len(arrs) > 1 else arrs[0]
+
+
+def _gram_bucket_rows(df: DataFrame, text_col: str, ns: tuple[int, ...],
+                      n_buckets: int, seed: int, *ids) -> DataFrame:
+    """One (``*ids``, ``__bkt``) row per gram instance: explode the gram
+    strings, then md5-bucket the flat column
+    (:func:`~osm2lanes_spark.operators.text.token_bucket` — any engine
+    with md5 replays the features bit-for-bit)."""
+    from .text import token_bucket
+
+    return (df.select(*ids, F.explode(_grams(F.col(text_col), ns))
+                      .alias("__gram"))
+            .select(*ids, token_bucket(F.col("__gram"), n_buckets, seed)
+                    .alias("__bkt")))
+
+
+def _bucket_counts(df: DataFrame, text_col: str, ns: tuple[int, ...],
+                   n_buckets: int, seed: int, cnt: str) -> DataFrame:
+    """(``__bkt``, ``cnt``) hashed-gram bucket counts of a corpus — one
+    map-side-combined shuffle whose output is bounded by ``n_buckets``
+    rows regardless of corpus size."""
+    return (_gram_bucket_rows(df, text_col, ns, n_buckets, seed)
+            .groupBy("__bkt").agg(F.count(F.lit(1)).alias(cnt)))
+
+
+def with_dsir_logratio(df: DataFrame, target: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       ns: tuple[int, ...] = (1, 2),
+                       n_buckets: int = 1 << 16, seed: int = 0,
+                       alpha: float = 1.0,
+                       out: str = "dsir_logw") -> DataFrame:
+    """Score every document of ``df`` with its DSIR log importance
+    weight against a ``target`` corpus — Data Selection via Importance
+    Resampling (Xie et al. 2023, NeurIPS; the standard "make web data
+    look like the target domain" curation step; no reference
+    counterpart — engine-side operator):
+
+        logw(doc) = sum over hashed-gram instances g of
+                    ln p_target(bucket(g)) - ln q_raw(bucket(g))
+
+    where both distributions are add-``alpha``-smoothed bucket
+    frequencies over ``n_buckets`` hashing-trick features (lowercased
+    word n-grams for each n in ``ns``): ``p(b) = (count_b + alpha) /
+    (total + alpha * n_buckets)``. The raw distribution q is fit on
+    ``df`` itself; buckets unseen in either corpus fall out of the same
+    formula at ``count = 0``. Returns df.* + ``out`` (NULL for NULL
+    text, 0.0 for token-less text).
+
+    Scale shape at 100 TB: the two fits are ONE map-side-combined
+    bucket-count shuffle each, output bounded by ``n_buckets`` rows (a
+    2^16..2^21-bucket table is KBs-to-MBs — the whole point of hashed
+    features); the log-ratio table (a full outer join of the two counts
+    plus a 1-row totals broadcast) is broadcast to the scoring join, so
+    the only per-row work is the gram explode, a broadcast hash join,
+    and one map-side-combined per-doc sum joined back by id. No
+    all-pairs shape, no per-key window, no driver collect.
+    """
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already exists in the "
+                         "input — pass a different out=")
+    slim = _dsir_logw_slim(df, target, text_col, id_col, ns, n_buckets,
+                           seed, alpha)
+    return (df.join(slim, df[id_col] == F.col("__ds_id"), "left")
+            .withColumnRenamed("__ds_logw", out)
+            .drop("__ds_id"))
+
+
+def _dsir_logw_slim(df: DataFrame, target: DataFrame, text_col: str,
+                    id_col: str, ns: tuple[int, ...], n_buckets: int,
+                    seed: int, alpha: float) -> DataFrame:
+    """One (``__ds_id``, ``__ds_logw``) row per ``df`` row — the DSIR
+    score pipeline without the wide join back, so callers needing the
+    score twice (resampling: threshold + flag) checkpoint this slim
+    relation instead of recomputing the fits. ``id_col`` must be
+    unique and non-null."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be non-empty positive ints, got {ns}")
+
+    qcnt = _bucket_counts(df, text_col, ns, n_buckets, seed, "__cq")
+    pcnt = _bucket_counts(target, text_col, ns, n_buckets, seed, "__cp")
+    totals = F.broadcast(
+        qcnt.agg(F.sum("__cq").alias("__tq")).crossJoin(
+            pcnt.agg(F.sum("__cp").alias("__tp"))))
+    b = float(n_buckets)
+    ratio = (qcnt.join(pcnt, "__bkt", "full_outer")
+             .crossJoin(totals)
+             .select(
+                 "__bkt",
+                 (F.log(F.coalesce(F.col("__cp"), F.lit(0)) + F.lit(alpha))
+                  - F.log(F.coalesce(F.col("__tp"), F.lit(0))
+                          + F.lit(alpha * b))
+                  - F.log(F.coalesce(F.col("__cq"), F.lit(0))
+                          + F.lit(alpha))
+                  + F.log(F.coalesce(F.col("__tq"), F.lit(0))
+                          + F.lit(alpha * b))).alias("__lr")))
+
+    grams = _gram_bucket_rows(df, text_col, ns, n_buckets, seed,
+                              F.col(id_col))
+    per_doc = (grams.join(F.broadcast(ratio), "__bkt", "left")
+               .groupBy(id_col)
+               .agg(F.sum("__lr").alias("__logw"))
+               .select(F.col(id_col).alias("__pd_id"), "__logw"))
+    ids = df.select(F.col(id_col).alias("__ds_id"),
+                    F.col(text_col).isNotNull().alias("__has_text"))
+    return (ids.join(per_doc, ids["__ds_id"] == F.col("__pd_id"), "left")
+            .select("__ds_id",
+                    F.when(F.col("__has_text"),
+                           F.coalesce(F.col("__logw"), F.lit(0.0)))
+                    .alias("__ds_logw")))
+
+
+def dsir_resample(df: DataFrame, target: DataFrame, k: int,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ns: tuple[int, ...] = (1, 2),
+                  n_buckets: int = 1 << 16, seed: int = 0,
+                  alpha: float = 1.0, key_decimals: int = 6,
+                  out: str = "selected") -> DataFrame:
+    """Gumbel-top-k importance resampling: flag the ``k`` documents of
+    ``df`` DSIR would select for the ``target`` domain. Sampling
+    without replacement proportional-to-weight is exactly "add
+    independent Gumbel noise to each log weight and take the top k"
+    (the Gumbel-top-k trick; public result), and the Gumbel here is a
+    pure function of the doc id — ``g = -ln(-ln(u))`` with ``u`` the
+    md5 uniform of ``'g:<seed>:<id>'`` shifted to the open interval —
+    so re-runs, backfills and external engines reproduce the exact
+    selection. Returns df.* + ``dsir_logw`` + ``dsir_key`` + boolean
+    ``out``; NULL-text rows carry NULL key and are never selected.
+
+    Scale shape: the score pipeline runs ONCE — the slim (id, logw, key)
+    relation is localCheckpointed (3 narrow columns, the
+    packing/sessionize footprint discipline) and feeds both the
+    threshold and the flag, instead of Catalyst recomputing the fits
+    for each branch. The threshold is the k-th largest key — computed
+    by ``TakeOrderedAndProject`` (every task keeps its local top-k, the
+    driver merges k·tasks rows) aggregated to ONE row and broadcast
+    back; no global sort, no single-partition window.
+
+    Selection ranks on the key QUANTIZED to ``key_decimals`` (default
+    6) with ``id_col`` as the tie-break: the raw key is a float sum
+    whose partition-order jitter (~1e-13) could flip the rank-k
+    boundary between otherwise-identical runs or engines; quantizing
+    makes the chosen set a pure function of the data while the
+    continuous Gumbel key keeps real ties measure-zero. ``dsir_key``
+    still returns the raw key.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    reserved = {"dsir_logw", "dsir_key", out}
+    clash = sorted(reserved.intersection(df.columns))
+    if clash:
+        raise ValueError(f"output column(s) {clash} already exist in "
+                         "the input — rename them or pass a different "
+                         "out=")
+    u = ((F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"g:{seed}:"),
+                           F.col("__ds_id").cast("string"))), 1, 8),
+            16, 10).cast("double") + F.lit(0.5))
+         / F.lit(float(1 << 32)))
+    keyed = (_dsir_logw_slim(df, target, text_col, id_col, ns,
+                             n_buckets, seed, alpha)
+             .withColumn("__ds_key", F.col("__ds_logw") - F.log(-F.log(u)))
+             .withColumn("__k6", F.round(F.col("__ds_key"), key_decimals))
+             .localCheckpoint(eager=False))
+    # the k-th row of the (key6 desc, id asc) ranking == the lexicographic
+    # max of (-key6, id) over the top-k — one struct agg, always 1 row
+    # (NULL fields when k = 0 or no candidates → nothing selected)
+    thresh = F.broadcast(
+        keyed.where(F.col("__k6").isNotNull())
+        .orderBy(F.col("__k6").desc(), F.col("__ds_id").asc()).limit(k)
+        .agg(F.max(F.struct((-F.col("__k6")).alias("nk"),
+                            F.col("__ds_id").alias("kid"))).alias("__th"))
+        .select((-F.col("__th.nk")).alias("__kth6"),
+                F.col("__th.kid").alias("__kid")))
+    flagged = (keyed.crossJoin(thresh)
+               .select("__ds_id",
+                       F.col("__ds_logw").alias("dsir_logw"),
+                       F.col("__ds_key").alias("dsir_key"),
+                       F.coalesce(
+                           (F.col("__k6") > F.col("__kth6"))
+                           | ((F.col("__k6") == F.col("__kth6"))
+                              & (F.col("__ds_id") <= F.col("__kid"))),
+                           F.lit(False)).alias(out)))
+    return (df.join(flagged, df[id_col] == F.col("__ds_id"), "left")
+            .drop("__ds_id"))

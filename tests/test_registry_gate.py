@@ -40,6 +40,7 @@ ADDED_SINCE_LAST_GATE = {
     "domain_cap",
     "kmeans_centroids",
     "unigram_ppl",
+    "dsir_select",
 }
 
 

@@ -1400,3 +1400,137 @@ def test_ivf_trained_centroids_exhaustive_probe_is_exact(spark, embeddings):
                       centroids=cents.where(F.col("n_assigned") >= 0)
                       ).collect()}
     assert ivf == exact
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _dsir_python_reference(docs, target_ids, n_buckets=4096, seed=0,
+                           alpha=1.0):
+    """Pure-Python replica of with_dsir_logratio: hashed unigram+bigram
+    buckets, add-alpha smoothed target/raw log-ratio, per-doc sum."""
+    import hashlib
+    import math as m
+
+    def bucket(gram):
+        h = hashlib.md5(f"b:{seed}:{gram}".encode()).hexdigest()
+        return int(h[:8], 16) % n_buckets
+
+    def doc_buckets(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        grams = list(toks)
+        grams += [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        return [bucket(g) for g in grams]
+
+    qc, pc = {}, {}
+    for did, text in docs:
+        if text is None:
+            continue
+        for b in doc_buckets(text):
+            qc[b] = qc.get(b, 0) + 1
+            if did in target_ids:
+                pc[b] = pc.get(b, 0) + 1
+    tq, tp = sum(qc.values()), sum(pc.values())
+
+    def lr(b):
+        return (m.log(pc.get(b, 0) + alpha)
+                - m.log(tp + alpha * n_buckets)
+                - m.log(qc.get(b, 0) + alpha)
+                + m.log(tq + alpha * n_buckets))
+
+    out = {}
+    for did, text in docs:
+        if text is None:
+            out[did] = None
+        else:
+            out[did] = sum(lr(b) for b in doc_buckets(text))
+    return out
+
+
+def test_dsir_logratio_matches_python_reference(spark):
+    from osm2lanes_spark.operators.sampling import with_dsir_logratio
+
+    rows = [(1, "the quick brown fox"), (2, "spark shuffles data"),
+            (3, "quick fox quick fox"), (4, ""), (5, None),
+            (6, "brown fox jumps high")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.where("doc_id IN (1, 6)")
+    got = {r.doc_id: r.dsir_logw
+           for r in with_dsir_logratio(df, target,
+                                       n_buckets=4096).collect()}
+    want = _dsir_python_reference(rows, {1, 6})
+    assert got[5] is None and want[5] is None
+    assert got[4] == 0.0
+    for did in (1, 2, 3, 6):
+        assert abs(got[did] - want[did]) < 1e-9, (did, got[did], want[did])
+
+
+def test_dsir_resample_prefers_target_like_docs(spark):
+    from osm2lanes_spark.operators.sampling import with_dsir_logratio
+
+    # raw corpus: half "code"-flavored, half "prose"-flavored; target
+    # is prose — prose docs must out-score code docs on raw logw
+    rows = ([(i, "def func return value lambda stack") for i in range(10)]
+            + [(i, "the gentle river flows through quiet meadows")
+               for i in range(10, 20)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "the river flows through the quiet green meadows")],
+        "doc_id long, text string")
+    scored = {r.doc_id: r.dsir_logw
+              for r in with_dsir_logratio(df, target,
+                                          n_buckets=4096).collect()}
+    worst_prose = min(scored[i] for i in range(10, 20))
+    best_code = max(scored[i] for i in range(10))
+    assert worst_prose > best_code, scored
+
+
+def test_dsir_resample_edges_and_validation(spark):
+    import pytest as _pt
+
+    from osm2lanes_spark.operators.sampling import (dsir_resample,
+                                                    with_dsir_logratio)
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, None)],
+        "doc_id long, text string")
+    target = df.where("doc_id = 1")
+    # k = 0: nothing selected; k >= non-null rows: all non-null selected
+    assert dsir_resample(df, target, k=0).where("selected").count() == 0
+    sel = {r.doc_id: r.selected
+           for r in dsir_resample(df, target, k=10).collect()}
+    assert sel == {1: True, 2: True, 3: False}
+    # exactly k selected when k < candidates
+    assert dsir_resample(df, target, k=1).where("selected").count() == 1
+    with _pt.raises(ValueError, match="k must be"):
+        dsir_resample(df, target, k=-1)
+    with _pt.raises(ValueError, match="alpha"):
+        with_dsir_logratio(df, target, alpha=0.0)
+    with _pt.raises(ValueError, match="n_buckets"):
+        with_dsir_logratio(df, target, n_buckets=0)
+    with _pt.raises(ValueError, match="ns"):
+        with_dsir_logratio(df, target, ns=())
+    with _pt.raises(ValueError, match="already exist"):
+        with_dsir_logratio(df.withColumn("dsir_logw", F.lit(0.0)), target)
+    with _pt.raises(ValueError, match="already exist"):
+        dsir_resample(df.withColumn("dsir_key", F.lit(0.0)), target, k=1)
+
+
+def test_dsir_plan_shape(spark):
+    from osm2lanes_spark.operators.sampling import dsir_resample
+
+    df = spark.createDataFrame(
+        [(i, f"token{i % 7} token{i % 3} filler") for i in range(200)],
+        "doc_id long, text string")
+    target = df.where("doc_id % 10 = 0")
+    plan = (dsir_resample(df, target, k=20)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the scored slim relation is checkpointed: both the threshold and
+    # the flag read Scan ExistingRDD instead of recomputing the fits
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    # threshold is TakeOrdered (local top-k + driver merge), never a
+    # global sort or single-partition window
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
