@@ -573,7 +573,14 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
             f"{overlap_tokens}")
     stride = chunk_tokens - overlap_tokens
     text = F.col(text_col)
-    toks = tokens(F.lower(text) if lowercase else text)
+    # materialize the token array as a column FIRST: a transform lambda
+    # that captures the tokenize subtree re-evaluates the regexp split
+    # once per chunk on the interpreted HOF path (the ngrams() lesson);
+    # a bound column reference is read once per row
+    toked = df.select(
+        F.col(id_col),
+        tokens(F.lower(text) if lowercase else text).alias("__toks"))
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     # number of stride-starts needed to cover every token once
     n_chunks = (F.when(n_tok <= F.lit(0), F.lit(0))
@@ -587,7 +594,7 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
                         " ", F.slice(toks, i * F.lit(stride) + F.lit(1),
                                      F.lit(chunk_tokens))))
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(
+    exploded = toked.select(
         F.col(id_col), n_tok.alias("__n_tok"),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
     # chunk length is arithmetic, not a re-split of the joined string:
