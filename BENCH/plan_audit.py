@@ -19,6 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 NOTES = {
+    "ppl_buckets": """\
+CCNet tercile split: the NLL scoring plan (vocab fit + hash join + one
+per-doc mean) feeds the global grouped_quantiles range-partitioned
+prefix; the two thresholds pivot to ONE broadcast row
+(BroadcastNestedLoopJoin on a single row — declared, bounded) and the
+band CASE is codegen over the scored relation. No single-partition
+window, no join by id for the labeling.""",
     "dsir_select": """\
 DSIR resampling: the two bucket-count fits and the broadcast-ratio
 scoring join live inside the checkpointed slim relation (Scan
@@ -344,7 +351,8 @@ def main() -> None:
                  "line_dedup", "token_quantiles_global",
                  "duplicate_spans", "strip_spans", "classifier_score",
                  "classifier_score_trained", "budget_selection",
-                 "domain_cap", "unigram_ppl", "dsir_select"):
+                 "domain_cap", "unigram_ppl", "dsir_select",
+                 "ppl_buckets"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -1044,6 +1044,26 @@ def _q_unigram_ppl(spark, sf_dir):
     return out.select("doc_id", F.round(F.col("nll"), 6).alias("nll"))
 
 
+def _q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split (operators/profiling.py
+    with_quantile_buckets over with_unigram_logprob): tercile
+    thresholds of the per-doc mean NLL partition the corpus into
+    quality bands (Wenzek et al. 2020 §4.3). The quantile pass is the
+    range-partitioned global grouped_quantiles; thresholds pivot to one
+    broadcast row; band comparisons are quantized to 6 decimals on both
+    sides (the dsir float-boundary discipline). The DuckDB oracle
+    replays model, selection-rule terciles and CASE bit-for-bit."""
+    from osm2lanes_spark.operators.profiling import (with_quantile_buckets,
+                                                     with_unigram_logprob)
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = with_unigram_logprob(docs, alpha=1.0)
+    out = with_quantile_buckets(scored, "nll", qs=(1 / 3, 2 / 3),
+                                labels=("head", "middle", "tail"))
+    return out.select("doc_id", F.round(F.col("nll"), 6).alias("nll"),
+                      "bucket")
+
+
 def _q_packed_texts(spark, sf_dir):
     """Pack materialization (operators/packing.py pack_texts): the emit
     step after pack assignment — each pack becomes ONE concatenated
@@ -1378,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _shipped(_q_domain_cap),
         "kmeans_centroids": _shipped(_q_kmeans_centroids),
         "dsir_select": _shipped(_q_dsir_select),
+        "ppl_buckets": _shipped(_q_ppl_buckets),
         "unigram_ppl": _shipped(_q_unigram_ppl),
         "doc_chunks": _shipped(_q_doc_chunks),
         "tfidf_terms": _shipped(_q_tfidf_terms),
@@ -1536,6 +1557,68 @@ def _dsir_oracle() -> str:
                             AND k.doc_id <= kth.kid),
                         FALSE) AS selected
         FROM keyed k LEFT JOIN kth ON TRUE
+    """
+
+
+def _unigram_nll_ctes() -> str:
+    """The add-1 smoothed self-trained unigram NLL per doc as a CTE
+    chain ending in ``scored(doc_id, nll)`` (NULL text → NULL, empty →
+    0.0) — shared by the unigram_ppl and ppl_buckets oracles."""
+    ws = r"[ \t\n\r\f\x0B]"
+    return f"""
+        tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(regexp_replace(text, '^{ws}+|{ws}+$', '', 'g'), '{ws}+')) AS tok
+            FROM documents
+            WHERE length(regexp_replace(text, '^{ws}+|{ws}+$', '', 'g')) > 0),
+        vocab AS (
+            SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        tot AS (
+            SELECT sum(cnt) AS total, count(*) AS v FROM vocab),
+        lp AS (
+            SELECT t.doc_id,
+                   ln(v.cnt + 1.0) - ln(tot.total + 1.0 * (tot.v + 1))
+                       AS lp
+            FROM tok t JOIN vocab v USING (tok), tot),
+        agg AS (
+            SELECT doc_id, -avg(lp) AS nll FROM lp GROUP BY doc_id),
+        scored AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(a.nll, 0.0) END AS nll
+            FROM documents d LEFT JOIN agg a USING (doc_id))"""
+
+
+def _ppl_buckets_oracle() -> str:
+    """operators/profiling.py with_quantile_buckets over
+    with_unigram_logprob: selection-rule terciles of the per-doc NLL,
+    band comparisons quantized to 6 decimals on both sides."""
+    q1, q2 = repr(1 / 3), repr(2 / 3)
+    return f"""
+        WITH {_unigram_nll_ctes()},
+        hist AS (
+            SELECT nll AS val, count(*) AS cnt FROM scored
+            WHERE nll IS NOT NULL GROUP BY nll),
+        cum AS (
+            SELECT val,
+                   sum(cnt) OVER (ORDER BY val) AS cum,
+                   sum(cnt) OVER () AS total
+            FROM hist),
+        thr AS (
+            SELECT q, min(val) AS t
+            FROM cum CROSS JOIN (SELECT unnest([{q1}, {q2}]) AS q)
+            WHERE cum >= floor((total - 1) * q) + 1
+            GROUP BY q),
+        one AS (
+            SELECT min(CASE WHEN q = {q1} THEN t END) AS t0,
+                   min(CASE WHEN q = {q2} THEN t END) AS t1
+            FROM thr)
+        SELECT s.doc_id, round(s.nll, 6) AS nll,
+               CASE WHEN s.nll IS NULL THEN NULL
+                    WHEN round(s.nll, 6) <= round(one.t0, 6) THEN 'head'
+                    WHEN round(s.nll, 6) <= round(one.t1, 6) THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s, one
     """
 
 
@@ -3050,6 +3133,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dsir_select": _dsir_oracle(),
+        "ppl_buckets": _ppl_buckets_oracle(),
         "unigram_ppl": """
             -- operators/profiling.py with_unigram_logprob: add-1
             -- smoothed self-trained unigram model, mean -ln p per doc

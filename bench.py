@@ -234,8 +234,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
         # NOTE: curation_pipeline joined in r05; contamination_hash,
         # chunk_pack_chain, asof_bucketed, sessions_scale, line_dedup,
         # token_quantiles_global, duplicate_spans, classifier_score,
-        # budget_selection, kmeans_centroids, unigram_ppl and dsir_select
-        # joined in r06 —
+        # budget_selection, kmeans_centroids, unigram_ppl, dsir_select and
+        # ppl_buckets joined in r06 —
         # cross-round comparisons of the summed "value" should exclude
         # them (or compare per-query)
         aux_names = ("pricing_summary", "region_revenue", "event_ranks",
@@ -247,7 +247,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "line_dedup", "token_quantiles_global",
                      "duplicate_spans", "classifier_score",
                      "budget_selection", "kmeans_centroids",
-                     "unigram_ppl", "dsir_select")
+                     "unigram_ppl", "dsir_select",
+                     "ppl_buckets")
 
         def run_one(name):
             t0 = time.perf_counter()

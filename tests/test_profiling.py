@@ -433,3 +433,59 @@ def test_unigram_logprob_flavors_and_validation(spark):
         with_unigram_logprob(df, alpha=0)
     with pytest.raises(ValueError, match="already exist"):
         with_unigram_logprob(df.withColumn("ppl", F.lit(1.0)))
+
+
+# ---------------------------------------------------------------------------
+# with_quantile_buckets (CCNet head/middle/tail split)
+# ---------------------------------------------------------------------------
+
+def test_quantile_buckets_semantics(spark):
+    from osm2lanes_spark.operators.profiling import with_quantile_buckets
+
+    # values 1..9: terciles of the selection rule are rank
+    # floor(8*q)+1 → t0 = value at rank 3 (=3), t1 = rank 6 (=6)
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 10)],
+                               "doc_id long, score double")
+    got = {r.doc_id: r.bucket
+           for r in with_quantile_buckets(df, "score").collect()}
+    assert got == {1: "head", 2: "head", 3: "head",
+                   4: "middle", 5: "middle", 6: "middle",
+                   7: "tail", 8: "tail", 9: "tail"}
+
+
+def test_quantile_buckets_nulls_custom_and_validation(spark):
+    from osm2lanes_spark.operators.profiling import with_quantile_buckets
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, None)],
+        "doc_id long, score double")
+    # single threshold (median of 1..4 = rank floor(3*.5)+1 = 2): two bands
+    got = {r.doc_id: r.b
+           for r in with_quantile_buckets(
+               df, "score", qs=(0.5,), labels=("lo", "hi"),
+               out="b").collect()}
+    assert got == {1: "lo", 2: "lo", 3: "hi", 4: "hi", 5: None}
+    with pytest.raises(ValueError, match="labels"):
+        with_quantile_buckets(df, "score", qs=(0.5,), labels=("a",))
+    with pytest.raises(ValueError, match="increasing"):
+        with_quantile_buckets(df, "score", qs=(0.7, 0.3),
+                              labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="already exist"):
+        with_quantile_buckets(df.withColumn("bucket", F.lit("x")), "score")
+
+
+def test_quantile_buckets_quantized_boundary(spark):
+    from osm2lanes_spark.operators.profiling import with_quantile_buckets
+
+    # a value 1e-13 above the threshold rounds onto it at 6 decimals →
+    # same band as the threshold (the float-jitter discipline: sub-1e-6
+    # differences cannot flip a band)
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 2.0 + 1e-13), (4, 9.0)],
+        "doc_id long, score double")
+    got = {r.doc_id: r.bucket
+           for r in with_quantile_buckets(
+               df, "score", qs=(0.5,), labels=("lo", "hi"),
+               out="bucket").collect()}
+    # median rank floor(3*.5)+1 = 2 → t = 2.0; doc 3 quantizes to 2.0
+    assert got == {1: "lo", 2: "lo", 3: "lo", 4: "hi"}

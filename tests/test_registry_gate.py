@@ -41,6 +41,7 @@ ADDED_SINCE_LAST_GATE = {
     "kmeans_centroids",
     "unigram_ppl",
     "dsir_select",
+    "ppl_buckets",
 }
 
 
