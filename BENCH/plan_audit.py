@@ -19,6 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 NOTES = {
+    "ann_pq": """\
+PQ asymmetric-distance search: the encode argmin is ONE map-side-
+combined groupBy(id) with an m-column when-pivot of min-structs over
+the broadcast codebook join (no per-(id, sub) intermediate shuffle);
+the ADC LUT is queries x codebooks (tiny, broadcast) and the candidate
+sum partial-aggregates before one (query, vec) shuffle; ranks are a
+per-query window, quantized to 6 decimals + id tie-break. Compose with
+IVF cell filtering for sub-corpus candidate sets at 10^12 vectors.""",
     "ppl_buckets": """\
 CCNet tercile split: the NLL scoring plan (vocab fit + hash join + one
 per-doc mean) feeds the global grouped_quantiles range-partitioned
@@ -352,7 +360,7 @@ def main() -> None:
                  "duplicate_spans", "strip_spans", "classifier_score",
                  "classifier_score_trained", "budget_selection",
                  "domain_cap", "unigram_ppl", "dsir_select",
-                 "ppl_buckets"):
+                 "ppl_buckets", "ann_pq"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

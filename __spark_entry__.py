@@ -1011,6 +1011,30 @@ def _q_dsir_select(spark, sf_dir):
                       "selected")
 
 
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py pq_encode +
+    pq_adc_topk, Jégou et al. 2011): encode every embedding as 4
+    single-byte codes against deterministic md5-derived codebooks
+    (m=4, k=8, dsub=16 — pseudo_codebooks; the TRAINED path is pq_fit,
+    pinned by its NumPy parity test), then asymmetric-distance top-5
+    for 5 queries. Codes argmin on round(dist, 9) + code tie-break and
+    ranks on round(adc, 6) + vec_id — quantized, engine-stable
+    boundaries throughout. The DuckDB oracle replays codebooks, encode
+    and ADC bit-for-bit from the md5 chain."""
+    from osm2lanes_spark.operators.similarity import (pq_adc_topk,
+                                                      pq_encode,
+                                                      pseudo_codebooks)
+
+    emb = (_read(spark, sf_dir, "embeddings")
+           .withColumn("embedding",
+                       F.col("embedding").cast("array<double>")))
+    cb = pseudo_codebooks(spark, m=4, k=8, dsub=16, seed=0)
+    coded = pq_encode(emb, cb)
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return pq_adc_topk(queries, coded, cb, k=5)
+
+
 def _q_kmeans_centroids(spark, sf_dir):
     """IVF coarse-quantizer training (operators/similarity.py
     kmeans_fit): 8 spherical k-means centroids over the embeddings
@@ -1399,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": _shipped(_q_kmeans_centroids),
         "dsir_select": _shipped(_q_dsir_select),
         "ppl_buckets": _shipped(_q_ppl_buckets),
+        "ann_pq": _shipped(_q_ann_pq),
         "unigram_ppl": _shipped(_q_unigram_ppl),
         "doc_chunks": _shipped(_q_doc_chunks),
         "tfidf_terms": _shipped(_q_tfidf_terms),
@@ -1619,6 +1644,55 @@ def _ppl_buckets_oracle() -> str:
                     WHEN round(s.nll, 6) <= round(one.t1, 6) THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM scored s, one
+    """
+
+
+def _ann_pq_oracle() -> str:
+    """operators/similarity.py pq_encode + pq_adc_topk replayed: the
+    md5-derived codebooks (pseudo_codebooks seed 0), the quantized
+    argmin encode, and the ADC top-5 with the quantized rank."""
+    cval = (_md5_hex32_sql(
+        "md5('c:0:' || sub || ':' || cid || ':' || dim)")
+        + " / 4294967296.0 * 2 - 1")
+    return f"""
+        WITH dims AS (SELECT unnest(range(16)) AS dim),
+        subs AS (SELECT unnest(range(4)) AS sub),
+        cids AS (SELECT unnest(range(8)) AS cid),
+        cb AS (
+            SELECT sub, cid, dim, {cval} AS cval
+            FROM subs, cids, dims),
+        ev AS (
+            SELECT e.vec_id, s.sub, d.dim,
+                   e.embedding[s.sub * 16 + d.dim + 1]::DOUBLE AS ev
+            FROM embeddings e, subs s, dims d),
+        dist AS (
+            SELECT ev.vec_id, ev.sub, cb.cid,
+                   round(sum((ev.ev - cb.cval) * (ev.ev - cb.cval)), 9)
+                       AS d9
+            FROM ev JOIN cb ON ev.sub = cb.sub AND ev.dim = cb.dim
+            GROUP BY ev.vec_id, ev.sub, cb.cid),
+        code AS (
+            SELECT vec_id, sub, cid FROM (
+                SELECT vec_id, sub, cid,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d9, cid) AS rn
+                FROM dist) WHERE rn = 1),
+        lut AS (
+            SELECT ev.vec_id AS query_id, ev.sub, cb.cid,
+                   sum((ev.ev - cb.cval) * (ev.ev - cb.cval)) AS pd
+            FROM ev JOIN cb ON ev.sub = cb.sub AND ev.dim = cb.dim
+            WHERE ev.vec_id < 5
+            GROUP BY ev.vec_id, ev.sub, cb.cid),
+        adc AS (
+            SELECT l.query_id, c.vec_id, sum(l.pd) AS s
+            FROM code c JOIN lut l ON c.sub = l.sub AND c.cid = l.cid
+            GROUP BY l.query_id, c.vec_id)
+        SELECT query_id, vec_id, round(s, 6) AS adc, rank FROM (
+            SELECT query_id, vec_id, s,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY round(s, 6), vec_id)
+                       AS rank
+            FROM adc) WHERE rank <= 5
     """
 
 
@@ -3134,6 +3208,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dsir_select": _dsir_oracle(),
         "ppl_buckets": _ppl_buckets_oracle(),
+        "ann_pq": _ann_pq_oracle(),
         "unigram_ppl": """
             -- operators/profiling.py with_unigram_logprob: add-1
             -- smoothed self-trained unigram model, mean -ln p per doc

@@ -234,8 +234,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
         # NOTE: curation_pipeline joined in r05; contamination_hash,
         # chunk_pack_chain, asof_bucketed, sessions_scale, line_dedup,
         # token_quantiles_global, duplicate_spans, classifier_score,
-        # budget_selection, kmeans_centroids, unigram_ppl, dsir_select and
-        # ppl_buckets joined in r06 —
+        # budget_selection, kmeans_centroids, unigram_ppl, dsir_select,
+        # ppl_buckets and ann_pq joined in r06 —
         # cross-round comparisons of the summed "value" should exclude
         # them (or compare per-query)
         aux_names = ("pricing_summary", "region_revenue", "event_ranks",
@@ -248,7 +248,7 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "duplicate_spans", "classifier_score",
                      "budget_selection", "kmeans_centroids",
                      "unigram_ppl", "dsir_select",
-                     "ppl_buckets")
+                     "ppl_buckets", "ann_pq")
 
         def run_one(name):
             t0 = time.perf_counter()

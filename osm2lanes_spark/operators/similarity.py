@@ -311,3 +311,254 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding",
             .select("centroid_id",
                     F.col("_centroid").alias("centroid"),
                     F.coalesce("n_assigned", F.lit(0)).alias("n_assigned")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — PQ codes + asymmetric-distance search
+# (Jégou, Douze, Schmid 2011, "Product Quantization for Nearest
+# Neighbor Search"; the standard 10^12-vector ANN compression: a 64-dim
+# float vector becomes m single-byte codes)
+# ---------------------------------------------------------------------------
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sub_rows(df: DataFrame, vec_col: str, id_col: str, m: int,
+              dsub: int) -> DataFrame:
+    """One (id, ``sub``, ``_sv``) row per subvector — the vector split
+    into ``m`` contiguous ``dsub``-dim blocks. The slice bounds are
+    literals and the lambda touches only bound column references, so
+    there is no captured-subtree HOF re-evaluation (the ngrams
+    lesson)."""
+    vec = F.col(vec_col)
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.slice(vec, s * F.lit(dsub) + F.lit(1),
+                              F.lit(dsub)))).alias("sub", "_sv"))
+
+
+def pseudo_codebooks(spark, m: int = 4, k: int = 8, dsub: int = 16,
+                     seed: int = 0) -> DataFrame:
+    """Deterministic md5-derived PQ codebooks — ``(sub, code_id,
+    centroid)`` with every component the md5 uniform of
+    ``'c:<seed>:<sub>:<code>:<dim>'`` stretched to [-1, 1). Bounded
+    driver-side generation (m·k·dsub floats — codebooks must broadcast
+    anyway); any engine with md5 replays the exact values, which is
+    what makes the ``ann_pq`` driver query hard-oracle-able. Trained
+    codebooks come from :func:`pq_fit` instead."""
+    import hashlib
+
+    rows = []
+    for s in range(m):
+        for c in range(k):
+            vec = [int(hashlib.md5(f"c:{seed}:{s}:{c}:{d}".encode())
+                       .hexdigest()[:8], 16) / float(1 << 32) * 2 - 1
+                   for d in range(dsub)]
+            rows.append((s, c, vec))
+    return spark.createDataFrame(
+        rows, "sub int, code_id int, centroid array<double>")
+
+
+def _codebook_shape(codebooks: DataFrame) -> tuple[int, int]:
+    """(m, dsub) from a codebook relation — bounded metadata (codebooks
+    broadcast by construction). Raises on ragged subspace widths."""
+    shapes = (codebooks.select("sub", F.size("centroid").alias("_d"))
+              .distinct().collect())
+    if not shapes:
+        raise ValueError("empty codebooks")
+    m = max(r["sub"] for r in shapes) + 1
+    dsubs = {r["_d"] for r in shapes}
+    if len(dsubs) != 1:
+        raise ValueError(f"ragged codebook widths: {sorted(dsubs)}")
+    return m, dsubs.pop()
+
+
+def pq_encode(df: DataFrame, codebooks: DataFrame,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              out: str = "pq_code") -> DataFrame:
+    """df.* + ``out``: the PQ code array — per subspace, the id of the
+    L2-nearest codebook centroid. The input vector dim must equal
+    m·dsub of the codebooks.
+
+    Argmin ranks on the distance ROUNDED to 9 decimals with code_id as
+    the tie-break (the dsir quantization discipline — float-sum jitter
+    of the 16-term L2 cannot flip a code across runs or engines).
+
+    Scale shape at 100 TB: subvector rows join the broadcast codebooks
+    (m·k rows), then ONE map-side-combined groupBy(id) computes all m
+    argmins at once (an m-column when-pivot of min-structs — no
+    per-(id, sub) intermediate shuffle), and the codes join back onto
+    the untouched input by id. Corpus moves through exactly one hash
+    shuffle of (id, m structs).
+    """
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already exists in the "
+                         "input — pass a different out=")
+    m, dsub = _codebook_shape(codebooks)
+    scored = (_sub_rows(df, vec_col, id_col, m, dsub)
+              .join(F.broadcast(codebooks), "sub")
+              .withColumn("_d9", F.round(_l2sq(F.col("_sv"),
+                                               F.col("centroid")), 9)))
+    pivots = [F.min(F.when(F.col("sub") == s,
+                           F.struct(F.col("_d9"), F.col("code_id"))))
+              .alias(f"_c{s}") for s in range(m)]
+    codes = (scored.groupBy(id_col).agg(*pivots)
+             .select(F.col(id_col).alias("__pq_id"),
+                     F.array(*[F.col(f"_c{s}.code_id") for s in range(m)])
+                     .alias(out)))
+    return (df.join(codes, df[id_col] == F.col("__pq_id"), "left")
+            .drop("__pq_id"))
+
+
+def pq_fit(df: DataFrame, vec_col: str = "embedding",
+           id_col: str = "vec_id", m: int = 4, k: int = 16,
+           iterations: int = 5, init: DataFrame | None = None,
+           tol: float = 0.0) -> DataFrame:
+    """Train PQ codebooks: plain-L2 Lloyd's per subspace, ALL subspaces
+    riding the same shuffle each iteration (no per-subspace jobs).
+    Returns ``(sub, code_id, centroid, n_assigned)``, directly
+    pluggable into :func:`pq_encode` / :func:`pq_adc_topk`.
+
+    Default init is the :func:`select_centroids` recipe per subspace —
+    ``pmod(xxhash64('<sub>:<id>'), k)`` buckets, min-hash argmin per
+    (sub, bucket) — deterministic under any partitioning; pass
+    ``init`` (a (sub, code_id, centroid) DataFrame) to start from
+    known codebooks (tests, warm restarts). Each Lloyd
+    iteration: assign every subvector to its nearest centroid (broadcast
+    codebook, argmin on round(dist, 9) + code tie-break), then recompute
+    means via posexplode + partial-aggregated (sub, code, dim) sums —
+    only m·k·dsub rows reach the driver per iteration (bounded metadata;
+    codebooks must broadcast anyway). Empty codes keep their previous
+    centroid. Stops early when every centroid moves less than ``tol``.
+    """
+    import numpy as np
+
+    if k < 1 or m < 1:
+        raise ValueError(f"m and k must be >= 1, got m={m} k={k}")
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("no initial centroids (empty corpus?)")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    spark = df.sparkSession
+    sub = _sub_rows(_spread(df, id_col), vec_col, id_col, m, dsub)
+
+    if init is None:
+        # deterministic per-subspace init (select_centroids shape)
+        h = F.xxhash64(F.concat_ws(":", F.col("sub").cast("string"),
+                                   F.col(id_col).cast("string")))
+        hashed = sub.select("sub",
+                            F.col(id_col).cast("string").alias("_cid"),
+                            "_sv", h.alias("_h"),
+                            F.pmod(h, F.lit(k)).alias("_bkt"))
+        mins = hashed.groupBy("sub", "_bkt").agg(F.min("_h").alias("_h"))
+        w = Window.partitionBy("sub", "_bkt").orderBy(F.col("_cid").asc())
+        init = (hashed.join(F.broadcast(mins), ["sub", "_bkt", "_h"])
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select("sub",
+                        F.col("_bkt").cast("int").alias("code_id"),
+                        F.col("_sv").alias("centroid")))
+    cur = [(int(r["sub"]), int(r["code_id"]), list(r["centroid"]))
+           for r in init.collect()]
+    cb_schema = "sub int, code_id int, centroid array<double>"
+
+    def assign(cb_df):
+        scored = (sub.join(F.broadcast(cb_df), "sub")
+                  .withColumn("_d9", F.round(
+                      _l2sq(F.col("_sv"), F.col("centroid")), 9)))
+        best = F.min(F.struct(F.col("_d9"), F.col("code_id"))).alias("_b")
+        return (scored.groupBy(id_col, "sub")
+                .agg(best, F.first("_sv").alias("_sv"))
+                .select(id_col, "sub", "_sv",
+                        F.col("_b.code_id").alias("code_id")))
+
+    counts: dict[tuple[int, int], int] = {}
+    for _ in range(iterations):
+        cb_df = spark.createDataFrame(cur, cb_schema)
+        assigned = assign(cb_df)
+        sums = (assigned
+                .select("sub", "code_id",
+                        F.posexplode("_sv").alias("_pos", "_v"))
+                .groupBy("sub", "code_id", "_pos")
+                .agg(F.sum("_v").alias("_s"),
+                     F.count(F.lit(1)).alias("_n"))
+                .collect())
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        counts = {}
+        for r in sums:
+            key = (int(r["sub"]), int(r["code_id"]))
+            by_key.setdefault(key, {})[int(r["_pos"])] = float(r["_s"])
+            counts[key] = int(r["_n"])
+        nxt, moved = [], 0.0
+        for s, cid, old in cur:
+            key = (s, cid)
+            if key in by_key and counts[key] > 0:
+                n = counts[key]
+                new = [by_key[key].get(p, 0.0) / n for p in range(dsub)]
+            else:
+                new = list(old)
+            moved = max(moved,
+                        float(np.linalg.norm(np.array(new)
+                                             - np.array(old))))
+            nxt.append((s, cid, new))
+        cur = nxt
+        if moved <= tol:
+            break
+
+    cb_df = spark.createDataFrame(cur, cb_schema)
+    final = (assign(cb_df).groupBy("sub", "code_id")
+             .agg(F.count(F.lit(1)).alias("n_assigned")))
+    return (cb_df.join(final, ["sub", "code_id"], "left")
+            .select("sub", "code_id", "centroid",
+                    F.coalesce("n_assigned", F.lit(0)).alias("n_assigned")))
+
+
+def pq_adc_topk(queries: DataFrame, codes: DataFrame,
+                codebooks: DataFrame, k: int = 10,
+                query_id: str = "query_id", corpus_id: str = "vec_id",
+                vec_col: str = "embedding",
+                code_col: str = "pq_code") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: ``(query_id, vec_id,
+    adc, rank)``. ADC = for each query, a (m·k)-entry lookup table of
+    exact query-subvector-to-centroid L2 distances; a corpus vector's
+    approximate distance is the sum of its m code lookups (Jégou et
+    al. 2011 §IV.A) — the corpus is never decoded.
+
+    Ranks on the ADC sum rounded to 6 decimals with ``corpus_id`` as
+    the tie-break (quantized, engine-stable rank-k boundary).
+
+    Scale shape at 100 TB: the LUT is queries x codebooks — n_q·m·k
+    tiny rows, broadcast; the corpus side posexplodes m code rows per
+    vector, joins the broadcast LUT, and partial-aggregates the per-
+    (query, vector) sum before one hash shuffle; ranking is a per-query
+    window over that query's candidates. Compose with IVF by filtering
+    ``codes`` to the probed cells first — the candidate set (and the
+    window) then scales with nprobe/n_cells, not the corpus.
+    """
+    m, dsub = _codebook_shape(codebooks)
+    lut = (_sub_rows(queries, vec_col, query_id, m, dsub)
+           .join(F.broadcast(codebooks), "sub")
+           .select(query_id, "sub", "code_id",
+                   _l2sq(F.col("_sv"), F.col("centroid")).alias("_pd")))
+    cand = (codes
+            .select(F.col(corpus_id),
+                    F.posexplode(F.col(code_col)).alias("sub", "code_id"))
+            .join(F.broadcast(lut), ["sub", "code_id"])
+            .groupBy(query_id, corpus_id)
+            .agg(F.sum("_pd").alias("_adc")))
+    w = Window.partitionBy(query_id).orderBy(
+        F.round(F.col("_adc"), 6).asc(), F.col(corpus_id).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .withColumn("adc", F.round(F.col("_adc"), 6))
+            .select(query_id, corpus_id, "adc", "rank"))

@@ -42,6 +42,7 @@ ADDED_SINCE_LAST_GATE = {
     "unigram_ppl",
     "dsir_select",
     "ppl_buckets",
+    "ann_pq",
 }
 
 

@@ -1534,3 +1534,109 @@ def test_dsir_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011)
+# ---------------------------------------------------------------------------
+
+def _np_pq_lloyd(X, init_by_sub, m, iterations):
+    """NumPy replica of pq_fit: per-subspace plain-L2 Lloyd's, argmin
+    on (round(dist, 9), code_id), empty codes keep their centroid."""
+    d = X.shape[1] // m
+    out = {}
+    for s in range(m):
+        sv = X[:, s * d:(s + 1) * d]
+        cents = {cid: np.array(c, dtype=float)
+                 for cid, c in init_by_sub[s].items()}
+        for _ in range(iterations):
+            assign = {}
+            for i in range(len(sv)):
+                best = min(
+                    (round(float(np.sum((sv[i] - c) ** 2)), 9), cid)
+                    for cid, c in cents.items())
+                assign.setdefault(best[1], []).append(i)
+            for cid in cents:
+                if assign.get(cid):
+                    cents[cid] = sv[assign[cid]].mean(axis=0)
+        out[s] = cents
+    return out
+
+
+def test_pq_fit_matches_numpy_reference(spark):
+    rng = np.random.RandomState(7)
+    X = rng.normal(size=(30, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>")
+    init_by_sub = {s: {c: [float(x) for x in X[c, s * 4:(s + 1) * 4]]
+                       for c in range(3)} for s in range(2)}
+    init = spark.createDataFrame(
+        [(s, c, init_by_sub[s][c]) for s in range(2) for c in range(3)],
+        "sub int, code_id int, centroid array<double>")
+    got = {(r.sub, r.code_id): np.array(r.centroid) for r in
+           S.pq_fit(df, m=2, k=3, iterations=3, init=init).collect()}
+    want = _np_pq_lloyd(X, init_by_sub, 2, 3)
+    for s in range(2):
+        for c in range(3):
+            assert np.allclose(got[(s, c)], want[s][c], atol=1e-9), \
+                (s, c, got[(s, c)], want[s][c])
+
+
+def test_pq_encode_known_values(spark):
+    # 4-dim vectors, m=2, dsub=2; codebooks chosen so the nearest code
+    # is obvious per subspace
+    cb = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0]), (0, 1, [10.0, 10.0]),
+         (1, 0, [0.0, 0.0]), (1, 1, [-5.0, -5.0])],
+        "sub int, code_id int, centroid array<double>")
+    df = spark.createDataFrame(
+        [(1, [9.0, 9.0, -4.0, -6.0]), (2, [1.0, -1.0, 0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: list(r.pq_code)
+           for r in S.pq_encode(df, cb).collect()}
+    assert got == {1: [1, 1], 2: [0, 0]}
+    # equidistant ties resolve to the LOWEST code id (quantized argmin)
+    tie = spark.createDataFrame([(3, [5.0, 5.0, -2.5, -2.5])],
+                                "vec_id long, embedding array<double>")
+    assert S.pq_encode(tie, cb).first().pq_code == [0, 0]
+    with pytest.raises(ValueError, match="already exist"):
+        S.pq_encode(df.withColumn("pq_code", F.lit(0)), cb)
+
+
+def test_pq_adc_self_match_and_recall(spark, embeddings):
+    emb = embeddings.withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    cb = S.pseudo_codebooks(spark, m=4, k=8, dsub=16)
+    coded = S.pq_encode(emb, cb)
+    q = (emb.where("vec_id < 5")
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    top = S.pq_adc_topk(q, coded, cb, k=5).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        # ADC(query, its own vector) is minimal among vectors sharing
+        # fewer codebook cells — the self vector must make the top-k
+        assert any(r.vec_id == qid for r in rows), (qid, rows)
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_pq_validation(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_fit(df, m=2, k=2)
+    with pytest.raises(ValueError, match="m and k"):
+        S.pq_fit(df, m=0, k=2)
+    ragged = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0]), (1, 0, [0.0])],
+        "sub int, code_id int, centroid array<double>")
+    with pytest.raises(ValueError, match="ragged"):
+        S.pq_encode(df, ragged)
+    empty = spark.createDataFrame(
+        [], "sub int, code_id int, centroid array<double>")
+    with pytest.raises(ValueError, match="empty codebooks"):
+        S.pq_encode(df, empty)
