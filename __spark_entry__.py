@@ -554,6 +554,35 @@ def _q_embedding_neardup(spark, sf_dir):
     return out.select("left_id", "right_id")
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup cluster-then-prune semantic dedup (operators/dedup.py
+    semantic_dedup, Abbas et al. 2023): assign every embedding to its
+    nearest of 8 deterministic centroids (the first-8 vectors by id —
+    SQL-replayable; the TRAINED path takes kmeans_fit output), then mark
+    as duplicates any row whose cluster holds a smaller-id row at cosine
+    >= 0.95. Near-dups are planted exactly as in embedding_neardup
+    (vectors 0..49 reappear at id+100000, +0.01 per dim, cosine ~0.9999
+    >> threshold; natural pairs peak ~0.51 << threshold — no boundary
+    cases). Assignment quantizes to 9 decimals + centroid-id tie-break;
+    the pair threshold quantizes to 6 — both replayed bit-for-bit by the
+    DuckDB oracle via the identical dot/(norm*norm) arithmetic shape."""
+    from osm2lanes_spark.operators.dedup import semantic_dedup
+
+    emb = (_read(spark, sf_dir, "embeddings")
+           .withColumn("embedding", F.col("embedding").cast("array<double>"))
+           .select("vec_id", "embedding"))
+    planted = (emb.where(F.col("vec_id") < 50)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.transform(F.col("embedding"),
+                                   lambda x: x + F.lit(0.01))
+                       .alias("embedding")))
+    both = emb.unionByName(planted)
+    cent = (emb.where(F.col("vec_id") < 8)
+            .select(F.col("vec_id").cast("int").alias("centroid_id"),
+                    F.col("embedding").alias("centroid")))
+    return semantic_dedup(both, cent, threshold=0.95)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard pairs (brute force — the verification baseline
     of the MinHash path, oracled against DuckDB list ops)."""
@@ -1396,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _shipped(_q_minhash_pairs),
         "simhash_pairs": _shipped(_q_simhash_pairs),
         "embedding_neardup": _shipped(_q_embedding_neardup),
+        "semdedup": _shipped(_q_semdedup),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
@@ -3264,6 +3294,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+        """,
+        "semdedup": """
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            planted AS (
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(v, x -> x + 0.01) AS v
+                FROM base WHERE vec_id < 50),
+            allv AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv
+                FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)),
+            cent AS (
+                SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv,
+                       sqrt(list_dot_product(v, v)) AS nc
+                FROM base WHERE vec_id < 8),
+            asg AS (
+                SELECT vec_id, cid AS cluster_id, v, nv FROM (
+                    SELECT a.vec_id, c.cid, a.v, a.nv,
+                           row_number() OVER (
+                               PARTITION BY a.vec_id
+                               ORDER BY round(list_dot_product(a.v, c.cv)
+                                              / (a.nv * c.nc), 9) DESC,
+                                        c.cid ASC) AS rn
+                    FROM allv a, cent c) t
+                WHERE rn = 1),
+            dups AS (
+                SELECT DISTINCT r.vec_id
+                FROM asg l JOIN asg r ON l.cluster_id = r.cluster_id
+                WHERE l.vec_id < r.vec_id
+                  AND round(list_dot_product(l.v, r.v)
+                            / (l.nv * r.nv), 6) >= 0.95)
+            SELECT a.vec_id, a.cluster_id,
+                   (d.vec_id IS NULL) AS keep
+            FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
         """,
         "ann_topk": """
             WITH c AS (

@@ -857,3 +857,87 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
                         .otherwise(F.coalesce(F.col("__rebuilt"),
                                               F.lit(""))))
             .drop("__ds_id", "__rb_id", "__n_covered", "__rebuilt"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster-then-prune (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(df: DataFrame, centroids: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroid_id: str = "centroid_id",
+                   centroid_vec: str = "centroid",
+                   threshold: float = 0.95) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings, then pruning near-duplicates WITHIN each
+    cluster only — the trick that turns the O(n^2) all-pairs cosine scan
+    into O(sum c_i^2), bounded by the cluster sizes.
+
+    Stages (all narrow or single-key shuffles):
+
+    1. *assign*: broadcast the k centroids onto the corpus, argmax cosine
+       per row (quantized to 9 decimals + centroid-id tie-break — the
+       engine-stable boundary discipline). One broadcast nested loop,
+       NO shuffle: k is small by construction.
+    2. *intra-cluster pairs*: self-join on the cluster id — the only
+       shuffle, keyed by cluster. A row is a duplicate iff some
+       SMALLER-id row in the same cluster has cosine >= ``threshold``
+       (quantized to 6 decimals): the deterministic keep-lowest-id
+       policy, same as the LSH dedup survivors.
+    3. *flag*: broadcast-or-hash semi-join of duplicate ids back onto
+       the corpus -> ``keep`` boolean; no row is dropped, callers filter.
+
+    Cosines are computed as dot(a,b)/(norm_a*norm_b) with the norms
+    hoisted into per-row columns — one O(d) pass per row, and the exact
+    arithmetic shape the DuckDB oracle replays (list_dot_product /
+    (sqrt(..)*sqrt(..))), so the quantized comparisons are bit-stable
+    across engines.
+
+    At 100 TB: the assign stage is a broadcast map; the pair stage
+    shuffles each cluster to one task — a hot cluster (skew) is bounded
+    by raising k (more, smaller clusters), the knob the paper itself
+    turns. ``centroids`` normally comes from ``similarity.kmeans_fit``;
+    any deterministic (centroid_id, vector) relation works.
+    """
+    norm = lambda v: F.sqrt(F.aggregate(  # noqa: E731 — local expr builder
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x)
+
+    rows = (_spread(df, id_col)
+            .select(F.col(id_col), F.col(vec_col).alias("_v"))
+            .withColumn("_nv", norm(F.col("_v"))))
+    cent = F.broadcast(
+        centroids.select(F.col(centroid_id).alias("_cid"),
+                         F.col(centroid_vec).alias("_cv"))
+        .withColumn("_nc", norm(F.col("_cv"))))
+
+    cos_c = F.round(dot(F.col("_v"), F.col("_cv"))
+                    / (F.col("_nv") * F.col("_nc")), 9)
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(),
+                                           F.col("_cid").asc())
+    assigned = (rows.crossJoin(cent)
+                .withColumn("_cos", cos_c)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(id_col, F.col("_cid").alias("cluster_id"),
+                        "_v", "_nv"))
+
+    l = assigned.select(F.col(id_col).alias("_lid"), "cluster_id",
+                        F.col("_v").alias("_lv"), F.col("_nv").alias("_ln"))
+    r = assigned.select(F.col(id_col).alias("_rid"), "cluster_id",
+                        F.col("_v").alias("_rv"), F.col("_nv").alias("_rn2"))
+    pair_cos = F.round(dot(F.col("_lv"), F.col("_rv"))
+                       / (F.col("_ln") * F.col("_rn2")), 6)
+    dups = (l.join(r, "cluster_id")
+            .where(F.col("_lid") < F.col("_rid"))
+            .where(pair_cos >= F.lit(threshold))
+            .select(F.col("_rid").alias("_dup_id"))
+            .distinct())
+
+    return (assigned
+            .join(dups, assigned[id_col] == F.col("_dup_id"), "left")
+            .withColumn("keep", F.col("_dup_id").isNull())
+            .select(id_col, "cluster_id", "keep"))

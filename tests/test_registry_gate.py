@@ -43,6 +43,7 @@ ADDED_SINCE_LAST_GATE = {
     "dsir_select",
     "ppl_buckets",
     "ann_pq",
+    "semdedup",
 }
 
 

@@ -158,6 +158,50 @@ def test_embedding_near_dup(spark):
     assert pairs == {(1, 2)}
 
 
+def test_semantic_dedup_keep_lowest_id(spark):
+    """SemDeDup prunes within a cluster only, keeps the lowest id of each
+    near-dup group, and never drops rows from the relation."""
+    rng = np.random.default_rng(7)
+    a, b = rng.standard_normal(16), rng.standard_normal(16)
+    rows = [(1, a), (2, a * 1.001 + 0.0005), (3, a * 0.999),  # dup group
+            (4, b), (5, -a)]  # b: own cluster; -a: same axis, cos=-1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id int, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [float(x) for x in a]), (1, [float(x) for x in b])],
+        "centroid_id int, centroid array<double>")
+    out = {r["vec_id"]: (r["cluster_id"], r["keep"])
+           for r in D.semantic_dedup(df, cent, threshold=0.95).collect()}
+    assert len(out) == 5  # no row dropped, callers filter on keep
+    assert out[1] == (0, True)       # group survivor = lowest id
+    assert out[2] == (0, False) and out[3] == (0, False)
+    assert out[4] == (1, True)       # singleton cluster survives
+    assert out[5][1] is True         # anti-parallel: cosine -1 < threshold
+
+
+def test_semantic_dedup_with_kmeans_centroids(spark):
+    """The trained path: kmeans_fit centroids feed semantic_dedup; planted
+    near-dups are pruned, the natural corpus (cos<<0.95) is untouched."""
+    from osm2lanes_spark.operators.similarity import kmeans_fit
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>"))
+           .select("vec_id", "embedding"))
+    planted = (emb.where(F.col("vec_id") < 5)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.transform(F.col("embedding"),
+                                   lambda x: x + F.lit(0.01))
+                       .alias("embedding")))
+    both = emb.unionByName(planted)
+    cent = kmeans_fit(emb, k=4, iterations=2).select(
+        "centroid_id", "centroid")
+    out = D.semantic_dedup(both, cent, threshold=0.95)
+    dropped = {r["vec_id"] for r in out.where(~F.col("keep")).collect()}
+    # each planted twin lands in its original's cluster -> pruned
+    assert dropped == {100000, 100001, 100002, 100003, 100004}
+
+
 # --- similarity ------------------------------------------------------------
 
 @pytest.fixture(scope="module")
