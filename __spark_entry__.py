@@ -290,6 +290,26 @@ def _q_text_quality(spark, sf_dir):
         F.round(n_chars / n_tokens, 6).alias("mean_token_len"))
 
 
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher rule-based quality filter (operators/text.py
+    with_gopher_rules, Rae et al. 2021 A1.1): word-count band, mean word
+    length band, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, and a >=2-distinct-function-words gate —
+    one narrow zero-shuffle map stage. The corpus is single-line, so
+    _GOPHER_PLANTS adds five docs each violating exactly one line/symbol
+    /alpha rule (or none) to exercise both sides of every boundary; the
+    DuckDB oracle replays rules on the unrounded divisions."""
+    from osm2lanes_spark.operators.text import with_gopher_rules
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    plants = spark.createDataFrame(_GOPHER_PLANTS,
+                                   "doc_id long, text string")
+    out = with_gopher_rules(docs.unionByName(plants))
+    return out.select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+                      "bullet_frac", "ellipsis_frac", "alpha_frac",
+                      "stop_hits", "gopher_keep")
+
+
 def _q_top_suppliers(spark, sf_dir):
     """Sort + limit (top-k) with deterministic tie-break (SURVEY §2.10)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -1426,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _shipped(_q_simhash_pairs),
         "embedding_neardup": _shipped(_q_embedding_neardup),
         "semdedup": _shipped(_q_semdedup),
+        "gopher_rules": _shipped(_q_gopher_rules),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
@@ -1612,6 +1633,69 @@ def _dsir_oracle() -> str:
                             AND k.doc_id <= kth.kid),
                         FALSE) AS selected
         FROM keyed k LEFT JOIN kth ON TRUE
+    """
+
+
+# Planted docs for the gopher_rules query: each violates EXACTLY ONE rule
+# (bullet lines / ellipsis lines / non-alpha words / symbol ratio) while
+# passing all others, plus one multi-line doc that passes everything —
+# the natural corpus is single-line, so the line rules need planting to
+# be exercised on both sides. Shared verbatim by query and oracle.
+_GOPHER_PLANTS: list[tuple[int, str]] = [
+    (900001, "\n".join(
+        ["- the quick brown fox jumps of and that have with lazy dog"] * 6)),
+    (900002, "\n".join(
+        ["the quick brown fox jumps of and that have with lazy dog..."] * 6)),
+    (900003, ("12345 " * 55) + "the of and"),
+    (900004, ("word# " * 55) + "the of and that"),
+    (900005, "\n".join(
+        ["the quick brown fox jumps of and that have with lazy dog"] * 6)),
+]
+
+
+def _gopher_oracle() -> str:
+    """DuckDB replay of with_gopher_rules (operators/text.py): same
+    tokenization/line split/regexes, rule comparisons on the UNROUNDED
+    int/int divisions, surfaced ratios rounded to 6 — bit-identical
+    boundaries across engines."""
+    ws = r"[ \t\n\r\f\x0B]"
+    vals = ",\n                ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _GOPHER_PLANTS)
+    return f"""
+        WITH plants(doc_id, text) AS (VALUES
+                {vals}),
+        alldocs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM plants),
+        t AS (
+            SELECT doc_id, text,
+                   regexp_split_to_array(regexp_replace(text, '^{ws}+|{ws}+$', '', 'g'), '{ws}+') AS toks,
+                   string_split(text, chr(10)) AS lines
+            FROM alldocs),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mean_len,
+                   len(regexp_extract_all(text, '#|\\.\\.\\.|…')) * 1.0 / len(toks) AS sym_ratio,
+                   len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*•]'))) * 1.0 / len(lines) AS bullet_f,
+                   len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$'))) * 1.0 / len(lines) AS ellip_f,
+                   len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks) AS alpha_f,
+                   len(list_intersect(list_transform(toks, x -> lower(x)),
+                                      ['the','be','to','of','and','that','have','with'])) AS stop_hits
+            FROM t)
+        SELECT doc_id, n_words,
+               round(mean_len, 6) AS mean_word_len,
+               round(sym_ratio, 6) AS symbol_ratio,
+               round(bullet_f, 6) AS bullet_frac,
+               round(ellip_f, 6) AS ellipsis_frac,
+               round(alpha_f, 6) AS alpha_frac,
+               stop_hits,
+               (n_words >= 50 AND n_words <= 100000
+                AND mean_len >= 3.0 AND mean_len <= 10.0
+                AND sym_ratio <= 0.1 AND bullet_f <= 0.9 AND ellip_f <= 0.3
+                AND alpha_f >= 0.8 AND stop_hits >= 2) AS gopher_keep
+        FROM m
     """
 
 
@@ -3421,6 +3505,7 @@ def oracle_sql() -> dict[str, str]:
     out["lanes_golden"] = _lanes_golden_oracle()
     out["s2_binning"] = _s2_oracle(level=12)
     out["langid"] = _langid_oracle()
+    out["gopher_rules"] = _gopher_oracle()
     out["curation_pipeline"] = _curation_oracle()
     out["locale_spatial"] = _locale_spatial_oracle()
     out["media_refs"] = _media_refs_oracle()

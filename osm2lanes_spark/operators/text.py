@@ -282,3 +282,77 @@ def with_classifier_score(df: DataFrame, text_col: str = "text",
     return (df.join(scored, df[id_col] == F.col("__cs_id"), "left")
             .withColumn(out, F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)))
             .drop("__cs_id", "__logit"))
+
+
+# Gopher rule-filter function words (Rae et al. 2021, Appendix A1.1).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def with_gopher_rules(df: DataFrame, text_col: str = "text",
+                      min_words: int = 50, max_words: int = 100_000,
+                      min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                      max_symbol_ratio: float = 0.1,
+                      max_bullet_frac: float = 0.9,
+                      max_ellipsis_frac: float = 0.3,
+                      min_alpha_frac: float = 0.8,
+                      min_stop_hits: int = 2) -> DataFrame:
+    """Gopher quality-rule filter (Rae et al. 2021, arXiv:2112.11446
+    Appendix A1.1): the rule-based pre-filter every large text pipeline
+    runs before model-based scoring. Flags, never drops — callers filter
+    on ``gopher_keep``.
+
+    Rules (each surfaced as its own signal column):
+    - word count in [min_words, max_words];
+    - mean word length in [min_mean_len, max_mean_len];
+    - symbol-to-word ratio ('#'/'...'/ellipsis per word) <= max_symbol_ratio;
+    - fraction of lines starting with a bullet <= max_bullet_frac and
+      ending with an ellipsis <= max_ellipsis_frac;
+    - fraction of words containing an alphabetic char >= min_alpha_frac;
+    - >= min_stop_hits DISTINCT function words from GOPHER_STOPWORDS.
+
+    Everything is built-in JVM expressions over one tokenization and one
+    line split — a single narrow projection, zero shuffles, fully
+    pushdown/codegen-friendly; at 100 TB this is a map stage. Rule
+    comparisons run on exact int/int IEEE divisions (engine-identical);
+    only the SURFACED ratios are rounded to 6 decimals, so the DuckDB
+    oracle replays every boundary bit-for-bit.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_len = F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0))
+    n_sym = F.size(F.regexp_extract_all(
+        text, F.lit(r"#|\.\.\.|…"), F.lit(0)))
+    sym_ratio = F.when(n_words > 0, n_sym / n_words).otherwise(F.lit(0.0))
+
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"^[ \t]*[-*•]")))
+    n_ellip = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"(\.\.\.|…)[ \t]*$")))
+    bullet_frac = F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0))
+    ellip_frac = F.when(n_lines > 0, n_ellip / n_lines).otherwise(F.lit(0.0))
+
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
+    stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.transform(toks, F.lower), stop))
+
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+            & (sym_ratio <= max_symbol_ratio)
+            & (bullet_frac <= max_bullet_frac)
+            & (ellip_frac <= max_ellipsis_frac)
+            & (alpha_frac >= min_alpha_frac)
+            & (stop_hits >= min_stop_hits))
+    return (df.withColumn("n_words", n_words)
+            .withColumn("mean_word_len", F.round(mean_len, 6))
+            .withColumn("symbol_ratio", F.round(sym_ratio, 6))
+            .withColumn("bullet_frac", F.round(bullet_frac, 6))
+            .withColumn("ellipsis_frac", F.round(ellip_frac, 6))
+            .withColumn("alpha_frac", F.round(alpha_frac, 6))
+            .withColumn("stop_hits", stop_hits)
+            .withColumn("gopher_keep", keep))

@@ -44,6 +44,7 @@ ADDED_SINCE_LAST_GATE = {
     "ppl_buckets",
     "ann_pq",
     "semdedup",
+    "gopher_rules",
 }
 
 

@@ -158,6 +158,33 @@ def test_embedding_near_dup(spark):
     assert pairs == {(1, 2)}
 
 
+def test_gopher_rules_one_rule_per_plant(spark):
+    """Each planted doc violates exactly one Gopher rule; the clean
+    multi-line doc passes all of them."""
+    from __spark_entry__ import _GOPHER_PLANTS
+    from osm2lanes_spark.operators.text import with_gopher_rules
+
+    df = spark.createDataFrame(_GOPHER_PLANTS, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in with_gopher_rules(df).collect()}
+    assert out[900001]["bullet_frac"] == 1.0
+    assert not out[900001]["gopher_keep"]
+    assert out[900002]["ellipsis_frac"] == 1.0
+    assert out[900002]["symbol_ratio"] <= 0.1  # '...' counted but in band
+    assert not out[900002]["gopher_keep"]
+    assert out[900003]["alpha_frac"] < 0.8
+    assert out[900003]["stop_hits"] >= 2  # fails ONLY the alpha rule
+    assert not out[900003]["gopher_keep"]
+    assert out[900004]["symbol_ratio"] > 0.1
+    assert out[900004]["alpha_frac"] >= 0.8  # fails ONLY the symbol rule
+    assert not out[900004]["gopher_keep"]
+    assert out[900005]["gopher_keep"]
+    # empty text: every rule fails closed, nothing divides by zero
+    empty = with_gopher_rules(spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string")).collect()
+    assert all(not r["gopher_keep"] and r["n_words"] == 0 for r in empty)
+
+
 def test_semantic_dedup_keep_lowest_id(spark):
     """SemDeDup prunes within a cluster only, keeps the lowest id of each
     near-dup group, and never drops rows from the relation."""
