@@ -1399,6 +1399,22 @@ def _q_sessions_scale(spark, sf_dir):
                  F.min("event_id").alias("first_event")))
 
 
+def _q_rolling_stats(spark, sf_dir):
+    """Trailing time-range window aggregates (operators/temporal.py
+    rolling_stats): for every event, the count and value-sum of the
+    user's events in the preceding hour — RANGE frame over integer
+    microseconds, one key shuffle, O(1) sliding state per row. The sum
+    runs in decimal(18,6) (exact, order-independent) and surfaces as a
+    rounded double; the DuckDB oracle replays the identical frame and
+    decimal arithmetic."""
+    from osm2lanes_spark.operators.temporal import rolling_stats
+
+    ev = _read(spark, sf_dir, "events")
+    out = rolling_stats(ev, key="user_id", ts="ts", value_col="value",
+                        window_seconds=3600)
+    return out.select("event_id", "user_id", "n_win", "sum_win")
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -1447,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _shipped(_q_embedding_neardup),
         "semdedup": _shipped(_q_semdedup),
         "gopher_rules": _shipped(_q_gopher_rules),
+        "rolling_stats": _shipped(_q_rolling_stats),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
@@ -3493,6 +3510,16 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
                    min(event_id) AS first_event
             FROM s GROUP BY user_id, session_id
+        """,
+        "rolling_stats": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_win,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                              AS DOUBLE), 6) AS sum_win
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING
+                               AND CURRENT ROW)
         """,
         "events_rollup": """
             SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,

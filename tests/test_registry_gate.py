@@ -45,6 +45,7 @@ ADDED_SINCE_LAST_GATE = {
     "ann_pq",
     "semdedup",
     "gopher_rules",
+    "rolling_stats",
 }
 
 

@@ -298,3 +298,25 @@ def test_sessionize_types(spark):
     df = spark.createDataFrame([(1, _ts(0))], "k int, ts timestamp")
     out = sessionize(df, key="k", ts="ts")
     assert dict(out.dtypes)["session_id"] == "bigint"
+
+
+def test_rolling_stats_range_frame(spark):
+    """Trailing range window: inclusive cutoff at exactly window_seconds,
+    timestamp peers aggregate together (RANGE, not ROWS)."""
+    from osm2lanes_spark.operators.temporal import rolling_stats
+
+    h1 = dt.datetime(2024, 1, 1, 1, 0, 0)  # exactly +1h from _ts(0)
+    rows = [(1, 1, _ts(0), 1.0),
+            (2, 1, _ts(30), 2.0),  # 30 min later: in 1h window of #3
+            (3, 1, h1, 4.0),       # exactly 60 min after #1: inclusive
+            (4, 1, h1, 8.0),       # peer of #3: same frame both ways
+            (5, 2, _ts(0), 16.0)]  # other key untouched
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, ts timestamp, value double")
+    out = {r["event_id"]: (r["n_win"], r["sum_win"])
+           for r in rolling_stats(df, window_seconds=3600).collect()}
+    assert out[1] == (1, 1.0)
+    assert out[2] == (2, 3.0)
+    assert out[3] == (4, 15.0)  # includes #1 (exactly -1h) and peer #4
+    assert out[4] == (4, 15.0)  # peers share the frame
+    assert out[5] == (1, 16.0)
