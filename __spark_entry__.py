@@ -1399,6 +1399,21 @@ def _q_sessions_scale(spark, sf_dir):
                  F.min("event_id").alias("first_event")))
 
 
+def _q_bm25(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (operators/profiling.py bm25_topk):
+    top-10 documents for a 4-term query — the keyword-search complement
+    of ann_topk. Per-doc scores fold term contributions in sorted term
+    order (order-independent float sum); selection is quantized-score +
+    id tie-break via TakeOrderedAndProject (never a single-partition
+    sort). The DuckDB oracle replays idf/tf/length normalization and the
+    sorted fold bit-for-bit."""
+    from osm2lanes_spark.operators.profiling import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, terms=["spark", "hash", "table", "merge"],
+                     k=10)
+
+
 def _q_rolling_stats(spark, sf_dir):
     """Trailing time-range window aggregates (operators/temporal.py
     rolling_stats): for every event, the count and value-sum of the
@@ -1464,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _shipped(_q_semdedup),
         "gopher_rules": _shipped(_q_gopher_rules),
         "rolling_stats": _shipped(_q_rolling_stats),
+        "bm25": _shipped(_q_bm25),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
@@ -3510,6 +3526,40 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
                    min(event_id) AS first_event
             FROM s GROUP BY user_id, session_id
+        """,
+        "bm25": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_split_to_array(
+                               regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'),
+                               '[ \\t\\n\\r\\f\\x0B]+'),
+                           x -> lower(x)) AS toks
+                FROM documents
+                WHERE length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) > 0),
+            docs AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
+            stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl
+                      FROM docs),
+            terms(term) AS (VALUES ('hash'), ('merge'), ('spark'), ('table')),
+            tf AS (
+                SELECT doc_id, dl, term,
+                       len(list_filter(toks, x -> x = term)) AS tf
+                FROM docs, terms),
+            tfpos AS (SELECT * FROM tf WHERE tf > 0),
+            dfreq AS (SELECT term, count(*) AS dft FROM tfpos GROUP BY term),
+            contrib AS (
+                SELECT f.doc_id, f.term,
+                       ln(1.0 + (s.n - d.dft + 0.5) / (d.dft + 0.5))
+                       * (f.tf * 2.2)
+                       / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl)) AS c
+                FROM tfpos f JOIN dfreq d USING (term), stats s),
+            score AS (
+                SELECT doc_id, list_sum(list(c ORDER BY term ASC)) AS sc
+                FROM contrib GROUP BY doc_id)
+            SELECT doc_id, round(sc, 6) AS bm25
+            FROM score
+            ORDER BY round(sc, 6) DESC, doc_id ASC
+            LIMIT 10
         """,
         "rolling_stats": """
             SELECT event_id, user_id,

@@ -408,3 +408,77 @@ def with_quantile_buckets(df: DataFrame, value_col: str,
     return (df.crossJoin(one)
             .withColumn(out, label)
             .drop(*[f"__t{i}" for i in range(len(qs))]))
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+def bm25_topk(df: DataFrame, terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Okapi BM25 top-``k`` retrieval (Robertson & Zaragoza 2009) for a
+    fixed query-term set — the lexical-search complement of the
+    embedding ANN operators. Returns ``(id_col, bm25)``, the ``k``
+    best-scoring documents.
+
+    idf = ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) (the standard
+    non-negative formulation); per-term contribution
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Scale shape: ONE column-pruned scan tokenizes each doc (hoisted into
+    a materialized column — HOF lambdas touch only their element args,
+    the interpreted-eval re-evaluation trap); the query terms explode
+    against it (|terms| rows per doc, zero-tf rows dropped immediately);
+    df_t is a map-side-combined count on at most |terms| keys joined
+    back as a broadcast; N/avgdl ride a broadcast 1-row aggregate. The
+    per-doc score folds term contributions in SORTED term order
+    (array_sort -> aggregate), so the float sum is order-independent —
+    partial-aggregation order can never perturb it (the dsir
+    float-boundary discipline applied to SUM). Final selection is
+    orderBy(quantized score, id).limit(k) — Spark plans
+    TakeOrderedAndProject, a per-partition top-k + driver merge of k*P
+    rows, never a single-partition global sort.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    text = F.col(text_col)
+    base = (df.select(F.col(id_col),
+                      F.transform(tokens(text), F.lower).alias("_toks"))
+            .withColumn("_dl", F.size(F.col("_toks")))
+            .where(F.col("_dl") > 0))
+    stats = F.broadcast(base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl")))
+
+    term_lits = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    tf_rows = (base.select(
+        F.col(id_col), "_dl",
+        F.explode(term_lits).alias("_term"), F.col("_toks"))
+        .withColumn("_tf", F.size(F.filter(
+            F.col("_toks"), lambda x: x == F.col("_term"))))
+        .where(F.col("_tf") > 0)
+        .drop("_toks"))
+    dfreq = tf_rows.groupBy("_term").agg(F.count(F.lit(1)).alias("_dft"))
+
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_dft") + F.lit(0.5))
+                / (F.col("_dft") + F.lit(0.5)))
+    denom = (F.col("_tf") + F.lit(k1)
+             * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")))
+    contrib = idf * (F.col("_tf") * F.lit(k1 + 1.0)) / denom
+    scored = (tf_rows.join(F.broadcast(dfreq), "_term")
+              .crossJoin(stats)
+              .withColumn("_c", contrib))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.aggregate(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("_term"), F.col("_c")))),
+                   F.lit(0.0), lambda acc, x: acc + x["_c"])
+                   .alias("_score")))
+    return (per_doc
+            .withColumn("bm25", F.round(F.col("_score"), 6))
+            .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, "bm25"))

@@ -46,6 +46,7 @@ ADDED_SINCE_LAST_GATE = {
     "semdedup",
     "gopher_rules",
     "rolling_stats",
+    "bm25",
 }
 
 

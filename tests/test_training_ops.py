@@ -158,6 +158,29 @@ def test_embedding_near_dup(spark):
     assert pairs == {(1, 2)}
 
 
+def test_bm25_ranking_semantics(spark):
+    """BM25: rarer terms outweigh common ones, length normalization
+    penalizes long docs at equal tf, k bounds the output."""
+    from osm2lanes_spark.operators.profiling import bm25_topk
+
+    rows = [
+        (1, "rare common filler filler"),          # rare + common, short
+        (2, "rare common " + "filler " * 20),      # same tf, much longer
+        (3, "common common filler filler"),        # common only
+        (4, "filler filler filler filler"),        # no query terms
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, terms=["rare", "common"], k=10)
+    got = {r["doc_id"]: r["bm25"] for r in out.collect()}
+    assert 4 not in got              # zero-tf docs never score
+    assert got[1] > got[2]           # length normalization
+    assert got[1] > got[3]           # idf: rare term beats repeated common
+    assert len(bm25_topk(df, terms=["rare", "common"], k=1).collect()) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_topk(df, terms=[], k=5)
+
+
 def test_gopher_rules_one_rule_per_plant(spark):
     """Each planted doc violates exactly one Gopher rule; the clean
     multi-line doc passes all of them."""
