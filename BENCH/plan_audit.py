@@ -19,6 +19,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 NOTES = {
+    "semdedup": """\
+SemDeDup cluster-then-prune: centroid assignment is a BroadcastNested-
+LoopJoin of the corpus against k centroids (k tiny by construction —
+never corpus x corpus; no CartesianProduct in the plan) with a per-id
+argmax window; the prune self-joins on the CLUSTER id only, so the
+only O(corpus) shuffles key on cluster/id. Intra-cluster pair cost is
+O(sum c_i^2) — bounded by raising k, the knob the paper itself turns;
+a hot cluster is an AQE skew-join split, not a serialized window.""",
+    "gopher_rules": """\
+Gopher rule filter: one zero-shuffle codegen map stage over a single
+column-pruned scan — tokenization, line split, and all six rule
+signals fuse into the scan's narrow stage. At 100 TB this is the
+cheapest possible shape: cost = one pass over the text column.""",
+    "rolling_stats": """\
+Trailing range-window aggregates: exactly ONE hash exchange on the key
+feeds a per-key sort with an O(1)-per-row sliding RANGE frame — no
+self-join, no explode, no single-partition stage. The decimal(18,6)
+sum makes the result independent of partial-aggregation order.""",
+    "bm25": """\
+BM25 retrieval: one column-pruned scan tokenizes each doc (the token
+array is materialized BEFORE the per-term lambda — the interpreted-HOF
+re-evaluation trap); zero-tf rows drop inside the scan stage; df_t and
+N/avgdl ride BroadcastExchanges (at most |terms| + 1 rows); the only
+O(matches) shuffle is the per-doc score fold, partial-combined
+map-side; selection is TakeOrderedAndProject — per-partition top-k +
+driver merge of k*P rows, never a global sort.""",
     "ann_pq": """\
 PQ asymmetric-distance search: the encode argmin is ONE map-side-
 combined groupBy(id) with an m-column when-pivot of min-structs over
@@ -360,7 +386,8 @@ def main() -> None:
                  "duplicate_spans", "strip_spans", "classifier_score",
                  "classifier_score_trained", "budget_selection",
                  "domain_cap", "unigram_ppl", "dsir_select",
-                 "ppl_buckets", "ann_pq"):
+                 "ppl_buckets", "ann_pq",
+                 "semdedup", "gopher_rules", "rolling_stats", "bm25"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -235,7 +235,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
         # chunk_pack_chain, asof_bucketed, sessions_scale, line_dedup,
         # token_quantiles_global, duplicate_spans, classifier_score,
         # budget_selection, kmeans_centroids, unigram_ppl, dsir_select,
-        # ppl_buckets and ann_pq joined in r06 —
+        # ppl_buckets and ann_pq joined in r06; semdedup, gopher_rules,
+        # rolling_stats and bm25 joined late-r06 —
         # cross-round comparisons of the summed "value" should exclude
         # them (or compare per-query)
         aux_names = ("pricing_summary", "region_revenue", "event_ranks",
@@ -248,7 +249,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "duplicate_spans", "classifier_score",
                      "budget_selection", "kmeans_centroids",
                      "unigram_ppl", "dsir_select",
-                     "ppl_buckets", "ann_pq")
+                     "ppl_buckets", "ann_pq",
+                     "semdedup", "gopher_rules", "rolling_stats", "bm25")
 
         def run_one(name):
             t0 = time.perf_counter()

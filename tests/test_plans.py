@@ -276,3 +276,46 @@ def test_packed_texts_plan_partial_collect(spark, sf_dir):
     # final agg sits above (before, in tree-string order) the partial
     assert pos_final < pos_partial, plan
     assert "Exchange hashpartitioning(source" in plan, plan
+
+
+def test_gopher_rules_plan_pure_narrow(spark, sf_dir):
+    """The Gopher rule filter is one zero-shuffle JVM map stage."""
+    q = E.queries()["gopher_rules"]
+    plan = _plan(q(spark, sf_dir))
+    assert "Exchange" not in plan.split("Union")[0], plan  # doc branch
+    for py_marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_marker not in plan
+
+
+def test_bm25_plan_takeordered_no_global_sort(spark, sf_dir):
+    """BM25 top-k selects via TakeOrderedAndProject (per-partition top-k
+    + driver merge), never a single-partition global Sort; the tiny
+    dfreq/stats relations ride broadcasts."""
+    q = E.queries()["bm25"]
+    plan = _plan(q(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # no global sort of the corpus (the only SinglePartition exchange is
+    # the 1-row N/avgdl scalar aggregate, partial-combined map-side)
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert plan.count("BroadcastExchange") >= 2, plan  # dfreq + N/avgdl
+
+
+def test_rolling_stats_plan_single_key_shuffle(spark, sf_dir):
+    """The trailing range window costs exactly one hash exchange on the
+    key — no self-join, no single-partition stage."""
+    q = E.queries()["rolling_stats"]
+    plan = _plan(q(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_semdedup_plan_broadcast_centroids_one_cluster_shuffle(spark, sf_dir):
+    """SemDeDup: centroid assignment is a broadcast nested loop (k tiny);
+    the only hash shuffles key on the cluster id / the window id — never
+    a cartesian product of the corpus with itself."""
+    q = E.queries()["semdedup"]
+    plan = _plan(q(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan   # corpus x k centroids
+    assert "CartesianProduct" not in plan, plan      # never corpus x corpus
