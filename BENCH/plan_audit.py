@@ -45,6 +45,16 @@ N/avgdl ride BroadcastExchanges (at most |terms| + 1 rows); the only
 O(matches) shuffle is the per-doc score fold, partial-combined
 map-side; selection is TakeOrderedAndProject — per-partition top-k +
 driver merge of k*P rows, never a global sort.""",
+    "funnel": """\
+Conversion funnel: greedy earliest-chain = k-1 conditional-aggregation
+groupBys on the key (each partial-combined map-side) chained by hash
+joins — never a per-key sorted window or a collected event array, so a
+hot key combines like any groupBy. Depth is pure codegen CASE logic.""",
+    "retention": """\
+Retention triangle: (key, bucket)-distinct collapses each key's events
+map-side, first-seen is a min groupBy on the same shuffle key (reused
+partitioning), the triangle is one count on (cohort, offset). No
+windows, no per-key ordering, no single-partition stage.""",
     "ann_pq": """\
 PQ asymmetric-distance search: the encode argmin is ONE map-side-
 combined groupBy(id) with an m-column when-pivot of min-structs over
@@ -387,7 +397,8 @@ def main() -> None:
                  "classifier_score_trained", "budget_selection",
                  "domain_cap", "unigram_ppl", "dsir_select",
                  "ppl_buckets", "ann_pq",
-                 "semdedup", "gopher_rules", "rolling_stats", "bm25"):
+                 "semdedup", "gopher_rules", "rolling_stats", "bm25",
+                 "funnel", "retention"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -1430,6 +1430,34 @@ def _q_rolling_stats(spark, sf_dir):
     return out.select("event_id", "user_id", "n_win", "sum_win")
 
 
+def _q_funnel(spark, sf_dir):
+    """Ordered-step conversion funnel (operators/temporal.py
+    window_funnel): view → click → purchase within 1 day of the first
+    view, greedy earliest-chain semantics (minima only — deterministic
+    and SQL-replayable, unlike sliding-restart funnels). k-1 tiny
+    conditional-aggregation shuffles on the key, no per-key window or
+    collected array. The DuckDB oracle replays the chain with one CTE
+    per step."""
+    from osm2lanes_spark.operators.temporal import window_funnel
+
+    ev = _read(spark, sf_dir, "events")
+    return window_funnel(ev, steps=["view", "click", "purchase"],
+                         horizon_seconds=86400)
+
+
+def _q_retention(spark, sf_dir):
+    """Cohort retention triangle (operators/temporal.py
+    retention_cohorts): weekly cohorts by first-seen bucket, distinct
+    active keys per (cohort, offset). Epoch-aligned integer bucket
+    arithmetic; two map-side-combined shuffles + one key join."""
+    from osm2lanes_spark.operators.temporal import retention_cohorts
+
+    ev = _read(spark, sf_dir, "events")
+    out = retention_cohorts(ev, bucket_seconds=7 * 86400)
+    return out.select("cohort", F.col("offset").alias("week_offset"),
+                      "n_active")
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -1480,6 +1508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _shipped(_q_gopher_rules),
         "rolling_stats": _shipped(_q_rolling_stats),
         "bm25": _shipped(_q_bm25),
+        "funnel": _shipped(_q_funnel),
+        "retention": _shipped(_q_retention),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
@@ -3526,6 +3556,51 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
                    min(event_id) AS first_event
             FROM s GROUP BY user_id, session_id
+        """,
+        "funnel": """
+            WITH ev AS (
+                SELECT user_id, event_type AS t, epoch_us(ts) AS us
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')),
+            s1 AS (SELECT user_id, min(us) AS ts1 FROM ev
+                   WHERE t = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.us) AS ts2
+                   FROM ev e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.t = 'click' AND e.us >= s1.ts1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.us) AS ts3
+                   FROM ev e JOIN s1 ON e.user_id = s1.user_id
+                   LEFT JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.t = 'purchase'
+                     AND e.us >= coalesce(s2.ts2, s1.ts1)
+                   GROUP BY e.user_id),
+            keys AS (SELECT DISTINCT user_id FROM events)
+            SELECT k.user_id,
+                   CAST(CASE
+                        WHEN s1.ts1 IS NULL THEN 0
+                        WHEN s2.ts2 IS NULL
+                             OR s2.ts2 > s1.ts1 + 86400000000 THEN 1
+                        WHEN s3.ts3 IS NULL
+                             OR s3.ts3 > s1.ts1 + 86400000000 THEN 2
+                        ELSE 3 END AS INTEGER) AS funnel_depth,
+                   s1.ts1 AS t_first
+            FROM keys k
+            LEFT JOIN s1 ON k.user_id = s1.user_id
+            LEFT JOIN s2 ON k.user_id = s2.user_id
+            LEFT JOIN s3 ON k.user_id = s3.user_id
+        """,
+        "retention": """
+            WITH act AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT)
+                           AS b
+                FROM events),
+            first_seen AS (
+                SELECT user_id, min(b) AS cohort FROM act GROUP BY user_id)
+            SELECT f.cohort, a.b - f.cohort AS week_offset,
+                   count(*) AS n_active
+            FROM act a JOIN first_seen f ON a.user_id = f.user_id
+            GROUP BY f.cohort, a.b - f.cohort
         """,
         "bm25": """
             WITH base AS (

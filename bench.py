@@ -250,7 +250,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "budget_selection", "kmeans_centroids",
                      "unigram_ppl", "dsir_select",
                      "ppl_buckets", "ann_pq",
-                     "semdedup", "gopher_rules", "rolling_stats", "bm25")
+                     "semdedup", "gopher_rules", "rolling_stats", "bm25",
+                     "funnel", "retention")
 
         def run_one(name):
             t0 = time.perf_counter()

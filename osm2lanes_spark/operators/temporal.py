@@ -519,3 +519,87 @@ def rolling_stats(df: DataFrame, key: str = "user_id", ts: str = "ts",
     return (df.withColumn("n_win", F.count(F.lit(1)).over(w))
             .withColumn("sum_win",
                         F.round(F.sum(dec).over(w).cast("double"), 6)))
+
+
+# ---------------------------------------------------------------------------
+# Ordered-step conversion funnel
+# ---------------------------------------------------------------------------
+
+def window_funnel(df: DataFrame, steps: list[str], key: str = "user_id",
+                  ts: str = "ts", type_col: str = "event_type",
+                  horizon_seconds: int | None = None) -> DataFrame:
+    """Conversion-funnel depth per key: how far each key progresses
+    through ``steps`` in order, under GREEDY EARLIEST-CHAIN semantics —
+    t1 = the key's earliest step-1 event; t_{i+1} = the earliest
+    step-(i+1) event at or after t_i; the chain counts while every
+    matched step lies within ``horizon_seconds`` of t1 (None = no
+    horizon). Deterministic by construction (minima only — no
+    ClickHouse-style sliding restarts, which are order-dependent and not
+    SQL-replayable). Returns ``(key, funnel_depth, t_first)`` with depth
+    0 for keys that never reach step 1 but appear in the input.
+
+    Scale shape: one conditional-aggregation groupBy per step over a
+    filtered column-pruned pass — k tiny shuffles on the key (k = number
+    of steps, a constant), never a per-key sorted window or a collected
+    event array, so a hot key partial-aggregates map-side like any
+    groupBy. Timestamps compare as integer microseconds.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    us = _micros(F.col(ts))
+    ev = (df.where(F.col(type_col).isin(list(steps)))
+          .select(F.col(key), F.col(type_col).alias("_t"), us.alias("_us")))
+    # earliest step-1 per key
+    cur = (ev.where(F.col("_t") == steps[0])
+           .groupBy(key).agg(F.min("_us").alias("_ts1"))
+           .withColumn("_prev", F.col("_ts1")))
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (ev.where(F.col("_t") == step)
+               .join(cur.select(key, "_ts1", "_prev"), key)
+               .where(F.col("_us") >= F.col("_prev"))
+               .groupBy(key).agg(F.min("_us").alias("_nxt")))
+        cur = (cur.join(nxt, key, "left")
+               .withColumn(f"_ts{i}", F.col("_nxt")).drop("_nxt")
+               .withColumn("_prev", F.coalesce(F.col(f"_ts{i}"),
+                                               F.col("_prev"))))
+    depth = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        hit = F.col(f"_ts{i}").isNotNull()
+        if horizon_seconds is not None and i > 1:
+            hit = hit & (F.col(f"_ts{i}")
+                         <= F.col("_ts1") + horizon_seconds * 1_000_000)
+        # depth = longest PREFIX of in-horizon hits
+        depth = F.when(hit & (depth >= i - 1), F.lit(i)).otherwise(depth)
+    keys = df.select(key).distinct()
+    return (keys.join(cur, key, "left")
+            .withColumn("funnel_depth", depth.cast("int"))
+            .withColumn("t_first", F.col("_ts1"))
+            .select(key, "funnel_depth", "t_first"))
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts
+# ---------------------------------------------------------------------------
+
+def retention_cohorts(df: DataFrame, key: str = "user_id", ts: str = "ts",
+                      bucket_seconds: int = 7 * 86400) -> DataFrame:
+    """Cohort retention triangle: assign every key to the time bucket of
+    its FIRST event (the cohort), then count distinct keys active at
+    each bucket offset — ``(cohort, offset, n_active)`` where offset 0
+    is the cohort bucket itself. Buckets are
+    ``floor(epoch_us / (bucket_seconds * 1e6))`` — fixed epoch-aligned
+    integer arithmetic, bit-identical in any engine.
+
+    Scale shape: first-seen is one map-side-combined min groupBy on the
+    key; it joins back onto the (key, bucket)-distinct activity relation
+    by key (hash join — both sides already shuffled on the key, and the
+    distinct collapses each key's events map-side first); the triangle
+    is a count on (cohort, offset). No windows, no per-key ordering.
+    """
+    us = _micros(F.col(ts))
+    bucket = F.floor(us / F.lit(bucket_seconds * 1_000_000)).cast("long")
+    act = df.select(F.col(key), bucket.alias("_b")).distinct()
+    first = act.groupBy(key).agg(F.min("_b").alias("cohort"))
+    return (act.join(first, key)
+            .groupBy("cohort", (F.col("_b") - F.col("cohort")).alias("offset"))
+            .agg(F.count(F.lit(1)).alias("n_active")))

@@ -319,3 +319,21 @@ def test_semdedup_plan_broadcast_centroids_one_cluster_shuffle(spark, sf_dir):
     plan = _plan(q(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan   # corpus x k centroids
     assert "CartesianProduct" not in plan, plan      # never corpus x corpus
+
+
+def test_funnel_plan_no_window_no_cartesian(spark, sf_dir):
+    """The funnel is k-1 conditional-aggregation joins on the key — no
+    per-key sorted window, no cartesian blowup."""
+    plan = _plan(E.queries()["funnel"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_retention_plan_two_aggs_one_join(spark, sf_dir):
+    """Retention: distinct + min groupBy + count — all partial-combined;
+    no window, no single-partition stage."""
+    plan = _plan(E.queries()["retention"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan or "partial_min" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan

@@ -47,6 +47,8 @@ ADDED_SINCE_LAST_GATE = {
     "gopher_rules",
     "rolling_stats",
     "bm25",
+    "funnel",
+    "retention",
 }
 
 

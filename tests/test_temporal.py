@@ -320,3 +320,51 @@ def test_rolling_stats_range_frame(spark):
     assert out[3] == (4, 15.0)  # includes #1 (exactly -1h) and peer #4
     assert out[4] == (4, 15.0)  # peers share the frame
     assert out[5] == (1, 16.0)
+
+
+def test_window_funnel_semantics(spark):
+    """Greedy earliest-chain: order matters, horizon cuts, the depth is
+    the longest in-horizon PREFIX, keys without step 1 report 0."""
+    from osm2lanes_spark.operators.temporal import window_funnel
+
+    rows = [
+        # u1: full chain within horizon
+        (1, "view", _ts(0)), (1, "click", _ts(1)), (1, "purchase", _ts(2)),
+        # u2: click BEFORE view never matches -> depth 1
+        (2, "click", _ts(0)), (2, "view", _ts(1)),
+        # u3: purchase outside the 600s horizon -> depth 2
+        (3, "view", _ts(0)), (3, "click", _ts(0, 30)),
+        (3, "purchase", _ts(20)),
+        # u4: purchase without click -> depth 1 (prefix rule)
+        (4, "view", _ts(0)), (4, "purchase", _ts(1)),
+        # u5: only unrelated events -> depth 0, null t_first
+        (5, "error", _ts(0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts timestamp")
+    out = {r["user_id"]: (r["funnel_depth"], r["t_first"] is not None)
+           for r in window_funnel(df, ["view", "click", "purchase"],
+                                  horizon_seconds=600).collect()}
+    assert out == {1: (3, True), 2: (1, True), 3: (2, True),
+                   4: (1, True), 5: (0, False)}
+    with pytest.raises(ValueError):
+        window_funnel(df, [])
+
+
+def test_retention_cohorts_triangle(spark):
+    from osm2lanes_spark.operators.temporal import retention_cohorts
+
+    day = 86400
+    base = dt.datetime(2024, 1, 4)  # bucket boundaries are epoch-aligned
+    rows = [(1, base), (1, base + dt.timedelta(days=7)),   # wk0 + wk1
+            (1, base + dt.timedelta(days=7)),              # same wk: once
+            (2, base),                                     # wk0 only
+            (3, base + dt.timedelta(days=7))]              # later cohort
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {(r["cohort"], r["offset"]): r["n_active"]
+           for r in retention_cohorts(df, bucket_seconds=7 * day).collect()}
+    cohorts = sorted({c for c, _ in out})
+    c0, c1 = cohorts[0], cohorts[-1]
+    assert out[(c0, 0)] == 2          # u1, u2 in week 0
+    assert out[(c0, 1)] == 1          # only u1 returns
+    assert out[(c1, 0)] == 1          # u3's own cohort
