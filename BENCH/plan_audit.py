@@ -45,6 +45,13 @@ N/avgdl ride BroadcastExchanges (at most |terms| + 1 rows); the only
 O(matches) shuffle is the per-doc score fold, partial-combined
 map-side; selection is TakeOrderedAndProject — per-partition top-k +
 driver merge of k*P rows, never a global sort.""",
+    "bloom_contamination": """\
+Bloom decontamination (the huge-reference scale path): the reference
+compresses to an m-bit filter via ONE map-side-combined bit_or groupBy
+(table size m/63 rows — independent of reference size); corpus grams
+probe k BroadcastHashJoins with pure bitwise codegen membership tests
+and one partial-combined groupBy on the id finishes. The corpus never
+shuffles by gram; the reference's grams never travel.""",
     "funnel": """\
 Conversion funnel: greedy earliest-chain = k-1 conditional-aggregation
 groupBys on the key (each partial-combined map-side) chained by hash
@@ -398,7 +405,7 @@ def main() -> None:
                  "domain_cap", "unigram_ppl", "dsir_select",
                  "ppl_buckets", "ann_pq",
                  "semdedup", "gopher_rules", "rolling_stats", "bm25",
-                 "funnel", "retention"):
+                 "funnel", "retention", "bloom_contamination"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

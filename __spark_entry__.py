@@ -1430,6 +1430,25 @@ def _q_rolling_stats(spark, sf_dir):
     return out.select("event_id", "user_id", "n_win", "sum_win")
 
 
+def _q_bloom_contamination(spark, sf_dir):
+    """Bloom-filter decontamination (operators/profiling.py bloom_build
+    + bloom_contamination): the scale path when the eval/reference set
+    is too large to broadcast as gram strings — the reference compresses
+    to a 2^20-bit filter (~16k 63-bit words) built by one bit_or
+    groupBy; corpus grams probe k=3 broadcast word joins with pure
+    bitwise codegen tests. No false negatives by construction (verified
+    against ngram_overlap in tests); the DuckDB oracle replays the md5
+    position chain, the bit_or build and the k-probe AND bit-for-bit."""
+    from osm2lanes_spark.operators.profiling import (bloom_build,
+                                                     bloom_contamination)
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    ref = docs.where(F.col("doc_id") % 97 == 0)
+    bloom = bloom_build(ref, n=3, m_bits=1 << 20, k=3)
+    return bloom_contamination(corpus, bloom, n=3, m_bits=1 << 20, k=3)
+
+
 def _q_funnel(spark, sf_dir):
     """Ordered-step conversion funnel (operators/temporal.py
     window_funnel): view → click → purchase within 1 day of the first
@@ -1509,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": _shipped(_q_rolling_stats),
         "bm25": _shipped(_q_bm25),
         "funnel": _shipped(_q_funnel),
+        "bloom_contamination": _shipped(_q_bloom_contamination),
         "retention": _shipped(_q_retention),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
@@ -1759,6 +1779,84 @@ def _gopher_oracle() -> str:
                 AND sym_ratio <= 0.1 AND bullet_f <= 0.9 AND ellip_f <= 0.3
                 AND alpha_f >= 0.8 AND stop_hits >= 2) AS gopher_keep
         FROM m
+    """
+
+
+def _bloom_oracle(n_bits: int = 1 << 20, k: int = 3) -> str:
+    """operators/profiling.py bloom_build + bloom_contamination replayed
+    end-to-end: the reference slice's distinct 3-grams hash into an
+    m-bit/63-bit-word Bloom table (md5 'bf:<seed>:<j>:' chain — the
+    token_bucket hex arithmetic), every corpus gram probes all k words,
+    a gram is flagged iff every masked bit is set."""
+    ws = r"[ \t\n\r\f\x0B]"
+
+    def h32(j: int, gcol: str) -> str:
+        return _md5_hex32_sql(f"md5('bf:0:{j}:' || {gcol})")
+
+    build_pos = "\n            UNION ALL\n".join(
+        f"            SELECT ({h32(j, 'gram')}) % {n_bits} AS pos FROM ref"
+        for j in range(k))
+    probe_cols = ",\n                   ".join(
+        f"({h32(j, 'gram')}) % {n_bits} AS p{j}" for j in range(k))
+    probe_joins = "\n            ".join(
+        f"LEFT JOIN bloom b{j} ON CAST((pr.p{j} - pr.p{j} % 63) / 63 "
+        f"AS BIGINT) = b{j}.word" for j in range(k))
+    hit = " AND ".join(
+        f"(b{j}.bits IS NOT NULL AND (b{j}.bits "
+        f"& CAST(power(2, pr.p{j} % 63) AS BIGINT)) "
+        f"= CAST(power(2, pr.p{j} % 63) AS BIGINT))" for j in range(k))
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN length(regexp_replace(text, '^{ws}+|{ws}+$', '', 'g')) = 0
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(
+                            regexp_split_to_array(regexp_replace(text, '^{ws}+|{ws}+$', '', 'g'), '{ws}+'),
+                            x -> lower(x))
+                   END AS toks
+            FROM documents),
+        g3 AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_distinct(list_transform(
+                            range(1, len(toks) - 1),
+                            i -> array_to_string(toks[i:i+2], ' ')))
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM t),
+        ref AS (
+            SELECT DISTINCT unnest(grams) AS gram
+            FROM g3 WHERE doc_id % 97 = 0),
+        positions AS (
+{build_pos}),
+        bloom AS (
+            SELECT CAST((pos - pos % 63) / 63 AS BIGINT) AS word,
+                   bit_or(CAST(power(2, pos % 63) AS BIGINT)) AS bits
+            FROM positions GROUP BY 1),
+        corpus AS (
+            SELECT doc_id, unnest(grams) AS gram
+            FROM g3 WHERE doc_id % 97 <> 0),
+        pr AS (
+            SELECT doc_id, gram,
+                   {probe_cols}
+            FROM corpus),
+        fl AS (
+            SELECT pr.doc_id,
+                   ({hit}) AS hit
+            FROM pr
+            {probe_joins}),
+        stats AS (
+            SELECT doc_id, count(*) AS n_ngrams,
+                   CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_flagged
+            FROM fl GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_ngrams, 0) AS n_ngrams,
+               coalesce(s.n_flagged, 0) AS n_flagged,
+               CASE WHEN coalesce(s.n_ngrams, 0) > 0
+                    THEN round(s.n_flagged * 1.0 / s.n_ngrams, 6)
+               END AS flag_ratio
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        LEFT JOIN stats s ON d.doc_id = s.doc_id
     """
 
 
@@ -3658,6 +3756,7 @@ def oracle_sql() -> dict[str, str]:
     out["s2_binning"] = _s2_oracle(level=12)
     out["langid"] = _langid_oracle()
     out["gopher_rules"] = _gopher_oracle()
+    out["bloom_contamination"] = _bloom_oracle()
     out["curation_pipeline"] = _curation_oracle()
     out["locale_spatial"] = _locale_spatial_oracle()
     out["media_refs"] = _media_refs_oracle()

@@ -251,7 +251,7 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "unigram_ppl", "dsir_select",
                      "ppl_buckets", "ann_pq",
                      "semdedup", "gopher_rules", "rolling_stats", "bm25",
-                     "funnel", "retention")
+                     "funnel", "retention", "bloom_contamination")
 
         def run_one(name):
             t0 = time.perf_counter()

@@ -482,3 +482,116 @@ def bm25_topk(df: DataFrame, terms: list[str], k: int = 10,
             .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
             .limit(k)
             .select(id_col, "bm25"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the huge-reference scale path)
+# ---------------------------------------------------------------------------
+
+def _bloom_hex32(s: Column) -> Column:
+    """First 8 md5 hex chars as a 32-bit integer — the token_bucket /
+    hash-uniform chain (replayable in DuckDB via strpos arithmetic)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def bloom_build(reference: DataFrame, n: int = 8, m_bits: int = 1 << 20,
+                k: int = 3, text_col: str = "text", lowercase: bool = True,
+                seed: int = 0) -> DataFrame:
+    """Build a distributed Bloom filter over the reference set's distinct
+    word n-grams: ``(word, bits)`` where word ``w`` packs filter
+    positions ``[63w, 63w+62]`` into one BIGINT (63 bits per word — the
+    sign bit stays clear, so shifts behave identically in every engine).
+
+    Position ``j`` of a gram is ``md5("bf:<seed>:<j>:" + gram) mod
+    m_bits`` — k independent deterministic hashes, bit-replayable in any
+    engine with md5 (no xxhash in the oracle engine).
+
+    Scale shape: explode per-doc-distinct grams × k positions, ONE
+    map-side-combined ``bit_or`` groupBy on the word index — the filter
+    table is at most ``m_bits/63`` rows (a 2^20-bit filter is ~16k rows
+    / ~130 KB) regardless of reference size. There is deliberately NO
+    global gram distinct: ``bit_or`` is idempotent, so duplicate grams
+    cost only a rehash, never a shuffle — the reference's grams never
+    leave their input partition, and the only Exchange in the build is
+    the ≤m_bits/63-key word shuffle after the partial combine. THIS is
+    the decontamination path when the eval/reference set is too large
+    to broadcast as gram strings: the bloom compresses any reference to
+    ``m_bits`` bits at a false-positive rate you pick via m/k.
+    """
+    grams = reference.select(
+        F.explode(F.array_distinct(ngrams(F.col(text_col), n, lowercase)))
+        .alias("__gram"))
+    js = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j")
+    pos = (_bloom_hex32(F.concat(F.lit(f"bf:{seed}:"),
+                                 F.col("__j").cast("string"),
+                                 F.lit(":"), F.col("__gram")))
+           % F.lit(m_bits))
+    return (grams.select("__gram", js)
+            .select((pos - pos % 63).cast("long").alias("__p0"),
+                    (pos % 63).cast("int").alias("__bit"))
+            .select((F.col("__p0") / 63).cast("long").alias("word"),
+                    # powers of two are exact doubles at every exponent,
+                    # so pow(2, bit) is a bit-replayable column shift
+                    # (shiftleft only takes literal counts in the API)
+                    F.pow(F.lit(2.0), F.col("__bit"))
+                    .cast("long").alias("__mask"))
+            .groupBy("word")
+            .agg(F.bit_or("__mask").alias("bits")))
+
+
+def bloom_contamination(corpus: DataFrame, bloom: DataFrame,
+                        n: int = 8, m_bits: int = 1 << 20, k: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        lowercase: bool = True, seed: int = 0,
+                        broadcast_bloom: bool = True) -> DataFrame:
+    """Probe every corpus document's distinct n-grams against a
+    ``bloom_build`` filter: ``(id, n_ngrams, n_flagged, flag_ratio)``
+    where a gram is flagged iff ALL k of its filter bits are set
+    (Bloom semantics — no false negatives; false-positive rate set by
+    m/k, ~0.1% at m=2^20/k=3 for a few thousand reference grams).
+
+    Scale shape: the corpus explodes distinct grams ONCE (explode_outer
+    — zero-gram docs ride the same pass); each of the k probes is a
+    LEFT JOIN against the (word, bits) table — broadcast by default
+    (the filter is ~m_bits/63 rows, size-independent of the reference),
+    or hash-partitioned with ``broadcast_bloom=False`` for gigabit
+    filters; the membership test is pure bitwise codegen; one
+    partial-combined groupBy on the id finishes. The corpus never
+    shuffles by gram and the reference's grams never travel — the
+    whole reference footprint is the m-bit filter.
+    """
+    from pyspark.sql.functions import broadcast
+
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(ngrams(F.col(text_col), n, lowercase)))
+        .alias("__gram"))
+    probed = doc_grams
+    hit = F.col("__gram").isNotNull()
+    for j in range(k):
+        pos = (_bloom_hex32(F.concat(F.lit(f"bf:{seed}:{j}:"),
+                                     F.col("__gram")))
+               % F.lit(m_bits))
+        mask = F.pow(F.lit(2.0), (pos % 63).cast("int")).cast("long")
+        side = bloom.select(((F.col("word"))).alias(f"__w{j}"),
+                            F.col("bits").alias(f"__b{j}"))
+        if broadcast_bloom:
+            side = broadcast(side)
+        probed = (probed
+                  .withColumn(f"__word{j}",
+                              ((pos - pos % 63) / 63).cast("long"))
+                  .withColumn(f"__mask{j}", mask)
+                  .join(side, F.col(f"__word{j}") == F.col(f"__w{j}"),
+                        "left"))
+        hit = hit & (F.col(f"__b{j}").isNotNull()
+                     & (F.col(f"__b{j}").bitwiseAND(F.col(f"__mask{j}"))
+                        == F.col(f"__mask{j}")))
+    return (probed
+            .groupBy(id_col)
+            .agg(F.count("__gram").alias("n_ngrams"),
+                 F.sum(F.when(hit, 1).otherwise(0)).alias("n_flagged"))
+            .withColumn("flag_ratio",
+                        F.when(F.col("n_ngrams") > 0,
+                               F.round(F.col("n_flagged")
+                                       / F.col("n_ngrams"), 6))))

@@ -337,3 +337,11 @@ def test_retention_plan_two_aggs_one_join(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "partial_count" in plan or "partial_min" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_bloom_contamination_plan_broadcast_probes(spark, sf_dir):
+    """The k Bloom probes are BroadcastHashJoins; the corpus never
+    shuffles by gram (no hashpartitioning on __gram)."""
+    plan = _plan(E.queries()["bloom_contamination"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "hashpartitioning(__gram" not in plan, plan

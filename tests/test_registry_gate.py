@@ -49,6 +49,7 @@ ADDED_SINCE_LAST_GATE = {
     "bm25",
     "funnel",
     "retention",
+    "bloom_contamination",
 }
 
 

@@ -158,6 +158,57 @@ def test_embedding_near_dup(spark):
     assert pairs == {(1, 2)}
 
 
+def test_bloom_contamination_no_false_negatives(spark):
+    """Bloom probe vs the exact gram join: every exact hit is flagged
+    (no false negatives — the Bloom guarantee), zero-gram docs report
+    0/0/NULL, and the hash-join path is output-identical."""
+    from osm2lanes_spark.operators.profiling import (bloom_build,
+                                                     bloom_contamination,
+                                                     ngram_overlap)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    ref = docs.where(F.col("doc_id") % 97 == 0)
+    bloom = bloom_build(ref, n=3, m_bits=1 << 20, k=3)
+    bl = bloom_contamination(corpus, bloom, n=3, m_bits=1 << 20, k=3)
+    ex = ngram_overlap(corpus, ref, n=3)
+    j = (bl.select("doc_id", "n_ngrams", "n_flagged")
+         .join(ex.select("doc_id",
+                         F.col("n_ngrams").alias("n_exact_grams"),
+                         F.col("n_contaminated").alias("exact")),
+               "doc_id")).collect()
+    assert j, "join lost rows"
+    for r in j:
+        assert r["n_ngrams"] == r["n_exact_grams"]
+        assert r["n_flagged"] >= r["exact"]  # Bloom: no false negatives
+    hashed = bloom_contamination(corpus, bloom, n=3, m_bits=1 << 20, k=3,
+                                 broadcast_bloom=False)
+    assert sorted(map(tuple, hashed.collect())) == \
+        sorted(map(tuple, bl.collect()))
+
+
+def test_bloom_membership_tiny(spark):
+    """Handcrafted filter: reference grams flag, foreign grams don't
+    (m large enough that false positives are effectively impossible)."""
+    from osm2lanes_spark.operators.profiling import (bloom_build,
+                                                     bloom_contamination)
+
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"),      # both ref 2-grams-of-3 hit
+         (11, "zeta eta theta iota kappa"),   # disjoint vocab
+         (12, "x")],                          # too short: zero grams
+        "doc_id long, text string")
+    bloom = bloom_build(ref, n=3, m_bits=1 << 20, k=3)
+    out = {r["doc_id"]: (r["n_ngrams"], r["n_flagged"])
+           for r in bloom_contamination(corpus, bloom, n=3,
+                                        m_bits=1 << 20, k=3).collect()}
+    assert out[10] == (2, 2)
+    assert out[11] == (3, 0)
+    assert out[12] == (0, 0)
+
+
 def test_bm25_ranking_semantics(spark):
     """BM25: rarer terms outweigh common ones, length normalization
     penalizes long docs at equal tf, k bounds the output."""
