@@ -52,6 +52,22 @@ compresses to an m-bit filter via ONE map-side-combined bit_or groupBy
 probe k BroadcastHashJoins with pure bitwise codegen membership tests
 and one partial-combined groupBy on the id finishes. The corpus never
 shuffles by gram; the reference's grams never travel.""",
+    "hll_users": """\
+Deterministic HyperLogLog: the register max partial-aggregates
+map-side, so the exchange carries at most 2^p rows per input
+partition no matter the row count; the estimate groupBy runs over
+≤2^p rows per group. Mergeable sketch tables make day→month rollups
+touch sketches, never raw data.""",
+    "interval_overlap": """\
+Interval overlap join: fixed-width cell decomposition turns the
+theta-join (BroadcastNestedLoop at best) into ONE equi-join on
+(user, cell) — ordinary hash shuffle both sides, AQE-skew-splittable
+— with canonical-cell dedup instead of a distinct shuffle. Cost
+scales with overlaps per cell, not pairs per key.""",
+    "order_priority": """\
+EXISTS/NOT-EXISTS chain: LeftSemi + LeftAnti hash joins on the order
+key, lineitem predicates pushed to the parquet scans, one shuffle per
+join, partial-combined count on the priority finishes.""",
     "funnel": """\
 Conversion funnel: greedy earliest-chain = k-1 conditional-aggregation
 groupBys on the key (each partial-combined map-side) chained by hash
@@ -405,7 +421,8 @@ def main() -> None:
                  "domain_cap", "unigram_ppl", "dsir_select",
                  "ppl_buckets", "ann_pq",
                  "semdedup", "gopher_rules", "rolling_stats", "bm25",
-                 "funnel", "retention", "bloom_contamination"):
+                 "funnel", "retention", "bloom_contamination",
+                 "hll_users", "interval_overlap", "order_priority"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -1477,6 +1477,70 @@ def _q_retention(spark, sf_dir):
                       "n_active")
 
 
+def _q_hll_users(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-user estimate per event type
+    (operators/sketches.py hll_distinct, Flajolet et al. 2007): md5
+    register/rank derivation so the sketch is a plain mergeable TABLE
+    any engine can replay — unlike approx_count_distinct's
+    engine-private HLL++ bytes. Shuffle is capped at 2^p rows per
+    partition by the map-side-combined register max; the DuckDB oracle
+    reproduces registers, dyadic harmonic sums and the linear-counting
+    branch bit-for-bit (the lone ln() is guarded by 3-decimal
+    rounding)."""
+    from osm2lanes_spark.operators.sketches import hll_distinct
+
+    ev = _read(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id", by=["event_type"], p=12)
+
+
+def _q_interval_overlap(spark, sf_dir):
+    """Interval overlap join (operators/temporal.py interval_join):
+    which view/click activity windows [ts, ts + value minutes] overlap
+    an error's trailing 5-minute window, per user. The scale path
+    decomposes time into 10-minute cells so the theta-join becomes an
+    equi-join on (user, cell) with canonical-cell dedup (no distinct
+    shuffle, no BroadcastNestedLoop); the DuckDB oracle is the plain
+    overlap predicate join. Microsecond integer arithmetic with
+    floor() before the long cast (Spark casts truncate, DuckDB casts
+    round — floor removes the divergence)."""
+    from osm2lanes_spark.operators.temporal import _micros, interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    us = _micros(F.col("ts"))
+    left = (ev.where(F.col("event_type").isin("view", "click"))
+            .select(F.col("event_id").alias("act_event"), "user_id",
+                    us.alias("s"),
+                    (us + F.floor(F.col("value") * 60000000.0)
+                     .cast("long")).alias("e")))
+    right = (ev.where(F.col("event_type") == "error")
+             .select(F.col("event_id").alias("err_event"), "user_id",
+                     (us - 300 * 1_000_000).alias("s"), us.alias("e")))
+    out = interval_join(left, right, "s", "e", "s", "e",
+                        by=["user_id"], bucket=600 * 1_000_000)
+    return out.select("user_id", "act_event", "err_event")
+
+
+def _q_order_priority(spark, sf_dir):
+    """Semi/anti-join chain (TPC-H Q4/Q21 shape): orders per priority
+    that have at least one returned line (LEFT SEMI) and no line with
+    a deep discount (LEFT ANTI) — the EXISTS/NOT-EXISTS pattern every
+    warehouse query mixes in. Both joins shuffle once on the order key
+    with the lineitem filters pushed to the scan; no distinct, no
+    subquery re-scan."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R")
+    deep = li.where(F.col("l_discount") > 0.08)
+    kept = (orders
+            .join(returned,
+                  orders["o_orderkey"] == returned["l_orderkey"],
+                  "left_semi")
+            .join(deep, orders["o_orderkey"] == deep["l_orderkey"],
+                  "left_anti"))
+    return (kept.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -1530,6 +1594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _shipped(_q_funnel),
         "bloom_contamination": _shipped(_q_bloom_contamination),
         "retention": _shipped(_q_retention),
+        "hll_users": _shipped(_q_hll_users),
+        "interval_overlap": _shipped(_q_interval_overlap),
+        "order_priority": _shipped(_q_order_priority),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
@@ -1857,6 +1924,96 @@ def _bloom_oracle(n_bits: int = 1 << 20, k: int = 3) -> str:
                END AS flag_ratio
         FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         LEFT JOIN stats s ON d.doc_id = s.doc_id
+    """
+
+
+def _hll_oracle(p: int = 12) -> str:
+    """operators/sketches.py hll_sketch + hll_estimate replayed: md5
+    register/rank derivation (rank by scanning the hex string — no
+    log/bit builtins), max-per-register sketch, exact dyadic harmonic
+    sum, linear-counting small-range branch. Every float literal is
+    spelled e0 so DuckDB parses doubles, not decimals — the arithmetic
+    then matches Spark's bit-for-bit (the lone ln() is rounded away)."""
+    m = 1 << p
+    reg = _md5_hex32_sql("h") + f" % {m}"
+    return f"""
+        WITH hv AS (
+            SELECT event_type,
+                   md5('hll:0:' || CAST(user_id AS VARCHAR)) AS h
+            FROM events WHERE user_id IS NOT NULL),
+        rk AS (
+            SELECT event_type,
+                   ({reg}) AS register,
+                   regexp_replace(substring(h, 9, 8), '^0*', '') AS st
+            FROM hv),
+        sk AS (
+            SELECT event_type, register,
+                   max(CASE WHEN length(st) = 0 THEN 33
+                       ELSE (8 - length(st)) * 4
+                            + CASE WHEN substring(st, 1, 1) = '1' THEN 3
+                                   WHEN substring(st, 1, 1) IN ('2','3')
+                                        THEN 2
+                                   WHEN substring(st, 1, 1)
+                                        IN ('4','5','6','7') THEN 1
+                                   ELSE 0 END + 1 END) AS rank
+            FROM rk GROUP BY event_type, register),
+        est AS (
+            SELECT event_type,
+                   count(*) AS n_registers,
+                   sum(power(2e0, -rank)) AS hsum
+            FROM sk GROUP BY event_type)
+        SELECT event_type,
+               n_registers,
+               round(CASE WHEN (0.7213e0 / (1e0 + 1.079e0 / {m})
+                                * {m} * {m})
+                               / (hsum + ({m} - n_registers))
+                               <= 2.5e0 * {m}
+                          AND CAST({m} - n_registers AS DOUBLE) > 0
+                     THEN {m} * ln({m}
+                                   / CAST({m} - n_registers AS DOUBLE))
+                     ELSE (0.7213e0 / (1e0 + 1.079e0 / {m}) * {m} * {m})
+                          / (hsum + ({m} - n_registers))
+                     END, 3) AS est_distinct
+        FROM est
+    """
+
+
+def _interval_overlap_oracle() -> str:
+    """operators/temporal.py interval_join replayed as the plain
+    closed-interval overlap predicate join (the bucketed scale path is
+    output-identical by construction — canonical-cell dedup — and
+    property-tested against brute force)."""
+    return """
+        WITH l AS (
+            SELECT * FROM (
+                SELECT event_id AS act_event, user_id,
+                       epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + CAST(floor(value * 60000000e0) AS BIGINT) AS e
+                FROM events WHERE event_type IN ('view', 'click'))
+            WHERE s IS NOT NULL AND e IS NOT NULL AND s <= e),
+        r AS (
+            SELECT event_id AS err_event, user_id,
+                   epoch_us(ts) - 300000000 AS s, epoch_us(ts) AS e
+            FROM events WHERE event_type = 'error')
+        SELECT l.user_id, l.act_event, r.err_event
+        FROM l JOIN r ON l.user_id = r.user_id
+                     AND l.s <= r.e AND r.s <= l.e
+    """
+
+
+def _order_priority_oracle() -> str:
+    """The semi/anti chain as EXISTS / NOT EXISTS."""
+    return """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+          AND NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_discount > 0.08e0)
+        GROUP BY o_orderpriority
     """
 
 
@@ -3757,6 +3914,9 @@ def oracle_sql() -> dict[str, str]:
     out["langid"] = _langid_oracle()
     out["gopher_rules"] = _gopher_oracle()
     out["bloom_contamination"] = _bloom_oracle()
+    out["hll_users"] = _hll_oracle()
+    out["interval_overlap"] = _interval_overlap_oracle()
+    out["order_priority"] = _order_priority_oracle()
     out["curation_pipeline"] = _curation_oracle()
     out["locale_spatial"] = _locale_spatial_oracle()
     out["media_refs"] = _media_refs_oracle()

@@ -251,7 +251,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "unigram_ppl", "dsir_select",
                      "ppl_buckets", "ann_pq",
                      "semdedup", "gopher_rules", "rolling_stats", "bm25",
-                     "funnel", "retention", "bloom_contamination")
+                     "funnel", "retention", "bloom_contamination",
+                     "hll_users", "interval_overlap", "order_priority")
 
         def run_one(name):
             t0 = time.perf_counter()

@@ -603,3 +603,85 @@ def retention_cohorts(df: DataFrame, key: str = "user_id", ts: str = "ts",
     return (act.join(first, key)
             .groupBy("cohort", (F.col("_b") - F.col("cohort")).alias("offset"))
             .agg(F.count(F.lit(1)).alias("n_active")))
+
+
+# ---------------------------------------------------------------------------
+# Interval (overlap) join
+# ---------------------------------------------------------------------------
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  l_start: str, l_end: str, r_start: str, r_end: str,
+                  by: list[str] | None = None,
+                  bucket: int | None = None,
+                  suffix: str = "_r") -> DataFrame:
+    """Inner join on closed-interval overlap: emit every (left, right)
+    pair with ``l_start <= r_end AND r_start <= l_end`` (plus equality
+    on the optional ``by`` keys). Start/end columns must be numeric
+    (cast timestamps to ``unix_micros`` first — integer microseconds
+    keep every comparison engine-exact); rows with NULL or inverted
+    (start > end) intervals are dropped on both sides.
+
+    Spark SQL has no interval-overlap join: the naive predicate is a
+    theta-join Catalyst executes as BroadcastNestedLoop / cartesian —
+    O(|L|·|R|) per key group. With ``bucket`` (the scale path) the time
+    axis is decomposed into fixed width-``bucket`` cells: each interval
+    explodes to the cells it covers, the join becomes an EQUI-join on
+    (by…, cell) — one ordinary hash shuffle each side, SMJ/SHJ, AQE
+    skew-splittable — and a pair overlapping several shared cells is
+    kept exactly once WITHOUT a distinct shuffle: only in its canonical
+    cell ``floor(max(l_start, r_start) / bucket)``, which both
+    intervals provably cover (max(start) ≤ min(end) for overlapping
+    pairs). Cost scales with overlaps per cell, not pairs per key:
+    pick ``bucket`` near the typical interval length so each interval
+    explodes to O(1) cells.
+
+    With ``bucket=None`` the plain conditional join is emitted
+    (correct, broadcast-viable for a small right side — the oracle
+    shape, not the 100 TB shape).
+
+    Output: all left columns, then right columns (``by`` keys emitted
+    once; right column names colliding with left ones get ``suffix``).
+    """
+    by = list(by or [])
+
+    def _clean(df, s, e):
+        return df.where(F.col(s).isNotNull() & F.col(e).isNotNull()
+                        & (F.col(s) <= F.col(e)))
+
+    lf = _clean(left, l_start, l_end)
+    rf = _clean(right, r_start, r_end)
+    rmap = {}   # output name -> source name on the right
+    for c in rf.columns:
+        if c in by:
+            continue
+        rmap[c + suffix if c in lf.columns else c] = c
+    if bucket is None:
+        la, ra = lf.alias("__l"), rf.alias("__r")
+        cond = ((F.col(f"__l.{l_start}") <= F.col(f"__r.{r_end}"))
+                & (F.col(f"__r.{r_start}") <= F.col(f"__l.{l_end}")))
+        for k in by:
+            cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+        joined = la.join(ra, cond, "inner")
+        return joined.select(
+            *[F.col(f"__l.{c}") for c in lf.columns],
+            *[F.col(f"__r.{s}").alias(o) for o, s in rmap.items()])
+
+    cell = lambda c: F.floor(F.col(c) / F.lit(bucket)).cast("long")  # noqa: E731
+    le = (lf.withColumn("__cell", F.explode(
+              F.sequence(cell(l_start), cell(l_end)))).alias("__l"))
+    re_ = (rf.withColumn("__cell", F.explode(
+              F.sequence(cell(r_start), cell(r_end)))).alias("__r"))
+    cond = F.col("__l.__cell") == F.col("__r.__cell")
+    for k in by:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    canonical = (F.floor(F.greatest(F.col(f"__l.{l_start}"),
+                                    F.col(f"__r.{r_start}"))
+                         / F.lit(bucket)).cast("long")
+                 == F.col("__l.__cell"))
+    joined = (le.join(re_, cond, "inner")
+              .where((F.col(f"__l.{l_start}") <= F.col(f"__r.{r_end}"))
+                     & (F.col(f"__r.{r_start}") <= F.col(f"__l.{l_end}"))
+                     & canonical))
+    return joined.select(
+        *[F.col(f"__l.{c}") for c in lf.columns],
+        *[F.col(f"__r.{s}").alias(o) for o, s in rmap.items()])

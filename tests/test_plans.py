@@ -345,3 +345,31 @@ def test_bloom_contamination_plan_broadcast_probes(spark, sf_dir):
     plan = _plan(E.queries()["bloom_contamination"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "hashpartitioning(__gram" not in plan, plan
+
+
+def test_hll_users_plan_mapside_combine(spark, sf_dir):
+    """The register max partial-aggregates map-side (the 2^p shuffle
+    cap) and nothing funnels through a single partition."""
+    plan = _plan(E.queries()["hll_users"](spark, sf_dir))
+    assert "partial_max" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_interval_overlap_plan_equi_join(spark, sf_dir):
+    """The bucketed decomposition turns interval overlap into an
+    EQUI-join — hash-joinable, never a nested-loop/cartesian theta
+    join."""
+    plan = _plan(E.queries()["interval_overlap"](spark, sf_dir))
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_order_priority_plan_semi_anti(spark, sf_dir):
+    """EXISTS/NOT-EXISTS compile to LeftSemi/LeftAnti hash joins with
+    the lineitem predicates pushed to the scans."""
+    plan = _plan(E.queries()["order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "EqualTo(l_returnflag,R)" in plan, plan

@@ -50,6 +50,9 @@ ADDED_SINCE_LAST_GATE = {
     "funnel",
     "retention",
     "bloom_contamination",
+    "hll_users",
+    "interval_overlap",
+    "order_priority",
 }
 
 

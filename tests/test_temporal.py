@@ -368,3 +368,54 @@ def test_retention_cohorts_triangle(spark):
     assert out[(c0, 0)] == 2          # u1, u2 in week 0
     assert out[(c0, 1)] == 1          # only u1 returns
     assert out[(c1, 0)] == 1          # u3's own cohort
+
+
+def test_interval_join_bucketed_equals_plain(spark):
+    """Property: the bucketed equi-join decomposition emits exactly the
+    plain overlap predicate's pairs — no duplicates from multi-cell
+    overlaps (canonical-cell dedup), no losses — across bucket widths
+    smaller, comparable and larger than the interval lengths."""
+    import random
+
+    from osm2lanes_spark.operators.temporal import interval_join
+
+    random.seed(11)
+    L = [(i, i % 4, s := random.randint(0, 2000), s + random.randint(0, 200))
+         for i in range(300)]
+    R = [(j + 10_000, j % 4, s := random.randint(0, 2000),
+          s + random.randint(0, 120)) for j in range(200)]
+    l = spark.createDataFrame(L, "lid long, k long, s long, e long")
+    r = spark.createDataFrame(R, "rid long, k long, s long, e long")
+    want = sorted((li, rj) for (li, lk, ls, le) in L
+                  for (rj, rk, rs, re) in R
+                  if lk == rk and ls <= re and rs <= le)
+    plain = sorted(map(tuple, interval_join(l, r, "s", "e", "s", "e",
+                                            by=["k"])
+                       .select("lid", "rid").collect()))
+    assert plain == want
+    for w in (16, 128, 4096):
+        got = sorted(map(tuple, interval_join(l, r, "s", "e", "s", "e",
+                                              by=["k"], bucket=w)
+                         .select("lid", "rid").collect()))
+        assert got == want, f"bucket={w}"
+
+
+def test_interval_join_edges(spark):
+    """Touching endpoints match (closed intervals); NULL and inverted
+    intervals are dropped; colliding right column names get the
+    suffix; no-key global join works."""
+    from osm2lanes_spark.operators.temporal import interval_join
+
+    l = spark.createDataFrame(
+        [(1, 0, 10), (2, 20, 30), (3, None, 5), (4, 9, 7)],
+        "lid long, s long, e long")
+    r = spark.createDataFrame(
+        [(7, 10, 15), (8, 31, 40), (9, 5, None)],
+        "rid long, s long, e long")
+    out = interval_join(l, r, "s", "e", "s", "e")
+    assert out.columns == ["lid", "s", "e", "rid", "s_r", "e_r"]
+    pairs = sorted((row["lid"], row["rid"]) for row in out.collect())
+    assert pairs == [(1, 7)]          # touch at 10; NULLs/inverted gone
+    buck = interval_join(l, r, "s", "e", "s", "e", bucket=4)
+    assert sorted((row["lid"], row["rid"]) for row in buck.collect()) \
+        == [(1, 7)]
