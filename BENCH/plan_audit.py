@@ -68,6 +68,16 @@ scales with overlaps per cell, not pairs per key.""",
 EXISTS/NOT-EXISTS chain: LeftSemi + LeftAnti hash joins on the order
 key, lineitem predicates pushed to the parquet scans, one shuffle per
 join, partial-combined count on the priority finishes.""",
+    "cms_tokens": """\
+Count-Min sketch: counter sums partial-aggregate map-side (shuffle
+capped at depth×width rows per partition); probe lookup broadcasts
+the ≤8k-row sketch and min-combines per probe. Integer md5 arithmetic
+only — the estimate is bit-exact in any engine.""",
+    "cust_order_dist": """\
+Q13 outer-join histogram: the priority predicate pushes to the orders
+scan, the outer join shuffles both sides once on the customer key,
+and both aggregations partial-combine map-side (the c_count histogram
+is at most |distinct counts| rows).""",
     "funnel": """\
 Conversion funnel: greedy earliest-chain = k-1 conditional-aggregation
 groupBys on the key (each partial-combined map-side) chained by hash
@@ -422,7 +432,8 @@ def main() -> None:
                  "ppl_buckets", "ann_pq",
                  "semdedup", "gopher_rules", "rolling_stats", "bm25",
                  "funnel", "retention", "bloom_contamination",
-                 "hll_users", "interval_overlap", "order_priority"):
+                 "hll_users", "interval_overlap", "order_priority",
+                 "cms_tokens", "cust_order_dist"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -1541,6 +1541,44 @@ def _q_order_priority(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_orders")))
 
 
+def _q_cms_tokens(spark, sf_dir):
+    """Count-Min frequency sketch (operators/sketches.py cms_build +
+    cms_lookup, Cormode & Muthukrishnan 2005): token frequencies for a
+    probe list read from a depth×width counter table instead of a full
+    token groupBy. Pure integer md5 arithmetic end to end — the DuckDB
+    oracle replays every counter and min bit-for-bit; the sketch
+    shuffle is capped at depth×width rows per partition and the lookup
+    broadcasts the ~8k-row sketch."""
+    from osm2lanes_spark.operators.sketches import cms_build, cms_lookup
+    from osm2lanes_spark.operators.text import tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    cms = cms_build(toks, "term", width=2048, depth=4)
+    probes = spark.createDataFrame(
+        [("spark",), ("hash",), ("table",), ("merge",), ("data",),
+         ("the",), ("quantum",), ("zzz_absent",)], "term string")
+    return cms_lookup(cms, probes, "term", width=2048, depth=4)
+
+
+def _q_cust_order_dist(spark, sf_dir):
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join with a join-side predicate, then a two-level aggregation —
+    the null-preserving outer-join histogram every warehouse runs. The
+    orders filter is pushed to the scan; both aggregations
+    partial-combine map-side."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    o = orders.where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (cust.join(o, cust["c_custkey"] == o["o_custkey"],
+                          "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -1597,6 +1635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users": _shipped(_q_hll_users),
         "interval_overlap": _shipped(_q_interval_overlap),
         "order_priority": _shipped(_q_order_priority),
+        "cms_tokens": _shipped(_q_cms_tokens),
+        "cust_order_dist": _shipped(_q_cust_order_dist),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
@@ -1975,6 +2015,58 @@ def _hll_oracle(p: int = 12) -> str:
                           / (hsum + ({m} - n_registers))
                      END, 3) AS est_distinct
         FROM est
+    """
+
+
+def _cms_oracle(width: int = 2048, depth: int = 4) -> str:
+    """operators/sketches.py cms_build + cms_lookup replayed: tokens →
+    depth md5 counter rows each → per-(row, bucket) counts → min over
+    rows per probe, 0 for empty counters. Integer arithmetic only —
+    bit-exact by construction."""
+    ws = r"[ \t\n\r\f\x0B]"
+    bucket = _md5_hex32_sql(
+        "md5('cms:0:' || CAST(j AS VARCHAR) || ':' || term)") \
+        + f" % {width}"
+    probes = ", ".join(f"('{t}')" for t in
+                       ["spark", "hash", "table", "merge", "data",
+                        "the", "quantum", "zzz_absent"])
+    return f"""
+        WITH t AS (
+            SELECT CASE WHEN length(regexp_replace(text, '^{ws}+|{ws}+$', '', 'g')) = 0
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(
+                            regexp_split_to_array(regexp_replace(text, '^{ws}+|{ws}+$', '', 'g'), '{ws}+'),
+                            x -> lower(x))
+                   END AS toks
+            FROM documents),
+        tok AS (SELECT unnest(toks) AS term FROM t),
+        cms AS (
+            SELECT j, ({bucket}) AS bucket, count(*) AS cnt
+            FROM tok, (SELECT unnest([{", ".join(str(j) for j in range(depth))}]) AS j)
+            GROUP BY 1, 2),
+        probes(term) AS (VALUES {probes}),
+        pq AS (
+            SELECT term, j, ({bucket}) AS bucket
+            FROM probes, (SELECT unnest([{", ".join(str(j) for j in range(depth))}]) AS j))
+        SELECT pq.term, min(coalesce(cms.cnt, 0)) AS est_count
+        FROM pq LEFT JOIN cms ON pq.j = cms.j AND pq.bucket = cms.bucket
+        GROUP BY pq.term
+    """
+
+
+def _cust_order_dist_oracle() -> str:
+    """TPC-H Q13 shape: outer join with join-side predicate, then the
+    order-count histogram."""
+    return """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c.c_custkey,
+                     count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT OUTER JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey)
+        GROUP BY c_count
     """
 
 
@@ -3917,6 +4009,8 @@ def oracle_sql() -> dict[str, str]:
     out["hll_users"] = _hll_oracle()
     out["interval_overlap"] = _interval_overlap_oracle()
     out["order_priority"] = _order_priority_oracle()
+    out["cms_tokens"] = _cms_oracle()
+    out["cust_order_dist"] = _cust_order_dist_oracle()
     out["curation_pipeline"] = _curation_oracle()
     out["locale_spatial"] = _locale_spatial_oracle()
     out["media_refs"] = _media_refs_oracle()

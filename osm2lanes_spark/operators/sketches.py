@@ -129,3 +129,75 @@ def hll_distinct(df: DataFrame, value_col: str,
     in the HLL regime; near-exact in the linear-counting regime."""
     return hll_estimate(hll_sketch(df, value_col, by, p, seed),
                         by, p, decimals)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+
+def cms_build(df: DataFrame, value_col: str, by: list[str] | None = None,
+              width: int = 2048, depth: int = 4,
+              seed: int = 0) -> DataFrame:
+    """Count-Min sketch [Cormode & Muthukrishnan 2005] per group:
+    ``by… , row:int, bucket:int, cnt:long`` — the frequency complement
+    of the HLL cardinality sketch and the Bloom membership filter.
+    Row ``j``'s bucket for a value is ``md5("cms:<seed>:<j>:" + value)
+    mod width`` — pure integer arithmetic end to end, so the sketch
+    (and every estimate read from it) is bit-exact in any engine.
+
+    Scale shape: explode ``depth`` rows per input value, ONE
+    map-side-combined sum groupBy — the exchange carries at most
+    ``depth × width`` rows per input partition regardless of input
+    size, and the finished sketch is ≤ depth×width rows per group
+    (4×2048 ≈ 8k at the defaults). NULL values are ignored.
+    """
+    by = list(by or [])
+    js = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    h = F.md5(F.concat(F.lit(f"cms:{seed}:"), F.col("row").cast("string"),
+                       F.lit(":"), F.col(value_col).cast("string")))
+    return (df.where(F.col(value_col).isNotNull())
+            .select(*by, F.col(value_col), js)
+            .select(*by, "row",
+                    (_hex32(h) % width).cast("int").alias("bucket"))
+            .groupBy(*by, "row", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Merge sketches built with the same (width, depth, seed):
+    union + re-sum. Counter addition is associative/commutative, so
+    shard- or day-level sketches roll up exactly."""
+    by = list(by or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*by, "row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(cms: DataFrame, probes: DataFrame, value_col: str,
+               by: list[str] | None = None, width: int = 2048,
+               depth: int = 4, seed: int = 0) -> DataFrame:
+    """Point-query a ``cms_build`` sketch for each probe value:
+    ``by… , value_col, est_count`` where ``est_count = min over rows``
+    of the value's counter (0 when a counter row is absent). The CMS
+    guarantee: ``est_count ≥ true count`` always, with overshoot
+    bounded by e·N/width at probability 1−e^−depth.
+
+    Scale shape: the sketch is ≤ depth×width rows — broadcast to the
+    probes, so arbitrarily many probes are answered with zero shuffle
+    beyond their own min groupBy (map-side combined, ``depth`` rows
+    per probe)."""
+    from pyspark.sql.functions import broadcast
+
+    by = list(by or [])
+    js = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    h = F.md5(F.concat(F.lit(f"cms:{seed}:"), F.col("row").cast("string"),
+                       F.lit(":"), F.col(value_col).cast("string")))
+    pr = (probes.select(*by, F.col(value_col), js)
+          .select(*by, F.col(value_col), "row",
+                  (_hex32(h) % width).cast("int").alias("bucket")))
+    keys = by + ["row", "bucket"]
+    joined = pr.join(broadcast(cms), keys, "left")
+    return (joined.groupBy(*by, value_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est_count")))

@@ -373,3 +373,19 @@ def test_order_priority_plan_semi_anti(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "EqualTo(l_returnflag,R)" in plan, plan
+
+
+def test_cms_tokens_plan_mapside_combine_broadcast_lookup(spark, sf_dir):
+    """The counter sum partial-aggregates map-side (depth×width shuffle
+    cap); the probe lookup broadcasts the sketch."""
+    plan = _plan(E.queries()["cms_tokens"](spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cust_order_dist_plan_pushdown(spark, sf_dir):
+    """The priority filter reaches the orders scan; both aggregations
+    partial-combine."""
+    plan = _plan(E.queries()["cust_order_dist"](spark, sf_dir))
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan, plan
+    assert "partial_count" in plan, plan

@@ -53,6 +53,8 @@ ADDED_SINCE_LAST_GATE = {
     "hll_users",
     "interval_overlap",
     "order_priority",
+    "cms_tokens",
+    "cust_order_dist",
 }
 
 

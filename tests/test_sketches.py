@@ -75,3 +75,55 @@ def test_hll_rank_string_scan_edges(spark):
     assert all(1 <= r["rank"] <= 33 for r in sk)
     # p=8 with 20k values: every register is hit
     assert len(sk) == 256
+
+
+def test_cms_never_underestimates(spark):
+    """The Count-Min guarantee: est ≥ true for every key; with a wide
+    sketch over a small vocabulary the estimates are exact."""
+    from osm2lanes_spark.operators.sketches import cms_build, cms_lookup
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 97).cast("string").alias("v"))
+    exact = {r["v"]: r["n"] for r in
+             df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    cms = cms_build(df, "v", width=2048, depth=4)
+    probes = df.select("v").distinct()
+    got = {r["v"]: r["est_count"] for r in
+           cms_lookup(cms, probes, "v", width=2048, depth=4).collect()}
+    assert set(got) == set(exact)
+    assert all(got[k] >= exact[k] for k in exact)
+    # 97 keys in 2048 buckets × 4 rows: collisions in every row are
+    # vanishingly unlikely — exact recovery
+    assert got == exact
+
+
+def test_cms_narrow_overestimates_only(spark):
+    """Force collisions (width 16): estimates still never drop below
+    truth, and absent keys read the colliding mass, never negative."""
+    from osm2lanes_spark.operators.sketches import cms_build, cms_lookup
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 300).cast("string").alias("v"))
+    cms = cms_build(df, "v", width=16, depth=3)
+    probes = spark.createDataFrame(
+        [("0",), ("1",), ("totally_absent",)], "v string")
+    got = {r["v"]: r["est_count"] for r in
+           cms_lookup(cms, probes, "v", width=16, depth=3).collect()}
+    assert got["0"] >= 17 and got["1"] >= 17     # ceil(5000/300)
+    assert got["totally_absent"] >= 0
+
+
+def test_cms_merge_exact(spark):
+    """cms(A) ⊕ cms(B) equals cms(A∪B) counter-for-counter (sum
+    semantics), so shard-level sketches roll up exactly."""
+    from osm2lanes_spark.operators.sketches import cms_build, cms_merge
+
+    df = spark.range(4_000).select(
+        (F.col("id") % 50).cast("string").alias("v"),
+        (F.col("id") % 2).alias("half"))
+    a = cms_build(df.where("half = 0"), "v")
+    b = cms_build(df.where("half = 1"), "v")
+    merged = cms_merge(a, b)
+    whole = cms_build(df, "v")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
