@@ -78,6 +78,12 @@ Q13 outer-join histogram: the priority predicate pushes to the orders
 scan, the outer join shuffles both sides once on the customer key,
 and both aggregations partial-combine map-side (the c_count histogram
 is at most |distinct counts| rows).""",
+    "weighted_docs": """\
+Gumbel-top-k weighted sampling: keys are a narrow projection over the
+scan; the k-th-key threshold is TakeOrderedAndProject (per-task top-k,
+driver merge of k·tasks rows) aggregated to ONE row and broadcast —
+no global sort, no single-partition window; the flag join is a
+broadcast nested-scalar crossJoin of one row.""",
     "funnel": """\
 Conversion funnel: greedy earliest-chain = k-1 conditional-aggregation
 groupBys on the key (each partial-combined map-side) chained by hash
@@ -433,7 +439,7 @@ def main() -> None:
                  "semdedup", "gopher_rules", "rolling_stats", "bm25",
                  "funnel", "retention", "bloom_contamination",
                  "hll_users", "interval_overlap", "order_priority",
-                 "cms_tokens", "cust_order_dist"):
+                 "cms_tokens", "cust_order_dist", "weighted_docs"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

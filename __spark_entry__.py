@@ -1579,6 +1579,21 @@ def _q_cust_order_dist(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("custdist")))
 
 
+def _q_weighted_docs(spark, sf_dir):
+    """Weight-proportional sampling without replacement (operators/
+    sampling.py weighted_sample, Efraimidis & Spirakis 2006 via the
+    Gumbel-top-k trick): the 100 documents drawn proportional to
+    n_chars. Selection is deterministic — md5-derived Gumbel noise,
+    quantized keys + id tie-break, TakeOrderedAndProject threshold
+    (never a global sort) — so the DuckDB oracle reproduces the exact
+    chosen set."""
+    from osm2lanes_spark.operators.sampling import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = weighted_sample(docs, k=100, weight_col="n_chars")
+    return out.where(F.col("selected")).select("doc_id")
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -1637,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": _shipped(_q_order_priority),
         "cms_tokens": _shipped(_q_cms_tokens),
         "cust_order_dist": _shipped(_q_cust_order_dist),
+        "weighted_docs": _shipped(_q_weighted_docs),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
@@ -2067,6 +2083,26 @@ def _cust_order_dist_oracle() -> str:
                AND o.o_orderpriority <> '1-URGENT'
               GROUP BY c.c_custkey)
         GROUP BY c_count
+    """
+
+
+def _weighted_docs_oracle(k: int = 100) -> str:
+    """operators/sampling.py weighted_sample replayed: md5 uniform →
+    Gumbel noise → ln(weight) + g keys quantized to 6 decimals →
+    top-k with doc_id tie-break (the dsir float-boundary discipline)."""
+    u = ("((" + _md5_hex32_sql("md5('w:0:' || CAST(doc_id AS VARCHAR))")
+         + " + 0.5e0) / 4294967296e0)")
+    return f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   CASE WHEN n_chars > 0 THEN
+                        round(ln(CAST(n_chars AS DOUBLE))
+                              - ln(-ln({u})), 6)
+                   END AS k6
+            FROM documents)
+        SELECT doc_id FROM keyed
+        WHERE k6 IS NOT NULL
+        QUALIFY row_number() OVER (ORDER BY k6 DESC, doc_id ASC) <= {k}
     """
 
 
@@ -4011,6 +4047,7 @@ def oracle_sql() -> dict[str, str]:
     out["order_priority"] = _order_priority_oracle()
     out["cms_tokens"] = _cms_oracle()
     out["cust_order_dist"] = _cust_order_dist_oracle()
+    out["weighted_docs"] = _weighted_docs_oracle()
     out["curation_pipeline"] = _curation_oracle()
     out["locale_spatial"] = _locale_spatial_oracle()
     out["media_refs"] = _media_refs_oracle()

@@ -419,3 +419,64 @@ def dsir_resample(df: DataFrame, target: DataFrame, k: int,
                            F.lit(False)).alias(out)))
     return (df.join(flagged, df[id_col] == F.col("__ds_id"), "left")
             .drop("__ds_id"))
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id", seed: int = 0,
+                    key_decimals: int = 6,
+                    out: str = "selected") -> DataFrame:
+    """Deterministic weight-proportional sampling WITHOUT replacement:
+    flag the ``k`` rows a Gumbel-top-k draw selects with probability
+    proportional to ``weight_col`` (Efraimidis & Spirakis 2006 /
+    Gumbel-top-k — public results). The noise is a pure function of
+    the id (``g = -ln(-ln(u))``, ``u`` the md5 uniform of
+    ``'w:<seed>:<id>'`` shifted into the open interval), so re-runs,
+    backfills and other engines reproduce the exact selection. Rows
+    with NULL or non-positive weight are never selected (their key is
+    NULL). Returns df.* + ``sample_key`` + boolean ``out``.
+
+    Scale shape (the dsir_resample discipline): the k-th key is found
+    by TakeOrderedAndProject — per-task top-k, driver merge of k·tasks
+    rows, never a global sort or single-partition window — aggregated
+    to one row and broadcast back. Selection ranks on the key
+    QUANTIZED to ``key_decimals`` with the id as tie-break, so the
+    chosen set is a pure function of the data (float-boundary
+    discipline; raw keys differing at the last ulp cannot flip the
+    boundary).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    reserved = {"sample_key", out}
+    clash = sorted(reserved.intersection(df.columns))
+    if clash:
+        raise ValueError(f"output column(s) {clash} already exist in "
+                         "the input — rename them or pass a different "
+                         "out=")
+    u = ((F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"w:{seed}:"),
+                           F.col(id_col).cast("string"))), 1, 8),
+            16, 10).cast("double") + F.lit(0.5))
+         / F.lit(float(1 << 32)))
+    key = F.when(F.col(weight_col) > 0,
+                 F.log(F.col(weight_col).cast("double"))
+                 - F.log(-F.log(u)))
+    keyed = (df.select(F.col(id_col).alias("__ws_id"), key.alias("__ws_key"))
+             .withColumn("__k6", F.round(F.col("__ws_key"), key_decimals))
+             .localCheckpoint(eager=False))
+    thresh = F.broadcast(
+        keyed.where(F.col("__k6").isNotNull())
+        .orderBy(F.col("__k6").desc(), F.col("__ws_id").asc()).limit(k)
+        .agg(F.max(F.struct((-F.col("__k6")).alias("nk"),
+                            F.col("__ws_id").alias("kid"))).alias("__th"))
+        .select((-F.col("__th.nk")).alias("__kth6"),
+                F.col("__th.kid").alias("__kid")))
+    flagged = (keyed.crossJoin(thresh)
+               .select("__ws_id",
+                       F.col("__ws_key").alias("sample_key"),
+                       F.coalesce(
+                           (F.col("__k6") > F.col("__kth6"))
+                           | ((F.col("__k6") == F.col("__kth6"))
+                              & (F.col("__ws_id") <= F.col("__kid"))),
+                           F.lit(False)).alias(out)))
+    return df.join(flagged, df[id_col] == F.col("__ws_id"), "left") \
+             .drop("__ws_id")

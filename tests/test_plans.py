@@ -389,3 +389,13 @@ def test_cust_order_dist_plan_pushdown(spark, sf_dir):
     plan = _plan(E.queries()["cust_order_dist"](spark, sf_dir))
     assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_weighted_docs_plan_no_global_sort(spark, sf_dir):
+    """The k-th-key threshold comes from TakeOrderedAndProject (per-task
+    top-k + driver merge), never a global sort or single-partition
+    window."""
+    plan = _plan(E.queries()["weighted_docs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan

@@ -55,6 +55,7 @@ ADDED_SINCE_LAST_GATE = {
     "order_priority",
     "cms_tokens",
     "cust_order_dist",
+    "weighted_docs",
 }
 
 

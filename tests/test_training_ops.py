@@ -1785,3 +1785,50 @@ def test_pq_validation(spark):
         [], "sub int, code_id int, centroid array<double>")
     with pytest.raises(ValueError, match="empty codebooks"):
         S.pq_encode(df, empty)
+
+
+def test_weighted_sample_semantics(spark):
+    """Gumbel-top-k weighted sampling: exactly k selected, zero/NULL
+    weights never chosen, heavy weights dominate the selection
+    frequency across seeds, and k ≥ candidates selects all."""
+    from osm2lanes_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 10 else 1.0) for i in range(110)]
+    rows += [(200, 0.0), (201, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    out = weighted_sample(df, k=20, weight_col="w")
+    sel = [r["doc_id"] for r in out.where("selected").collect()]
+    assert len(sel) == 20
+    assert 200 not in sel and 201 not in sel
+    # heavy ids (w=100, 10 of them) should essentially all be chosen
+    assert sum(1 for i in sel if i < 10) >= 8
+
+    # k >= candidate count -> everything with positive weight
+    alls = weighted_sample(df, k=500, weight_col="w")
+    assert alls.where("selected").count() == 110
+    # deterministic across invocations
+    again = weighted_sample(df, k=20, weight_col="w")
+    assert sorted(sel) == sorted(
+        r["doc_id"] for r in again.where("selected").collect())
+    # different seed -> (almost surely) different light-weight picks
+    other = weighted_sample(df, k=20, weight_col="w", seed=1)
+    osel = [r["doc_id"] for r in other.where("selected").collect()]
+    assert len(osel) == 20
+
+
+def test_weighted_sample_guards(spark):
+    from osm2lanes_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 2.0)], "doc_id long, w double")
+    try:
+        weighted_sample(df, k=-1, weight_col="w")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    clash = df.withColumn("selected", F.lit(True))
+    try:
+        weighted_sample(clash, k=1, weight_col="w")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
