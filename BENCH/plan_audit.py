@@ -84,6 +84,12 @@ scan; the k-th-key threshold is TakeOrderedAndProject (per-task top-k,
 driver merge of k·tasks rows) aggregated to ONE row and broadcast —
 no global sort, no single-partition window; the flag join is a
 broadcast nested-scalar crossJoin of one row.""",
+    "scd2_status": """\
+SCD2 history builder: ONE hash exchange on the key feeds both windows
+(lag change-detect + lead interval close share partitioning and
+ordering — the sort is paid once); the run-length dedup is a filter,
+never a second shuffle. Hot-key bound is the inherent per-key
+ordering; the sessionize bucket decomposition applies if needed.""",
     "funnel": """\
 Conversion funnel: greedy earliest-chain = k-1 conditional-aggregation
 groupBys on the key (each partial-combined map-side) chained by hash
@@ -439,7 +445,8 @@ def main() -> None:
                  "semdedup", "gopher_rules", "rolling_stats", "bm25",
                  "funnel", "retention", "bloom_contamination",
                  "hll_users", "interval_overlap", "order_priority",
-                 "cms_tokens", "cust_order_dist", "weighted_docs"):
+                 "cms_tokens", "cust_order_dist", "weighted_docs",
+                 "scd2_status"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -1594,6 +1594,22 @@ def _q_weighted_docs(spark, sf_dir):
     return out.where(F.col("selected")).select("doc_id")
 
 
+def _q_scd2_status(spark, sf_dir):
+    """SCD2 history builder (operators/temporal.py scd2_build): each
+    customer's order-status change log collapsed to type-2 validity
+    intervals — consecutive identical states merge, half-open
+    [from, to) microsecond bounds, is_current on the open row. One key
+    shuffle feeds both windows (lag change-detect, lead interval
+    close); same-date changes break ties on the order key so the run
+    dedup is deterministic. The DuckDB oracle replays the lag/lead
+    chain with IS DISTINCT FROM."""
+    from osm2lanes_spark.operators.temporal import scd2_build
+
+    orders = _read(spark, sf_dir, "orders")
+    return scd2_build(orders, key="o_custkey", ts="o_orderdate",
+                      attrs=["o_orderstatus"], tiebreak="o_orderkey")
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -1653,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_tokens": _shipped(_q_cms_tokens),
         "cust_order_dist": _shipped(_q_cust_order_dist),
         "weighted_docs": _shipped(_q_weighted_docs),
+        "scd2_status": _shipped(_q_scd2_status),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
@@ -2103,6 +2120,32 @@ def _weighted_docs_oracle(k: int = 100) -> str:
         SELECT doc_id FROM keyed
         WHERE k6 IS NOT NULL
         QUALIFY row_number() OVER (ORDER BY k6 DESC, doc_id ASC) <= {k}
+    """
+
+
+def _scd2_oracle() -> str:
+    """operators/temporal.py scd2_build replayed: lag change-detect
+    (IS DISTINCT FROM = the NULL-safe struct compare), lead interval
+    close, same (ts, tiebreak) ordering."""
+    return """
+        WITH ordered AS (
+            SELECT o_custkey, o_orderstatus,
+                   epoch_us(o_orderdate) AS us, o_orderkey,
+                   lag(o_orderstatus) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+            FROM orders),
+        chg AS (
+            SELECT * FROM ordered
+            WHERE o_orderstatus IS DISTINCT FROM prev)
+        SELECT o_custkey, o_orderstatus,
+               us AS valid_from_us,
+               lead(us) OVER (PARTITION BY o_custkey
+                              ORDER BY us, o_orderkey) AS valid_to_us,
+               lead(us) OVER (PARTITION BY o_custkey
+                              ORDER BY us, o_orderkey) IS NULL
+                   AS is_current
+        FROM chg
     """
 
 
@@ -4048,6 +4091,7 @@ def oracle_sql() -> dict[str, str]:
     out["cms_tokens"] = _cms_oracle()
     out["cust_order_dist"] = _cust_order_dist_oracle()
     out["weighted_docs"] = _weighted_docs_oracle()
+    out["scd2_status"] = _scd2_oracle()
     out["curation_pipeline"] = _curation_oracle()
     out["locale_spatial"] = _locale_spatial_oracle()
     out["media_refs"] = _media_refs_oracle()

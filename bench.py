@@ -253,7 +253,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "semdedup", "gopher_rules", "rolling_stats", "bm25",
                      "funnel", "retention", "bloom_contamination",
                      "hll_users", "interval_overlap", "order_priority",
-                     "cms_tokens", "cust_order_dist", "weighted_docs")
+                     "cms_tokens", "cust_order_dist", "weighted_docs",
+                     "scd2_status")
 
         def run_one(name):
             t0 = time.perf_counter()

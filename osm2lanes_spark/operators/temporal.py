@@ -685,3 +685,48 @@ def interval_join(left: DataFrame, right: DataFrame,
     return joined.select(
         *[F.col(f"__l.{c}") for c in lf.columns],
         *[F.col(f"__r.{s}").alias(o) for o, s in rmap.items()])
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history builder
+# ---------------------------------------------------------------------------
+
+def scd2_build(df: DataFrame, key: str, ts: str, attrs: list[str],
+               tiebreak: str | None = None) -> DataFrame:
+    """Collapse a change log into a slowly-changing-dimension type-2
+    history: one row per (key, attribute-state run) with
+    ``valid_from_us`` / ``valid_to_us`` microsecond validity bounds
+    (valid_to NULL on the current row) and ``is_current``. Consecutive
+    rows with identical ``attrs`` merge into one validity interval
+    (NULL-safe struct comparison); intervals are half-open
+    ``[from, to)``, so a point-in-time lookup is exactly an
+    ``asof_join`` against ``valid_from_us``.
+
+    ``tiebreak`` orders same-timestamp changes deterministically —
+    REQUIRED whenever (key, ts) is not unique, or the run-length
+    dedup would be partition-order-dependent.
+
+    Scale shape: one hash shuffle on the key feeds both windows (lag
+    for change detection, lead for interval close — same partitioning
+    and ordering, so the sort is paid once and Catalyst reuses the
+    exchange). A pathological hot key serializes into one window task —
+    the inherent per-key ordering bound, with the sessionize bucket
+    decomposition available if a production key needs it.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    state = F.struct(*[F.col(a) for a in attrs])
+    changed = ~state.eqNullSafe(F.lag(state).over(w))
+    us = _micros(F.col(ts)) if dict(df.dtypes)[ts].startswith("timestamp") \
+        else F.col(ts).cast("long")
+    chg = (df
+           .withColumn("__us", us)
+           .withColumn("__chg", changed)
+           .where(F.col("__chg")))
+    order2 = [F.col("__us")] + ([F.col(tiebreak)] if tiebreak else [])
+    w2 = Window.partitionBy(key).orderBy(*order2)
+    return (chg.select(
+        F.col(key), *[F.col(a) for a in attrs],
+        F.col("__us").alias("valid_from_us"),
+        F.lead("__us").over(w2).alias("valid_to_us"))
+        .withColumn("is_current", F.col("valid_to_us").isNull()))

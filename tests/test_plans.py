@@ -399,3 +399,11 @@ def test_weighted_docs_plan_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_scd2_plan_single_exchange(spark, sf_dir):
+    """Both SCD2 windows share the key partitioning: exactly one hash
+    exchange on the key, no single-partition stage."""
+    plan = _plan(E.queries()["scd2_status"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan

@@ -56,6 +56,7 @@ ADDED_SINCE_LAST_GATE = {
     "cms_tokens",
     "cust_order_dist",
     "weighted_docs",
+    "scd2_status",
 }
 
 

@@ -419,3 +419,48 @@ def test_interval_join_edges(spark):
     buck = interval_join(l, r, "s", "e", "s", "e", bucket=4)
     assert sorted((row["lid"], row["rid"]) for row in buck.collect()) \
         == [(1, 7)]
+
+
+def test_scd2_build_semantics(spark):
+    """Hand-checkable change log: consecutive identical states merge,
+    NULL attr values compare NULL-safe, same-ts changes order by the
+    tiebreak, the last run is open (is_current)."""
+    from osm2lanes_spark.operators.temporal import scd2_build
+
+    rows = [
+        (1, 100, "a", 1),
+        (1, 200, "a", 2),     # same state: merges into the first run
+        (1, 300, "b", 3),
+        (1, 300, "c", 4),     # same ts as the 'b' row: tiebreak orders
+        (1, 400, None, 5),
+        (1, 500, None, 6),    # NULL == NULL (null-safe): merges
+        (2, 100, "x", 7),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, s string, tb long")
+    out = scd2_build(df, key="k", ts="ts", attrs=["s"], tiebreak="tb")
+    got = set(map(tuple, out.select(
+        "k", "s", "valid_from_us", "valid_to_us", "is_current")
+        .collect()))
+    assert got == {
+        (1, "a", 100, 300, False),
+        (1, "b", 300, 300, False),    # closed by the same-ts 'c' change
+        (1, "c", 300, 400, False),
+        (1, None, 400, None, True),
+        (2, "x", 100, None, True),
+    }
+
+
+def test_scd2_point_in_time_via_asof(spark):
+    """Synergy: an as-of join against valid_from_us reproduces the
+    state each interval claims — half-open [from, to) semantics."""
+    from osm2lanes_spark.operators.temporal import asof_join, scd2_build
+
+    rows = [(1, 100, "a", 1), (1, 300, "b", 2), (1, 500, "c", 3)]
+    df = spark.createDataFrame(rows, "k long, ts long, s string, tb long")
+    hist = scd2_build(df, key="k", ts="ts", attrs=["s"], tiebreak="tb")
+    probes = spark.createDataFrame(
+        [(1, 100), (1, 299), (1, 300), (1, 9999)], "k long, ts long")
+    got = {r["ts"]: r["s"] for r in asof_join(
+        probes, hist.select("k", F.col("valid_from_us").alias("ts"), "s"),
+        on="k", ts="ts").collect()}
+    assert got == {100: "a", 299: "a", 300: "b", 9999: "c"}
