@@ -1610,6 +1610,34 @@ def _q_scd2_status(spark, sf_dir):
                       attrs=["o_orderstatus"], tiebreak="o_orderkey")
 
 
+def _q_pagerank(spark, sf_dir):
+    """Iterative PageRank (operators/graph.py) over the bipartite
+    customer→supplier purchase graph — the domain-authority quality
+    signal web-corpus curation weights documents by. Five fixpoint
+    iterations of scaled-BIGINT arithmetic (no float sums, so
+    cross-engine value-hash parity is exact); each iteration is one
+    edge join + one partial-combined dst sum, scalar side-inputs ride
+    broadcast 1-row cross joins; top-15 suppliers come out of a
+    TakeOrderedAndProject with an integer tie-break, never a global
+    sort. The DuckDB oracle unrolls the identical recurrence as
+    chained CTEs."""
+    from osm2lanes_spark.operators.graph import pagerank
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    edges = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+             .select((F.col("o_custkey") * 2).alias("src"),
+                     (F.col("l_suppkey") * 2 + 1).alias("dst"))
+             .distinct())
+    pr = pagerank(edges, iterations=5)
+    return (pr.where(F.col("node") % 2 == 1)
+            .select(((F.col("node") - 1) / 2).cast("long")
+                    .alias("s_suppkey"),
+                    F.col("rank").alias("rank_scaled"))
+            .orderBy(F.col("rank_scaled").desc(), F.col("s_suppkey"))
+            .limit(15))
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -1670,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_order_dist": _shipped(_q_cust_order_dist),
         "weighted_docs": _shipped(_q_weighted_docs),
         "scd2_status": _shipped(_q_scd2_status),
+        "pagerank": _shipped(_q_pagerank),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
@@ -2944,6 +2973,50 @@ def _lanes_golden_oracle() -> str:
     """
 
 
+def _pagerank_oracle(iterations: int = 5, scale: int = 10 ** 12,
+                     num: int = 17, den: int = 20) -> str:
+    """Unrolled-CTE replay of operators/graph.py:pagerank — the same
+    scaled-BIGINT recurrence, one CTE per iteration, so every register
+    of the fixpoint matches Spark bit-for-bit (integer ops only; both
+    engines truncate non-negative division identically)."""
+    ctes = [
+        """edges AS (
+             SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src)",
+        "params AS (SELECT count(*) AS n FROM nodes)",
+        f"""r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS rank
+             FROM nodes CROSS JOIN params)""",
+    ]
+    base = f"(({scale * (den - num)} // {den}) // p.n)"
+    for k in range(1, iterations + 1):
+        prev = f"r{k - 1}"
+        ctes.append(f"""r{k} AS (
+             SELECT nd.node,
+                    CAST({base} + ({num} * (COALESCE(i.s, 0) + d.share))
+                         // {den} AS BIGINT) AS rank
+             FROM nodes nd
+             CROSS JOIN params p
+             LEFT JOIN (SELECT e.dst AS node, sum(r.rank // g.outdeg) AS s
+                        FROM edges e
+                        JOIN {prev} r ON e.src = r.node
+                        JOIN deg g ON g.node = e.src
+                        GROUP BY e.dst) i ON i.node = nd.node
+             CROSS JOIN (SELECT COALESCE(sum(r.rank), 0)
+                                // (SELECT n FROM params) AS share
+                         FROM {prev} r LEFT JOIN deg g ON g.node = r.node
+                         WHERE g.node IS NULL) d)""")
+    return ("WITH " + ",\n        ".join(ctes) + f"""
+        SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey,
+               CAST(rank AS BIGINT) AS rank_scaled
+        FROM r{iterations}
+        WHERE node % 2 = 1
+        ORDER BY rank_scaled DESC, s_suppkey ASC
+        LIMIT 15
+    """)
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
         "pricing_summary": """
@@ -4092,6 +4165,7 @@ def oracle_sql() -> dict[str, str]:
     out["cust_order_dist"] = _cust_order_dist_oracle()
     out["weighted_docs"] = _weighted_docs_oracle()
     out["scd2_status"] = _scd2_oracle()
+    out["pagerank"] = _pagerank_oracle()
     out["curation_pipeline"] = _curation_oracle()
     out["locale_spatial"] = _locale_spatial_oracle()
     out["media_refs"] = _media_refs_oracle()

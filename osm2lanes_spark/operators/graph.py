@@ -1,0 +1,131 @@
+"""Iterative link-graph analytics: engine-portable PageRank.
+
+Why it exists: domain/page authority is a standard quality signal in
+web-corpus curation (a rank-weighted sampling or filtering pass needs
+PageRank over the link graph), and iterative fixpoint computation is
+the one relational shape the rest of the repo didn't exercise yet —
+every other operator is a single DAG. This module shows the Spark-first
+pattern for bounded-iteration algorithms: a ``for`` loop over
+DataFrame joins where each iteration is ONE edge join + ONE
+map-side-combined sum shuffle, the two scalar side-inputs (node count,
+dangling mass) ride broadcast 1-row cross joins, and lineage can be
+truncated per iteration for deep runs.
+
+Determinism / oracle story: the textbook formulation sums doubles,
+whose partition-order noise compounds across iterations and breaks
+cross-engine value-hash parity (see the repo's dsir lesson). Instead
+ranks are kept as **scaled BIGINTs** (``scale`` = 1e12) and every
+step — the initial ``scale div N``, the per-edge ``rank div outdeg``
+contribution, the damping ``num*(in + dangling_share) div den`` — is
+exact integer arithmetic, identical in any engine with 64-bit integer
+division (non-negative operands, so trunc-vs-floor division semantics
+never diverge). The DuckDB oracle unrolls the same recurrence as
+chained CTEs and matches bit-for-bit.
+
+100 TB shape: edges / degrees / ranks all hash-partition by node key;
+per iteration the plan is one equi-join on ``src`` (ranks and
+out-degrees pre-joined once, outside the loop) plus one partial-
+aggregated ``groupBy(dst)``; the dangling-mass total is a 1-row
+aggregate broadcast back — no driver-side loop over rows, no global
+sort, no per-key window. ``truncate_lineage`` localCheckpoints the
+(node, rank) pair each round so a deep run does not grow an unbounded
+plan; it defaults on past 6 iterations, where Catalyst planning time
+on the self-referencing tree otherwise dominates the job.
+
+Reference parity note: the reference engine (a-b-street/osm2lanes) has
+no graph counterpart — this is engine-side infrastructure mandated by
+the training-pipeline brief (quality signals over web-scale corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division for non-negative longs.
+
+    ``(a - a % b) / b`` divides two exactly-representable integers with
+    an integer quotient, so the double division is exact and the cast
+    back to long is lossless (operands stay < 2^53 by construction:
+    scale 1e12 × damping numerator 17 ≈ 1.7e13).
+    """
+    a = a.cast("long")
+    b = b.cast("long")
+    return ((a - a % b) / b).cast("long")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 10 ** 12,
+    truncate_lineage: bool | None = None,
+) -> DataFrame:
+    """PageRank over ``edges`` in scaled-integer arithmetic.
+
+    Returns a DataFrame ``(node, rank)`` where ``rank`` is the scaled
+    BIGINT score (divide by ``scale`` for the probability). Damping is
+    the rational ``damping_num/damping_den`` (default 17/20 = 0.85).
+    Mass from dangling nodes (no out-edges) is redistributed uniformly
+    each iteration, as in the original formulation.
+
+    Recurrence (all integer ops)::
+
+        r0(v)   = scale div N
+        base    = (scale*(den-num) div den) div N
+        share_t = (sum of r_t over dangling nodes) div N
+        r_{t+1}(v) = base + num*(sum_{u->v} r_t(u) div outdeg(u)
+                              + share_t) div den
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if truncate_lineage is None:
+        # each un-truncated round doubles the self-joined plan tree;
+        # past ~6 rounds Catalyst planning time dominates the job
+        truncate_lineage = iterations > 6
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    deg = (edges.groupBy(F.col(src).alias("node"))
+           .agg(F.count(F.lit(1)).alias("outdeg")))
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    # Pre-join the static out-degree onto the edge list once; every
+    # iteration then needs only the rank join + the dst-sum shuffle.
+    edged = edges.join(deg.withColumnRenamed("node", src), src)
+
+    ranks = (nodes.crossJoin(F.broadcast(n_row))
+             .select("node",
+                     _idiv(F.lit(scale), F.col("n_nodes")).alias("rank")))
+    base = _idiv(_idiv(F.lit(scale * (damping_den - damping_num)),
+                       F.lit(damping_den)), F.col("n_nodes"))
+
+    for _ in range(iterations):
+        incoming = (edged
+                    .join(ranks.withColumnRenamed("node", src), src)
+                    .groupBy(F.col(dst).alias("node"))
+                    .agg(F.sum(_idiv(F.col("rank"), F.col("outdeg")))
+                         .alias("inc")))
+        dangling = (ranks.join(deg, "node", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0))
+                         .alias("dangling_mass")))
+        ranks = (nodes
+                 .join(incoming, "node", "left_outer")
+                 .crossJoin(F.broadcast(dangling))
+                 .crossJoin(F.broadcast(n_row))
+                 .select(
+                     "node",
+                     (base + _idiv(
+                         F.lit(damping_num)
+                         * (F.coalesce(F.col("inc"), F.lit(0))
+                            + _idiv(F.col("dangling_mass"),
+                                    F.col("n_nodes"))),
+                         F.lit(damping_den))).alias("rank")))
+        if truncate_lineage:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -1,0 +1,71 @@
+"""Unit tests for operators/graph.py (scaled-integer PageRank)."""
+
+from __future__ import annotations
+
+import pytest
+
+from osm2lanes_spark.operators.graph import pagerank
+
+SCALE = 10 ** 12
+NUM, DEN = 17, 20
+
+
+def _py_pagerank(edges, iterations, scale=SCALE, num=NUM, den=DEN):
+    """Reference replica of the integer recurrence (plain dicts)."""
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: scale // n for v in nodes}
+    base = ((scale * (den - num)) // den) // n
+    for _ in range(iterations):
+        inc = {v: 0 for v in nodes}
+        for s, d in edges:
+            inc[d] += rank[s] // outdeg[s]
+        share = sum(rank[v] for v in nodes if v not in outdeg) // n
+        rank = {v: base + (num * (inc[v] + share)) // den for v in nodes}
+    return rank
+
+
+EDGES = [(1, 2), (1, 3), (2, 3), (4, 3), (4, 2), (3, 1)]
+DANGLING_EDGES = [(1, 2), (1, 3), (2, 3), (4, 3)]  # 3 is dangling
+
+
+@pytest.mark.parametrize("edges,iters", [
+    (EDGES, 1), (EDGES, 4), (DANGLING_EDGES, 3),
+])
+def test_pagerank_matches_integer_reference(spark, edges, iters):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=iters).collect()}
+    assert got == _py_pagerank(edges, iters)
+
+
+def test_pagerank_mass_approximately_conserved(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    total = sum(r["rank"] for r in pagerank(df, iterations=5).collect())
+    # floor losses only: at most a few units per node per iteration
+    assert SCALE - 200 <= total <= SCALE
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """With a dangling node the total mass must not collapse toward the
+    (1-d) floor — the share term feeds it back each iteration."""
+    df = spark.createDataFrame(DANGLING_EDGES, "src long, dst long")
+    total = sum(r["rank"] for r in pagerank(df, iterations=5).collect())
+    assert total > 0.999 * SCALE
+
+
+def test_pagerank_truncate_lineage_same_result(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    plain = {r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+    trunc = {r["node"]: r["rank"]
+             for r in pagerank(df, iterations=3,
+                               truncate_lineage=True).collect()}
+    assert plain == trunc
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)

@@ -57,6 +57,7 @@ ADDED_SINCE_LAST_GATE = {
     "cust_order_dist",
     "weighted_docs",
     "scd2_status",
+    "pagerank",
 }
 
 
