@@ -1638,6 +1638,25 @@ def _q_pagerank(spark, sf_dir):
             .limit(15))
 
 
+def _q_qsketch_chars(spark, sf_dir):
+    """Dyadic quantile sketch (operators/sketches.py qsketch_*):
+    p50/p90/p99 of document length per language read from a mergeable
+    ≤65-row-per-group bin table instead of a full sort or a
+    distinct-value histogram. Pure integer arithmetic end to end
+    (bit-length binning via bin() string length, ceil-rank targets,
+    integer-linear interpolation) — the DuckDB oracle replays every
+    bin, cumulative count and estimate bit-for-bit. Completes the
+    engine-portable sketch family: Bloom / HLL / CMS / quantiles."""
+    from osm2lanes_spark.operators.sketches import (qsketch_build,
+                                                    qsketch_quantile)
+
+    docs = _read(spark, sf_dir, "documents")
+    sk = qsketch_build(docs, "n_chars", by=["lang"])
+    return qsketch_quantile(
+        sk, [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+        by=["lang"])
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -1699,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_docs": _shipped(_q_weighted_docs),
         "scd2_status": _shipped(_q_scd2_status),
         "pagerank": _shipped(_q_pagerank),
+        "qsketch_chars": _shipped(_q_qsketch_chars),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
@@ -4149,6 +4169,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY ROLLUP(event_type, hr)
+        """,
+        "qsketch_chars": """
+            -- replay of sketches.qsketch_build + qsketch_quantile:
+            -- dyadic bin = bit length (bin() string length in both
+            -- engines), ceil-rank target, integer interpolation
+            WITH sk AS (
+              SELECT lang,
+                     CASE WHEN n_chars <= 0 THEN 0
+                          ELSE length(bin(n_chars)) END AS bin,
+                     count(*) AS n, min(n_chars) AS vmin,
+                     max(n_chars) AS vmax
+              FROM documents GROUP BY 1, 2),
+            c AS (
+              SELECT lang, bin, n, vmin, vmax,
+                     sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                     sum(n) OVER (PARTITION BY lang) AS n_total
+              FROM sk),
+            q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                                        ('p99', 99, 100))
+                  AS t(q_label, q_num, q_den)),
+            j AS (
+              SELECT c.*, q.q_label,
+                     (q.q_num * c.n_total + q.q_den - 1) // q.q_den AS target
+              FROM c CROSS JOIN q),
+            pick AS (
+              SELECT *, row_number() OVER (PARTITION BY lang, q_label
+                                           ORDER BY bin) AS rn
+              FROM j WHERE cum >= target)
+            SELECT lang, q_label,
+                   CAST(vmin + ((vmax - vmin) * (target - (cum - n) - 1))
+                        // greatest(n - 1, 1) AS BIGINT) AS q_est
+            FROM pick WHERE rn = 1
         """,
     }
     # generated oracles (polygon literals / 64-bit vote unrolls / fixture

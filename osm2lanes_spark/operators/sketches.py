@@ -201,3 +201,115 @@ def cms_lookup(cms: DataFrame, probes: DataFrame, value_col: str,
     return (joined.groupBy(*by, value_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("est_count")))
+
+
+# ---------------------------------------------------------------------------
+# Dyadic quantile sketch
+# ---------------------------------------------------------------------------
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division for non-negative longs (same construction
+    as operators/graph.py): ``(a - a % b) / b`` has an integer quotient,
+    so the double division is exact below 2^53."""
+    a = a.cast("long")
+    b = b.cast("long")
+    return ((a - a % b) / b).cast("long")
+
+
+def _dyadic_bin(v: Column) -> Column:
+    """Dyadic bin id of a long: 0 for v <= 0, else the bit length —
+    spelled as ``length(bin(v))`` because both Spark and DuckDB render
+    the minimal binary string, whereas log2/floor round differently at
+    exact powers of two."""
+    return (F.when(v <= 0, F.lit(0))
+            .otherwise(F.length(F.bin(v)))).cast("int")
+
+
+def qsketch_build(df: DataFrame, value_col: str,
+                  by: list[str] | None = None) -> DataFrame:
+    """Build a mergeable dyadic quantile sketch over an integer column:
+    one row per (group, bin) holding ``n`` (count), ``vmin``/``vmax``
+    (the bin's observed extremes). Bins are base-2 magnitude classes
+    (bit length of the value; ≤ 65 of them for any 64-bit long), so the
+    sketch is a HARD-bounded plain table — unlike a distinct-value
+    histogram its size never tracks cardinality.
+
+    Completes the repo's engine-portable sketch family (Bloom /
+    HyperLogLog / Count-Min): like them it is
+
+    * **mergeable** — ``qsketch_merge`` re-aggregates (sum, min, max),
+      so day-level sketches roll up to month/all-time exactly;
+    * **shuffle-capped** — the groupBy partial-combines map-side to at
+      most 65 rows per group per partition;
+    * **replayable** — binning, counting and the quantile estimator are
+      pure integer arithmetic any engine reproduces bit-for-bit.
+
+    Estimator error: a quantile estimate lands inside the true value's
+    dyadic bin, linearly interpolated between the bin's observed
+    extremes — relative error ≤ 2× worst case, far less on smooth data.
+    """
+    by = list(by or [])
+    v = F.col(value_col).cast("long")
+    return (df.select(*by, v.alias("__v"), _dyadic_bin(v).alias("bin"))
+            .groupBy(*by, "bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("__v").alias("vmin"),
+                 F.max("__v").alias("vmax")))
+
+
+def qsketch_merge(*sketches: DataFrame,
+                  by: list[str] | None = None) -> DataFrame:
+    """Union ``qsketch_build`` outputs and re-aggregate — exact: counts
+    add, extremes take min/max, so merge(build(A), build(B)) equals
+    build(A ∪ B) row for row."""
+    by = list(by or [])
+    out = sketches[0]
+    for sk in sketches[1:]:
+        out = out.unionByName(sk)
+    return (out.groupBy(*by, "bin")
+            .agg(F.sum("n").alias("n"),
+                 F.min("vmin").alias("vmin"),
+                 F.max("vmax").alias("vmax")))
+
+
+def qsketch_quantile(sketch: DataFrame,
+                     quantiles: list[tuple[str, int, int]],
+                     by: list[str] | None = None) -> DataFrame:
+    """Read quantiles out of a sketch: for each group and each
+    ``(label, num, den)`` fraction, returns ``by… , q_label, q_est``.
+
+    The target rank is ``ceil(num·n_total/den)`` (1-based); the answer
+    bin is the first whose cumulative count reaches it; the estimate
+    interpolates integer-linearly between the bin's observed extremes:
+    ``vmin + (vmax-vmin)·(offset-1) div max(n-1, 1)``. Every step is
+    64-bit integer arithmetic — the DuckDB oracle replays it exactly.
+
+    Scale shape: the cumulative window runs over ≤ 65 bin rows per
+    group (single-partition for ``by=None`` — bounded by the bin count,
+    NOT by data cardinality, unlike a raw value histogram); the
+    quantile list rides a broadcast cross join.
+    """
+    by = list(by or [])
+    from pyspark.sql import Window
+
+    w_cum = (Window.partitionBy(*by).orderBy("bin")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy(*by)
+    cum = (sketch
+           .withColumn("cum", F.sum("n").over(w_cum))
+           .withColumn("n_total", F.sum("n").over(w_tot)))
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame(quantiles,
+                                "q_label string, q_num long, q_den long")
+    j = cum.crossJoin(F.broadcast(qdf))
+    target = _idiv(F.col("q_num") * F.col("n_total") + F.col("q_den")
+                   - F.lit(1), F.col("q_den"))
+    j = j.withColumn("target", target).where(F.col("cum") >= F.col("target"))
+    w_pick = Window.partitionBy(*by, "q_label").orderBy("bin")
+    offset = F.col("target") - (F.col("cum") - F.col("n"))
+    est = (F.col("vmin")
+           + _idiv((F.col("vmax") - F.col("vmin")) * (offset - F.lit(1)),
+                   F.greatest(F.col("n") - F.lit(1), F.lit(1))))
+    return (j.withColumn("__rn", F.row_number().over(w_pick))
+            .where(F.col("__rn") == 1)
+            .select(*by, "q_label", est.alias("q_est")))

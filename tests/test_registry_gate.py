@@ -58,6 +58,7 @@ ADDED_SINCE_LAST_GATE = {
     "weighted_docs",
     "scd2_status",
     "pagerank",
+    "qsketch_chars",
 }
 
 

@@ -127,3 +127,84 @@ def test_cms_merge_exact(spark):
     whole = cms_build(df, "v")
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, whole.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Dyadic quantile sketch
+# ---------------------------------------------------------------------------
+
+def test_qsketch_bins_hard_bounded(spark):
+    """However many distinct values go in, a group's sketch holds at
+    most 65 rows (64-bit bit-length classes + the <=0 bin)."""
+    from osm2lanes_spark.operators.sketches import qsketch_build
+
+    df = spark.range(100_000).select(
+        (F.col("id") * 2654435761 % (2 ** 40)).alias("v"))
+    assert qsketch_build(df, "v").count() <= 65
+
+
+def test_qsketch_merge_equals_whole(spark):
+    from osm2lanes_spark.operators.sketches import (qsketch_build,
+                                                    qsketch_merge)
+
+    df = spark.range(10_000).select((F.col("id") * 13 % 9973).alias("v"))
+    a = qsketch_build(df.where(F.col("v") % 2 == 0), "v")
+    b = qsketch_build(df.where(F.col("v") % 2 == 1), "v")
+    merged = {r["bin"]: (r["n"], r["vmin"], r["vmax"])
+              for r in qsketch_merge(a, b).collect()}
+    whole = {r["bin"]: (r["n"], r["vmin"], r["vmax"])
+             for r in qsketch_build(df, "v").collect()}
+    assert merged == whole
+
+
+def test_qsketch_quantile_within_dyadic_bound(spark):
+    """Estimates land in the true quantile's dyadic bin: relative
+    error strictly below 2x (and exact at the extremes of a bin)."""
+    import numpy as np
+
+    from osm2lanes_spark.operators.sketches import (qsketch_build,
+                                                    qsketch_quantile)
+
+    vals = [(i * i) % 50_021 + 1 for i in range(20_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = qsketch_build(df, "v")
+    out = {r["q_label"]: r["q_est"]
+           for r in qsketch_quantile(
+               sk, [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+           ).collect()}
+    s = np.sort(np.array(vals))
+    for label, num, den in [("p50", 1, 2), ("p90", 9, 10),
+                            ("p99", 99, 100)]:
+        target = -(-num * len(s) // den)  # ceil, 1-based
+        truth = int(s[target - 1])
+        assert truth / 2 < out[label] < truth * 2, (label, out[label], truth)
+
+
+def test_qsketch_zero_and_negative_values(spark):
+    """v <= 0 lands in bin 0 and interpolates between its extremes."""
+    from osm2lanes_spark.operators.sketches import (qsketch_build,
+                                                    qsketch_quantile)
+
+    df = spark.createDataFrame([(-5,), (0,), (0,), (3,)], "v long")
+    sk = qsketch_build(df, "v").collect()
+    assert {r["bin"] for r in sk} == {0, 2}
+    b0 = next(r for r in sk if r["bin"] == 0)
+    assert (b0["n"], b0["vmin"], b0["vmax"]) == (3, -5, 0)
+    df2 = spark.createDataFrame([(-5,), (0,), (0,), (3,)], "v long")
+    from osm2lanes_spark.operators.sketches import qsketch_build as qb
+    est = {r["q_label"]: r["q_est"]
+           for r in qsketch_quantile(qb(df2, "v"), [("p50", 1, 2)]).collect()}
+    assert -5 <= est["p50"] <= 0
+
+
+def test_qsketch_grouped(spark):
+    from osm2lanes_spark.operators.sketches import (qsketch_build,
+                                                    qsketch_quantile)
+
+    rows = [("a", v) for v in range(1, 101)] + [("b", 7)] * 10
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = qsketch_build(df, "v", by=["g"])
+    out = {(r["g"], r["q_label"]): r["q_est"]
+           for r in qsketch_quantile(sk, [("p50", 1, 2)], by=["g"]).collect()}
+    assert out[("b", "p50")] == 7
+    assert 25 <= out[("a", "p50")] <= 100
