@@ -1657,6 +1657,104 @@ def _q_qsketch_chars(spark, sf_dir):
         by=["lang"])
 
 
+def _q_dq_checks(spark, sf_dir):
+    """Deequ-style data-quality report (operators/profiling.py
+    dq_report): completeness, uniqueness, domain and range metrics
+    plus pass/fail constraints over orders, all computed in ONE
+    partial-combined aggregation pass and unpivoted to the long
+    (metric, value) monitoring shape — validating a petabyte table
+    costs one scan of the referenced columns."""
+    from osm2lanes_spark.operators.profiling import dq_report
+
+    orders = _read(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    metrics = {
+        "row_count": n,
+        "null_custkey": F.count_if(F.col("o_custkey").isNull()),
+        "distinct_status": F.countDistinct("o_orderstatus"),
+        "min_totalprice": F.min("o_totalprice"),
+        "max_totalprice": F.max("o_totalprice"),
+        "dup_orderkeys": n - F.countDistinct("o_orderkey"),
+        "urgent_per_mille":
+            F.lit(1000.0)
+            * F.count_if(F.col("o_orderpriority") == "1-URGENT") / n,
+    }
+    checks = {
+        "no_null_custkey": F.count_if(F.col("o_custkey").isNull()) == 0,
+        "prices_positive": F.min("o_totalprice") > 0,
+        "status_single_char": F.max(F.length("o_orderstatus")) == 1,
+    }
+    return dq_report(orders, metrics, checks)
+
+
+def _q_pivot_events(spark, sf_dir):
+    """Relational PIVOT: per user cohort (user_id mod 16), event counts
+    spread into one column per event type. The explicit value list
+    keeps the output schema static (no pre-scan for distinct values),
+    so Spark compiles it to ONE map-side-combined aggregate with
+    conditional counters — the same plan as the oracle's FILTER
+    aggregation, one shuffle of 16×5 partial rows."""
+    ev = _read(spark, sf_dir, "events")
+    return (ev.withColumn("cohort", (F.col("user_id") % 16).cast("int"))
+            .groupBy("cohort")
+            .pivot("event_type",
+                   ["click", "error", "purchase", "signup", "view"])
+            .agg(F.count(F.lit(1)))
+            .na.fill(0))
+
+
+def _q_nation_pairs(spark, sf_dir):
+    """Bilateral trade volume (TPC-H Q7 shape): revenue between every
+    (supplier nation, customer nation) pair per order year — the
+    five-way snowflake join with the same dimension joined twice under
+    different roles. supplier/customer/nation broadcast (≤1% of fact
+    size); lineitem⋈orders is the only real shuffle; the aggregation
+    partial-combines to ≤ |nations|²·years rows. Revenue sums run in
+    decimal(18,6) (exact, order-independent — the double-sum noise at
+    thousands of groups flips round-2 cent boundaries between
+    engines) and surface as rounded doubles."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    return (li
+            .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(sn), supp["s_nationkey"] == sn["s_nk"])
+            .join(F.broadcast(cn), cust["c_nationkey"] == cn["c_nk"])
+            .where(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum((F.col("l_extendedprice")
+                                * (1 - F.col("l_discount")))
+                               .cast("decimal(18,6)")).cast("double"), 2)
+                 .alias("revenue")))
+
+
+def _q_cheapest_supplier(spark, sf_dir):
+    """Argmin-per-group (TPC-H Q2 shape without partsupp): for each
+    part, the supplier offering the lowest line price, price ties
+    broken by supplier key. One window over the part-key shuffle; at
+    100 TB the partition key is the high-cardinality part key so no
+    single task sees more than one part's lines."""
+    from pyspark.sql import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("l_extendedprice").asc(), F.col("l_suppkey").asc())
+    return (li.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.col("l_suppkey").alias("best_suppkey"),
+                    F.round("l_extendedprice", 2).alias("best_price")))
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -1719,6 +1817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_status": _shipped(_q_scd2_status),
         "pagerank": _shipped(_q_pagerank),
         "qsketch_chars": _shipped(_q_qsketch_chars),
+        "dq_checks": _shipped(_q_dq_checks),
+        "pivot_events": _shipped(_q_pivot_events),
+        "nation_pairs": _shipped(_q_nation_pairs),
+        "cheapest_supplier": _shipped(_q_cheapest_supplier),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
@@ -4201,6 +4303,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(vmin + ((vmax - vmin) * (target - (cum - n) - 1))
                         // greatest(n - 1, 1) AS BIGINT) AS q_est
             FROM pick WHERE rn = 1
+        """,
+        "dq_checks": """
+            -- replay of profiling.dq_report: one aggregation row,
+            -- unpivoted to (metric, value); checks encode 1.0/0.0
+            WITH m AS (
+              SELECT count(*) AS row_count,
+                     count(*) FILTER (o_custkey IS NULL) AS null_custkey,
+                     count(DISTINCT o_orderstatus) AS distinct_status,
+                     min(o_totalprice) AS min_totalprice,
+                     max(o_totalprice) AS max_totalprice,
+                     count(*) - count(DISTINCT o_orderkey) AS dup_orderkeys,
+                     1000.0 * count(*) FILTER (o_orderpriority = '1-URGENT')
+                            / count(*) AS urgent_per_mille,
+                     CASE WHEN count(*) FILTER (o_custkey IS NULL) = 0
+                          THEN 1.0 ELSE 0.0 END AS no_null_custkey,
+                     CASE WHEN min(o_totalprice) > 0
+                          THEN 1.0 ELSE 0.0 END AS prices_positive,
+                     CASE WHEN max(length(o_orderstatus)) = 1
+                          THEN 1.0 ELSE 0.0 END AS status_single_char
+              FROM orders)
+            SELECT metric, round(CAST(value AS DOUBLE), 6) AS value FROM (
+              SELECT 'row_count' AS metric, row_count AS value FROM m
+              UNION ALL SELECT 'null_custkey', null_custkey FROM m
+              UNION ALL SELECT 'distinct_status', distinct_status FROM m
+              UNION ALL SELECT 'min_totalprice', min_totalprice FROM m
+              UNION ALL SELECT 'max_totalprice', max_totalprice FROM m
+              UNION ALL SELECT 'dup_orderkeys', dup_orderkeys FROM m
+              UNION ALL SELECT 'urgent_per_mille', urgent_per_mille FROM m
+              UNION ALL SELECT 'no_null_custkey', no_null_custkey FROM m
+              UNION ALL SELECT 'prices_positive', prices_positive FROM m
+              UNION ALL SELECT 'status_single_char', status_single_char FROM m)
+        """,
+        "pivot_events": """
+            SELECT CAST(user_id % 16 AS INTEGER) AS cohort,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY 1
+        """,
+        "nation_pairs": """
+            -- decimal(18,6) sum: thousands of groups make double-sum
+            -- order noise flip round-2 cent boundaries between engines
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6))) AS DOUBLE), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "cheapest_supplier": """
+            SELECT l_partkey AS p_partkey, l_suppkey AS best_suppkey,
+                   round(l_extendedprice, 2) AS best_price
+            FROM lineitem
+            QUALIFY row_number() OVER (
+                PARTITION BY l_partkey
+                ORDER BY l_extendedprice ASC, l_suppkey ASC) = 1
         """,
     }
     # generated oracles (polygon literals / 64-bit vote unrolls / fixture

@@ -595,3 +595,32 @@ def bloom_contamination(corpus: DataFrame, bloom: DataFrame,
                         F.when(F.col("n_ngrams") > 0,
                                F.round(F.col("n_flagged")
                                        / F.col("n_ngrams"), 6))))
+
+
+def dq_report(df: DataFrame, metrics: dict[str, Column],
+              checks: dict[str, Column] | None = None) -> DataFrame:
+    """Deequ-style single-pass data-quality report.
+
+    ``metrics`` maps metric name → an aggregate Column (count, null
+    count, distinct count, min/max, ratios …); ``checks`` maps
+    constraint name → a boolean aggregate predicate. Everything is
+    computed in ONE ``agg`` over the input — one scan, one
+    partial-combined reduction to a single row, however many metrics —
+    then unpivoted to the long ``(metric, value)`` shape dashboards
+    and freshness monitors ingest. Check results are encoded 1.0/0.0
+    so the report is a single double-typed column.
+
+    100 TB shape: the scan is the only full-data pass; every aggregate
+    partial-combines map-side, the unpivot runs on ONE row. Validating
+    a petabyte table costs exactly one read of the columns referenced.
+    """
+    checks = checks or {}
+    names = list(metrics) + list(checks)
+    if len(set(names)) != len(names):
+        raise ValueError("metric and check names must be distinct")
+    aggs = [c.cast("double").alias(n) for n, c in metrics.items()]
+    aggs += [F.when(c, 1.0).otherwise(0.0).alias(n)
+             for n, c in checks.items()]
+    one = df.agg(*aggs)
+    return (one.unpivot([], names, "metric", "value")
+            .select("metric", F.round("value", 6).alias("value")))

@@ -489,3 +489,23 @@ def test_quantile_buckets_quantized_boundary(spark):
                out="bucket").collect()}
     # median rank floor(3*.5)+1 = 2 → t = 2.0; doc 3 quantizes to 2.0
     assert got == {1: "lo", 2: "lo", 3: "lo", 4: "hi"}
+
+
+def test_dq_report_metrics_checks_and_dup_names(spark):
+    from osm2lanes_spark.operators.profiling import dq_report
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "k long, s string")
+    got = {r.metric: r.value for r in dq_report(
+        df,
+        {"rows": F.count(F.lit(1)),
+         "null_k": F.count_if(F.col("k").isNull()),
+         "distinct_s": F.countDistinct("s")},
+        {"no_null_k": F.count_if(F.col("k").isNull()) == 0,
+         "has_rows": F.count(F.lit(1)) > 0}).collect()}
+    assert got == {"rows": 4.0, "null_k": 1.0, "distinct_s": 2.0,
+                   "no_null_k": 0.0, "has_rows": 1.0}
+    with pytest.raises(ValueError, match="distinct"):
+        dq_report(df, {"x": F.count(F.lit(1))},
+                  {"x": F.count(F.lit(1)) > 0})

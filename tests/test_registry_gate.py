@@ -59,6 +59,10 @@ ADDED_SINCE_LAST_GATE = {
     "scd2_status",
     "pagerank",
     "qsketch_chars",
+    "dq_checks",
+    "pivot_events",
+    "nation_pairs",
+    "cheapest_supplier",
 }
 
 
