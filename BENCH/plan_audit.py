@@ -396,6 +396,47 @@ hash-verified against a full DuckDB replay (oracle s2_binning).""",
 Raster side aggregates per cell first (partial agg), then equi-joins the
 vector side by cell id — rasterize-then-join, never point-in-polygon per
 event row.""",
+    "pagerank": """\
+Iterative PageRank: the edge build (fact-fact join + distinct) and its
+degree pre-join localCheckpoint ONCE (cache_edges=True — without it
+every round re-executed the upstream join; 20.2→4.7 s at sf0.1), then
+each round is one equi-join of ranks onto the materialized adjacency
+leaf plus one map-side-combined sum shuffle on the destination key;
+rounds past 4 iterations localCheckpoint the (node, rank) pair so the
+dumped plan is the final round's leaf joins, not an unrolled tree
+(measured: truncation beats re-planning the self-referencing tree even
+at 5 rounds). Integer rank units (scaled long arithmetic) make every
+round bit-exact across engines and partitionings — no float drift.""",
+    "qsketch_chars": """\
+Mergeable dyadic quantile sketch: values decompose to O(log U) dyadic
+levels in the scan's narrow stage (Generate), counts partial-combine
+map-side before ONE (group, level, bucket) shuffle — sketch size is
+bounded by levels x buckets regardless of rows — and the quantile walk
+runs over the tiny sketch table. Day→month rollups merge sketches by
+summing counters, never re-reading raw data.""",
+    "dq_checks": """\
+Deequ-style quality report: every metric and constraint is an
+aggregate over ONE scan — partial-combined map-side to a single row —
+and the unpivot to (metric, value) runs on that one row. Validating a
+petabyte table costs exactly one read of the referenced columns; no
+per-metric pass, no Python.""",
+    "pivot_events": """\
+Relational PIVOT with an explicit value list: no pre-scan for distinct
+pivot values, so the whole query is ONE map-side-combined aggregate
+with conditional counters — a single shuffle of (cohort x 5) partial
+rows regardless of event count.""",
+    "nation_pairs": """\
+TPC-H Q7 snowflake: supplier/customer/nation(x2 roles) all ride
+BroadcastHashJoins; the only real exchange is lineitem⋈orders on the
+order key plus the final partial-combined agg (≤ nations² x years
+rows). Revenue sums in decimal(18,6) — order-independent, so partial
+aggregation cannot flip cent boundaries against the oracle.""",
+    "cheapest_supplier": """\
+Argmin-per-group: ONE hash exchange on the high-cardinality part key
+feeds a row_number window; WindowGroupLimit keeps each map task's
+per-part top-1 BEFORE the shuffle, so the exchange carries ~1 row per
+(task, part). No per-key skew exposure — parts are uniform by
+construction of the key.""",
 }
 
 
@@ -446,7 +487,9 @@ def main() -> None:
                  "funnel", "retention", "bloom_contamination",
                  "hll_users", "interval_overlap", "order_priority",
                  "cms_tokens", "cust_order_dist", "weighted_docs",
-                 "scd2_status"):
+                 "scd2_status", "pagerank", "qsketch_chars",
+                 "dq_checks", "pivot_events", "nation_pairs",
+                 "cheapest_supplier"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

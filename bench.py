@@ -236,7 +236,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
         # token_quantiles_global, duplicate_spans, classifier_score,
         # budget_selection, kmeans_centroids, unigram_ppl, dsir_select,
         # ppl_buckets and ann_pq joined in r06; semdedup, gopher_rules,
-        # rolling_stats and bm25 joined late-r06 —
+        # rolling_stats, bm25 and the wave-4/5/6 legs (funnel…dq_checks)
+        # joined late-r06 —
         # cross-round comparisons of the summed "value" should exclude
         # them (or compare per-query)
         aux_names = ("pricing_summary", "region_revenue", "event_ranks",
@@ -254,7 +255,9 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "funnel", "retention", "bloom_contamination",
                      "hll_users", "interval_overlap", "order_priority",
                      "cms_tokens", "cust_order_dist", "weighted_docs",
-                     "scd2_status")
+                     "scd2_status", "pagerank", "qsketch_chars",
+                     "dq_checks", "pivot_events", "nation_pairs",
+                     "cheapest_supplier")
 
         def run_one(name):
             t0 = time.perf_counter()
