@@ -437,6 +437,50 @@ feeds a row_number window; WindowGroupLimit keeps each map task's
 per-part top-1 BEFORE the shuffle, so the exchange carries ~1 row per
 (task, part). No per-key skew exposure — parts are uniform by
 construction of the key.""",
+    "vocab_coverage": """\
+Vocabulary coverage curve: one explode + one map-side-combined token
+count (the hottest token combines hardest), selection is
+TakeOrderedAndProject (per-task top-N, driver merge of N·tasks rows —
+never a global sort), the corpus total is a 1-row broadcast, and the
+only SinglePartition window runs over exactly top_n rows. Integer
+counts make the shares bit-exact in any engine.""",
+    "source_overlap": """\
+Cross-source n-gram overlap matrix: ONE full-data pass (explode into
+the distinct (key, gram) partial-combined aggregate); the pair join
+keys on the GRAM with per-gram fan-out bounded by |keys| (never rows),
+and the final count shuffles ≤ |keys|² partial rows. No all-pairs
+product of documents anywhere.""",
+    "fuzzy_names": """\
+Blocked Levenshtein entity resolution: an ordinary hash equi-join on
+the block key (no ordering requirement — AQE skew split applies), the
+length-band filter prunes |len gap| > t pairs BEFORE any distance
+call, and the JVM levenshtein runs inside whole-stage codegen — zero
+Python, zero crossJoin. The quadratic term is bounded by the largest
+block, the caller's knob.""",
+    "small_qty_revenue": """\
+Q17 decorrelated: the per-part average is a partial-combined aggregate
+hash-joined back on the part key (exactly what Catalyst would emit for
+the scalar correlated subquery); part is a BroadcastHashJoin dim. The
+fact table is scanned twice (avg + probe) — cheaper than caching at
+100 TB since both scans prune to 3 columns. Integer-valued quantities
+make the 0.2·avg threshold engine-exact.""",
+    "late_suppliers": """\
+Q21 quantifier chain: EXISTS compiles to a LeftSemi and NOT EXISTS to
+a LeftAnti hash join, both keyed on the high-cardinality ORDER key
+with non-equi supplier guards as join residuals; the supplier dim
+broadcasts and top-20 is TakeOrderedAndProject. No window, no
+correlated re-execution.""",
+    "idle_rich": """\
+Q22 shape: the balance threshold is ONE 1-row broadcast (decimal-sum /
+count — exact, so the comparison cannot drift between engines), the
+no-orders test is a LeftAnti hash join on the customer key, and the
+per-nation rollup partial-combines to ≤ |nations| rows.""",
+    "mad_outliers": """\
+Robust median/MAD profile: both medians reuse grouped_quantiles'
+histogram rank rule — the only full-data passes are two map-side-
+combined (lang, value) aggregates; medians and MADs join back as
+broadcast dims (≤ |langs| rows) and every comparison is integer. The
+corpus is never sorted.""",
 }
 
 
@@ -489,7 +533,9 @@ def main() -> None:
                  "cms_tokens", "cust_order_dist", "weighted_docs",
                  "scd2_status", "pagerank", "qsketch_chars",
                  "dq_checks", "pivot_events", "nation_pairs",
-                 "cheapest_supplier"):
+                 "cheapest_supplier", "vocab_coverage",
+                 "source_overlap", "fuzzy_names", "small_qty_revenue",
+                 "late_suppliers", "idle_rich", "mad_outliers"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

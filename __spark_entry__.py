@@ -1755,6 +1755,155 @@ def _q_cheapest_supplier(spark, sf_dir):
                     F.round("l_extendedprice", 2).alias("best_price")))
 
 
+def _q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary coverage curve (operators/profiling.py
+    vocab_coverage): top-50 tokens by corpus frequency with cumulative
+    coverage share. One explode + one map-side-combined count shuffle;
+    selection is TakeOrderedAndProject (never a global sort); the
+    total rides a 1-row broadcast and the ranking window covers
+    exactly 50 rows. Integer counts → the share is bit-exact."""
+    from osm2lanes_spark.operators.profiling import vocab_coverage
+
+    return vocab_coverage(_read(spark, sf_dir, "documents"), top_n=50)
+
+
+def _q_source_overlap(spark, sf_dir):
+    """Cross-source 3-gram overlap matrix (operators/profiling.py
+    key_ngram_overlap): for every source pair, the number of distinct
+    word 3-grams both emit — the scraped-twice / shared-boilerplate
+    screen run before mixing corpora. One distinct (key, gram)
+    aggregate; the pair join keys on the GRAM with fan-out bounded by
+    |sources|, and the final count moves ≤ |sources|² rows."""
+    from osm2lanes_spark.operators.profiling import key_ngram_overlap
+
+    return key_ngram_overlap(_read(spark, sf_dir, "documents"),
+                             "source", n=3)
+
+
+def _q_fuzzy_names(spark, sf_dir):
+    """Blocked Levenshtein entity resolution (operators/dedup.py
+    edit_distance_pairs): customer-name pairs within a nation block at
+    edit distance ≤ 2. The quadratic term is bounded by the largest
+    block; the length band prunes before any distance evaluation; all
+    codegen (JVM levenshtein), no Python."""
+    from osm2lanes_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _read(spark, sf_dir, "customer"), id_col="c_custkey",
+        text_col="c_name", block_by=("c_nationkey",), threshold=2)
+
+
+def _q_small_qty_revenue(spark, sf_dir):
+    """Correlated-subquery decorrelation (TPC-H Q17 shape): revenue
+    lost to sub-20%-of-average-quantity orders, per brand. The
+    per-part average is a partial-combined aggregate joined back on
+    the part key (the decorrelated plan Catalyst would also produce
+    for the scalar subquery); part is a broadcast dim. l_quantity is
+    integer-valued so the per-part mean is EXACT (integer sums are
+    order-independent in doubles below 2^53) — the 0.2·avg comparison
+    cannot flip between engines; revenue sums in decimal(18,6)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    avgq = (li.groupBy("l_partkey")
+            .agg(F.avg("l_quantity").alias("__avg_qty")))
+    return (li.join(avgq, "l_partkey")
+            .where(F.col("l_quantity")
+                   < F.lit(0.2) * F.col("__avg_qty"))
+            .join(F.broadcast(part),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(F.round((F.sum(F.col("l_extendedprice")
+                                .cast("decimal(18,6)"))
+                          .cast("double") / F.lit(7.0)), 2)
+                 .alias("avg_yearly")))
+
+
+def _q_late_suppliers(spark, sf_dir):
+    """EXISTS / NOT-EXISTS self-join chain (TPC-H Q21 shape): suppliers
+    who alone shipped >100 days after the order date on multi-supplier
+    orders. Both quantifiers compile to LeftSemi/LeftAnti hash joins
+    on the ORDER key (high-cardinality — no skew exposure); the
+    supplier dim broadcasts; top-20 is TakeOrderedAndProject."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    supp = _read(spark, sf_dir, "supplier")
+    late = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .where(F.datediff(F.to_date("l_shipdate"),
+                              F.to_date("o_orderdate")) > 100)
+            .select("l_orderkey", "l_suppkey").distinct())
+    alll = li.select("l_orderkey", "l_suppkey").distinct()
+    other = alll.select(F.col("l_orderkey").alias("__ok"),
+                        F.col("l_suppkey").alias("__sk"))
+    other_late = late.select(F.col("l_orderkey").alias("__ok"),
+                             F.col("l_suppkey").alias("__sk"))
+    waiting = (late
+               .join(other, (F.col("l_orderkey") == F.col("__ok"))
+                     & (F.col("l_suppkey") != F.col("__sk")),
+                     "left_semi")
+               .join(other_late, (F.col("l_orderkey") == F.col("__ok"))
+                     & (F.col("l_suppkey") != F.col("__sk")),
+                     "left_anti"))
+    return (waiting.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_name", "numwait")
+            .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+            .limit(20))
+
+
+def _q_idle_rich(spark, sf_dir):
+    """Scalar-subquery + anti-join (TPC-H Q22 shape): customers above
+    the average positive balance who never ordered, rolled up per
+    nation. The threshold is a 1-row broadcast computed as
+    decimal-sum / count (exact — no partition-order float drift in
+    the comparison); the no-orders test is a LeftAnti hash join on
+    the customer key; per-nation sums in decimal(18,6)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    thr = (cust.where(F.col("c_acctbal") > 0)
+           .agg((F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                 .cast("double")
+                 / F.count(F.lit(1))).alias("__thr")))
+    return (cust.crossJoin(F.broadcast(thr))
+            .where(F.col("c_acctbal") > F.col("__thr"))
+            .join(orders.select(F.col("o_custkey").alias("__ck")),
+                  F.col("c_custkey") == F.col("__ck"), "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum(F.col("c_acctbal")
+                               .cast("decimal(18,6)"))
+                         .cast("double"), 2).alias("totacctbal")))
+
+
+def _q_mad_outliers(spark, sf_dir):
+    """Robust per-language outlier profile: median and MAD (median
+    absolute deviation) of tokens-per-document, plus the count of docs
+    beyond 3·MAD — the length-outlier screen quality pipelines run
+    before truncation. Both medians reuse grouped_quantiles' exact
+    integer rank rule over O(distinct values) histograms (two bounded
+    aggregates — never a sort of the corpus); deviations are integers,
+    so every comparison is engine-exact."""
+    from osm2lanes_spark.operators.profiling import grouped_quantiles
+    from osm2lanes_spark.operators.text import tokens
+
+    docs = (_read(spark, sf_dir, "documents")
+            .select("lang", F.size(tokens(F.col("text")))
+                    .alias("n_tokens")))
+    med = (grouped_quantiles(docs, "n_tokens", (0.5,), by="lang")
+           .select("lang", F.col("value").alias("median")))
+    dev = (docs.join(F.broadcast(med), "lang")
+           .withColumn("dev", F.abs(F.col("n_tokens")
+                                    - F.col("median"))))
+    mad = (grouped_quantiles(dev, "dev", (0.5,), by="lang")
+           .select("lang", F.col("value").alias("mad")))
+    return (dev.join(F.broadcast(mad), "lang")
+            .groupBy("lang", "median", "mad")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_if(F.col("dev") > 3 * F.col("mad"))
+                 .alias("n_outliers")))
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -1821,6 +1970,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": _shipped(_q_pivot_events),
         "nation_pairs": _shipped(_q_nation_pairs),
         "cheapest_supplier": _shipped(_q_cheapest_supplier),
+        "vocab_coverage": _shipped(_q_vocab_coverage),
+        "source_overlap": _shipped(_q_source_overlap),
+        "fuzzy_names": _shipped(_q_fuzzy_names),
+        "small_qty_revenue": _shipped(_q_small_qty_revenue),
+        "late_suppliers": _shipped(_q_late_suppliers),
+        "idle_rich": _shipped(_q_idle_rich),
+        "mad_outliers": _shipped(_q_mad_outliers),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
@@ -4368,6 +4524,168 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY l_partkey
                 ORDER BY l_extendedprice ASC, l_suppkey ASC) = 1
+        """,
+        "vocab_coverage": """
+            -- profiling.vocab_coverage replay: top-50 tokens + exact
+            -- integer cumulative coverage share
+            WITH t AS (
+                SELECT CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE list_transform(
+                                regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'),
+                                x -> lower(x))
+                       END AS toks
+                FROM documents),
+            tok AS (SELECT unnest(toks) AS token FROM t),
+            c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+            tot AS (SELECT count(*) AS total FROM tok),
+            top AS (SELECT token, cnt FROM c
+                    ORDER BY cnt DESC, token ASC LIMIT 50)
+            SELECT CAST(row_number() OVER
+                        (ORDER BY cnt DESC, token ASC) AS INTEGER)
+                       AS rank,
+                   token, cnt,
+                   round(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)
+                         * 1.0 / (SELECT total FROM tot), 6)
+                       AS cum_share
+            FROM top
+        """,
+        "source_overlap": """
+            -- profiling.key_ngram_overlap replay: distinct 3-grams per
+            -- source, shared-gram counts per source pair
+            WITH t AS (
+                SELECT source,
+                       CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE list_transform(
+                                regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'),
+                                x -> lower(x))
+                       END AS toks
+                FROM documents),
+            g AS (
+                SELECT source,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(
+                                range(1, len(toks) - 1),
+                                i -> array_to_string(toks[i:i+2], ' '))
+                            ELSE CAST([] AS VARCHAR[]) END AS grams
+                FROM t),
+            kg AS (SELECT DISTINCT source, unnest(grams) AS gram FROM g)
+            SELECT a.source AS key_a, b.source AS key_b,
+                   count(*) AS n_shared
+            FROM kg a JOIN kg b
+              ON a.gram = b.gram AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        "fuzzy_names": """
+            -- dedup.edit_distance_pairs replay: within-nation customer
+            -- pairs at Levenshtein distance <= 2 (the length band is a
+            -- pure pruning optimization — same result set without it)
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INTEGER)
+                       AS distance
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 2
+        """,
+        "small_qty_revenue": """
+            -- Q17 shape: the scalar correlated subquery decorrelated
+            -- into a per-part average join. l_quantity is
+            -- integer-valued, so avg is exact in any engine.
+            WITH a AS (SELECT l_partkey, avg(l_quantity) AS avg_qty
+                       FROM lineitem GROUP BY l_partkey)
+            SELECT p_brand,
+                   round(CAST(sum(CAST(l_extendedprice
+                                       AS DECIMAL(18,6))) AS DOUBLE)
+                         / CAST(7.0 AS DOUBLE), 2) AS avg_yearly
+            FROM lineitem
+            JOIN a USING (l_partkey)
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty
+            GROUP BY p_brand
+        """,
+        "late_suppliers": """
+            -- Q21 shape: the sole laggard supplier on multi-supplier
+            -- orders (>100 days order-to-ship)
+            WITH late AS (
+                SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE date_diff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) > 100),
+            alll AS (SELECT DISTINCT l_orderkey, l_suppkey
+                     FROM lineitem)
+            SELECT s_name, numwait FROM (
+                SELECT l1.l_suppkey, count(*) AS numwait
+                FROM late l1
+                WHERE EXISTS (SELECT 1 FROM alll x
+                              WHERE x.l_orderkey = l1.l_orderkey
+                                AND x.l_suppkey <> l1.l_suppkey)
+                  AND NOT EXISTS (SELECT 1 FROM late y
+                                  WHERE y.l_orderkey = l1.l_orderkey
+                                    AND y.l_suppkey <> l1.l_suppkey)
+                GROUP BY l1.l_suppkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            ORDER BY numwait DESC, s_name ASC LIMIT 20
+        """,
+        "idle_rich": """
+            -- Q22 shape: above-average-balance customers with no
+            -- orders, per nation. Threshold = decimal sum / count
+            -- (exact — no float-order drift in the comparison).
+            WITH thr AS (
+                SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                            AS DOUBLE) / count(*) AS t
+                FROM customer WHERE c_acctbal > 0)
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                              AS DOUBLE), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT t FROM thr)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey)
+            GROUP BY c_nationkey
+        """,
+        "mad_outliers": """
+            -- robust per-language length profile: median + MAD via the
+            -- exact rank rule value@floor((n-1)*0.5)+1, outliers at
+            -- dev > 3*MAD (all-integer arithmetic)
+            WITH v AS (
+                SELECT lang,
+                       CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+'))
+                       END AS val
+                FROM documents),
+            c AS (SELECT lang, val, count(*) AS cnt
+                  FROM v GROUP BY lang, val),
+            cum AS (SELECT lang, val,
+                           sum(cnt) OVER (PARTITION BY lang
+                                          ORDER BY val) AS cum,
+                           sum(cnt) OVER (PARTITION BY lang) AS total
+                    FROM c),
+            med AS (SELECT lang, min(val) AS median
+                    FROM cum
+                    WHERE cum >= floor((total - 1) * 0.5) + 1
+                    GROUP BY lang),
+            d AS (SELECT v.lang, abs(v.val - m.median) AS dev, m.median
+                  FROM v JOIN med m ON v.lang = m.lang),
+            dc AS (SELECT lang, dev, count(*) AS cnt
+                   FROM d GROUP BY lang, dev),
+            dcum AS (SELECT lang, dev,
+                            sum(cnt) OVER (PARTITION BY lang
+                                           ORDER BY dev) AS cum,
+                            sum(cnt) OVER (PARTITION BY lang) AS total
+                     FROM dc),
+            mad AS (SELECT lang, min(dev) AS mad
+                    FROM dcum
+                    WHERE cum >= floor((total - 1) * 0.5) + 1
+                    GROUP BY lang)
+            SELECT d.lang, d.median, mad.mad,
+                   count(*) AS n_docs,
+                   count(*) FILTER (d.dev > 3 * mad.mad) AS n_outliers
+            FROM d JOIN mad ON d.lang = mad.lang
+            GROUP BY d.lang, d.median, mad.mad
         """,
     }
     # generated oracles (polygon literals / 64-bit vote unrolls / fixture

@@ -257,7 +257,10 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "cms_tokens", "cust_order_dist", "weighted_docs",
                      "scd2_status", "pagerank", "qsketch_chars",
                      "dq_checks", "pivot_events", "nation_pairs",
-                     "cheapest_supplier")
+                     "cheapest_supplier", "vocab_coverage",
+                     "source_overlap", "fuzzy_names",
+                     "small_qty_revenue", "late_suppliers",
+                     "idle_rich", "mad_outliers")
 
         def run_one(name):
             t0 = time.perf_counter()

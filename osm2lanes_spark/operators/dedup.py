@@ -941,3 +941,50 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
             .join(dups, assigned[id_col] == F.col("_dup_id"), "left")
             .withColumn("keep", F.col("_dup_id").isNull())
             .select(id_col, "cluster_id", "keep"))
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance similarity join (entity resolution)
+# ---------------------------------------------------------------------------
+
+def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        block_by: "tuple[str, ...]" = (),
+                        threshold: int = 2,
+                        length_band: bool = True) -> DataFrame:
+    """Blocked Levenshtein similarity self-join (record linkage).
+
+    Returns canonical pairs ``(id_a, id_b, distance)`` with
+    ``id_a < id_b`` and ``levenshtein(text_a, text_b) <= threshold``,
+    restricted to rows sharing every ``block_by`` column — the standard
+    entity-resolution blocking scheme (Fellegi–Sunter): the quadratic
+    term is bounded by the largest block, never the table.
+
+    100 TB shape: the self-join is an ordinary hash equi-join on the
+    block key (AQE skew-split applies — no ordering requirement), and
+    ``length_band`` prunes ``|len_a − len_b| > threshold`` pairs BEFORE
+    the Levenshtein evaluation (edit distance is lower-bounded by the
+    length gap), all inside whole-stage codegen — no Python. Choose
+    block keys so the hottest block stays executor-sized; an unblocked
+    run is the all-pairs oracle baseline and must be requested
+    explicitly via ``block_by=()`` on a bounded input (raises on empty
+    blocks only at plan time, not data time).
+    """
+    if threshold < 0:
+        raise ValueError(f"threshold must be >= 0, got {threshold}")
+    blocks = list(block_by)
+    a = df.select(*blocks, F.col(id_col).alias("id_a"),
+                  F.col(text_col).alias("__text_a"))
+    b = df.select(*blocks, F.col(id_col).alias("id_b"),
+                  F.col(text_col).alias("__text_b"))
+    joined = (a.join(b, on=blocks) if blocks
+              else a.crossJoin(b)).where(F.col("id_a") < F.col("id_b"))
+    if length_band:
+        joined = joined.where(
+            F.abs(F.length("__text_a") - F.length("__text_b"))
+            <= F.lit(threshold))
+    return (joined
+            .withColumn("distance",
+                        F.levenshtein("__text_a", "__text_b"))
+            .where(F.col("distance") <= F.lit(threshold))
+            .select("id_a", "id_b", "distance"))

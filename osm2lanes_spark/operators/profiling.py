@@ -624,3 +624,67 @@ def dq_report(df: DataFrame, metrics: dict[str, Column],
     one = df.agg(*aggs)
     return (one.unpivot([], names, "metric", "value")
             .select("metric", F.round("value", 6).alias("value")))
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text",
+                   top_n: int = 100, lowercase: bool = True) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve: the ``top_n`` most frequent
+    tokens with their cumulative corpus-coverage share — the standard
+    diagnostic for sizing a vocabulary (what fraction of all token
+    occurrences the first N entries absorb).
+
+    Returns ``(rank, token, cnt, cum_share)`` ordered by count
+    descending, token ascending (deterministic tie-break);
+    ``cum_share`` is rounded to 6 decimals. Counts and the total are
+    exact integers, so the ratio is bit-identical in any engine.
+
+    100 TB shape: one explode + one map-side-combined count shuffle
+    (the hottest token combines hardest); selection is
+    ``TakeOrderedAndProject`` (per-task top-N, driver merge of N·tasks
+    rows — never a global sort); the corpus total rides a 1-row
+    broadcast and the ranking window runs over exactly ``top_n`` rows.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    col = F.col(text_col)
+    toks = df.select(
+        F.explode(tokens(F.lower(col) if lowercase else col))
+        .alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()) \
+                .limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (top.crossJoin(F.broadcast(total))
+            .select(F.row_number().over(w).alias("rank"),
+                    "token", "cnt",
+                    F.round(F.sum("cnt").over(cum) / F.col("__total"), 6)
+                    .alias("cum_share")))
+
+
+def key_ngram_overlap(df: DataFrame, key_col: str, text_col: str = "text",
+                      n: int = 3, lowercase: bool = True) -> DataFrame:
+    """Pairwise n-gram overlap matrix between key groups (e.g. corpus
+    sources): for every pair ``key_a < key_b``, the number of distinct
+    word n-grams both groups contain. The cross-source screening step
+    before mixing corpora — high overlap means shared boilerplate or
+    scraped-twice content that exact per-document dedup misses.
+
+    100 TB shape: the only full-data pass is the explode into the
+    distinct ``(key, gram)`` aggregate (map-side partial combine — a
+    billion-occurrence gram collapses per map task); the pair join is
+    an equi-join ON THE GRAM whose fan-out per gram is bounded by the
+    number of keys carrying it (≤ |keys|, never rows), and the final
+    count shuffles at most |keys|² partial rows. No all-pairs product
+    anywhere.
+    """
+    grams = (df.select(F.col(key_col).alias("key_a"),
+                       F.explode(ngrams(F.col(text_col), n, lowercase))
+                       .alias("gram"))
+             .distinct())
+    other = grams.select(F.col("key_a").alias("key_b"), "gram")
+    return (grams.join(other, "gram")
+            .where(F.col("key_a") < F.col("key_b"))
+            .groupBy("key_a", "key_b")
+            .agg(F.count(F.lit(1)).alias("n_shared")))

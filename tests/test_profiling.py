@@ -509,3 +509,58 @@ def test_dq_report_metrics_checks_and_dup_names(spark):
     with pytest.raises(ValueError, match="distinct"):
         dq_report(df, {"x": F.count(F.lit(1))},
                   {"x": F.count(F.lit(1)) > 0})
+
+
+def test_vocab_coverage_ranks_and_shares(spark):
+    from osm2lanes_spark.operators.profiling import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "A b  a"), (3, "   ")],
+        "doc_id long, text string")
+    rows = vocab_coverage(df, top_n=2).collect()
+    # totals: a=4 (lowercased), b=2, c=1 → 7 tokens
+    assert [(r.rank, r.token, r.cnt) for r in rows] == [(1, "a", 4),
+                                                        (2, "b", 2)]
+    assert rows[0].cum_share == round(4 / 7, 6)
+    assert rows[1].cum_share == round(6 / 7, 6)
+    with pytest.raises(ValueError, match="top_n"):
+        vocab_coverage(df, top_n=0)
+
+
+def test_key_ngram_overlap_counts_distinct_shared(spark):
+    from osm2lanes_spark.operators.profiling import key_ngram_overlap
+
+    df = spark.createDataFrame(
+        [("s1", "x y z w"), ("s1", "x y z"), ("s2", "X y z q"),
+         ("s3", "nothing shared here"), ("s2", "too")],
+        "source string, text string")
+    got = {(r.key_a, r.key_b): r.n_shared
+           for r in key_ngram_overlap(df, "source", n=3).collect()}
+    # shared distinct 3-grams s1∩s2: only "x y z" (case-folded);
+    # "too" has <3 tokens → no grams; s3 shares nothing
+    assert got == {("s1", "s2"): 1}
+
+
+def test_edit_distance_pairs_blocking_band_and_threshold(spark):
+    from osm2lanes_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "B", "kitten"), (2, "B", "sitten"), (3, "B", "sittin"),
+         (4, "B", "kitchen"), (5, "C", "kitten"), (6, "B", "aaaaaaaaaa")],
+        "id long, blk string, name string")
+    got = {(r.id_a, r.id_b): r.distance
+           for r in edit_distance_pairs(
+               df, id_col="id", text_col="name", block_by=("blk",),
+               threshold=2).collect()}
+    # 1-2 (1 sub), 1-3 (2 subs), 2-3 (1 sub), 1-4 (t→c sub + h ins);
+    # 2-4/3-4 are distance 3/4 (out); 5 is another block even though
+    # identical to 1; 6 is pruned by the length band
+    assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 1, (1, 4): 2}
+    # unblocked flavor crosses blocks (declared all-pairs baseline)
+    full = {(r.id_a, r.id_b): r.distance
+            for r in edit_distance_pairs(
+                df, id_col="id", text_col="name", threshold=0).collect()}
+    assert full == {(1, 5): 0}
+    with pytest.raises(ValueError, match="threshold"):
+        edit_distance_pairs(df, id_col="id", text_col="name",
+                            threshold=-1)

@@ -63,6 +63,13 @@ ADDED_SINCE_LAST_GATE = {
     "pivot_events",
     "nation_pairs",
     "cheapest_supplier",
+    "vocab_coverage",
+    "source_overlap",
+    "fuzzy_names",
+    "small_qty_revenue",
+    "late_suppliers",
+    "idle_rich",
+    "mad_outliers",
 }
 
 
