@@ -451,12 +451,16 @@ keys on the GRAM with per-gram fan-out bounded by |keys| (never rows),
 and the final count shuffles ≤ |keys|² partial rows. No all-pairs
 product of documents anywhere.""",
     "fuzzy_names": """\
-Blocked Levenshtein entity resolution: an ordinary hash equi-join on
-the block key (no ordering requirement — AQE skew split applies), the
-length-band filter prunes |len gap| > t pairs BEFORE any distance
-call, and the JVM levenshtein runs inside whole-stage codegen — zero
-Python, zero crossJoin. The quadratic term is bounded by the largest
-block, the caller's knob.""",
+Blocked Levenshtein entity resolution, band flavor: an ordinary hash
+equi-join on the (nation, segment) block key (no ordering requirement
+— AQE skew split applies), the length-band filter prunes |len gap| > t
+pairs BEFORE any distance call, and the JVM levenshtein runs inside
+whole-stage codegen — zero Python, zero crossJoin. Band is the
+measured winner on this DENSE ID-like corpus (candidates ≈ output);
+method='segment' (PassJoin pigeonhole — same result set, equivalence
+pinned in tests) is the default and the only feasible path in the
+sparse/unblocked regime (~240x at 50k rows, BENCH/BASELINE.md r06
+sixth wave).""",
     "small_qty_revenue": """\
 Q17 decorrelated: the per-part average is a partial-combined aggregate
 hash-joined back on the part key (exactly what Catalyst would emit for
@@ -481,6 +485,16 @@ histogram rank rule — the only full-data passes are two map-side-
 combined (lang, value) aggregates; medians and MADs join back as
 broadcast dims (≤ |langs| rows) and every comparison is integer. The
 corpus is never sorted.""",
+    "jaccard_prefix": """\
+PPJoin prefix-filtered Jaccard join — the scale path for the all-pairs
+ngram_jaccard baseline (lossless: equivalence pinned in
+tests/test_training_ops.py). One explode + map-side-combined token
+frequency; one hash join back on the token (AQE-splittable, no
+ordering); a per-doc sort of its OWN (freq, tok) structs gives the
+canonical rare-first order with NO global rank or sort; candidates
+come from an equi-join on prefix tokens with the min>=t*max length
+prune, and exact Jaccard verifies candidates only. Zero cross
+products — plan-asserted.""",
 }
 
 
@@ -535,7 +549,8 @@ def main() -> None:
                  "dq_checks", "pivot_events", "nation_pairs",
                  "cheapest_supplier", "vocab_coverage",
                  "source_overlap", "fuzzy_names", "small_qty_revenue",
-                 "late_suppliers", "idle_rich", "mad_outliers"):
+                 "late_suppliers", "idle_rich", "mad_outliers",
+                 "jaccard_prefix"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

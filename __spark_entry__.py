@@ -613,6 +613,20 @@ def _q_ngram_jaccard(spark, sf_dir):
                                threshold=0.5)
 
 
+def _q_jaccard_prefix(spark, sf_dir):
+    """PPJoin-style prefix-filtered Jaccard self-join (operators/
+    dedup.py jaccard_prefix_pairs): the SCALE path for the all-pairs
+    ngram_jaccard baseline — same result set (the prefix principle is
+    lossless for J >= t), but every exchange keys on tokens or doc
+    ids; candidates come from a rare-token prefix equi-join with a
+    length-ratio prune, never a cross product."""
+    from osm2lanes_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(docs, "doc_id", "text", shingle_n=3,
+                                threshold=0.5)
+
+
 
 
 def _q_promo_revenue(spark, sf_dir):
@@ -1782,15 +1796,22 @@ def _q_source_overlap(spark, sf_dir):
 
 def _q_fuzzy_names(spark, sf_dir):
     """Blocked Levenshtein entity resolution (operators/dedup.py
-    edit_distance_pairs): customer-name pairs within a nation block at
-    edit distance ≤ 2. The quadratic term is bounded by the largest
-    block; the length band prunes before any distance evaluation; all
-    codegen (JVM levenshtein), no Python."""
+    edit_distance_pairs): duplicate-customer candidates within a
+    (nation, market-segment) block at edit distance ≤ 2. ID-like names
+    share a constant prefix, so every neighborhood is DENSE — the
+    measured regime where the plain banded block join beats PassJoin
+    segment filtering (candidates ≈ output either way; A/B in
+    BENCH/BASELINE.md) — hence method='band' here, with the segment
+    path (the sparse/huge-block scale flavor, same result set —
+    equivalence pinned in tests) left at its default elsewhere. The
+    quadratic term is bounded by the largest block; the length band
+    prunes before any distance evaluation; all codegen, no Python."""
     from osm2lanes_spark.operators.dedup import edit_distance_pairs
 
     return edit_distance_pairs(
         _read(spark, sf_dir, "customer"), id_col="c_custkey",
-        text_col="c_name", block_by=("c_nationkey",), threshold=2)
+        text_col="c_name", block_by=("c_nationkey", "c_mktsegment"),
+        threshold=2, method="band")
 
 
 def _q_small_qty_revenue(spark, sf_dir):
@@ -1978,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_rich": _shipped(_q_idle_rich),
         "mad_outliers": _shipped(_q_mad_outliers),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
+        "jaccard_prefix": _shipped(_q_jaccard_prefix),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
         "dedup_survivors": _shipped(_q_dedup_survivors),
@@ -4580,14 +4602,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "fuzzy_names": """
-            -- dedup.edit_distance_pairs replay: within-nation customer
-            -- pairs at Levenshtein distance <= 2 (the length band is a
-            -- pure pruning optimization — same result set without it)
+            -- dedup.edit_distance_pairs replay: customer pairs within
+            -- a (nation, segment) block at Levenshtein distance <= 2
+            -- (length band / segment filtering are pure pruning — same
+            -- result set without them)
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                    CAST(levenshtein(a.c_name, b.c_name) AS INTEGER)
                        AS distance
             FROM customer a JOIN customer b
               ON a.c_nationkey = b.c_nationkey
+             AND a.c_mktsegment = b.c_mktsegment
              AND a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 2
         """,
@@ -4718,6 +4742,11 @@ def oracle_sql() -> dict[str, str]:
     # (verified in tests/test_training_ops.py::test_minhash_matches_bruteforce
     # and the parity gate): oracle = the exact n-gram Jaccard join
     out["minhash_pairs"] = out["ngram_jaccard"]
+    # prefix filtering is LOSSLESS for J >= t (the SSJoin/PPJoin prefix
+    # principle; equivalence also pinned by
+    # tests/test_training_ops.py::test_jaccard_prefix_matches_bruteforce)
+    # → the scale path shares the all-pairs oracle verbatim
+    out["jaccard_prefix"] = out["ngram_jaccard"]
     return out
 
 

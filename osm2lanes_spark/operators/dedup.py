@@ -947,11 +947,24 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
 # Blocked edit-distance similarity join (entity resolution)
 # ---------------------------------------------------------------------------
 
+def _even_segment(L: Column, i: int, k: int) -> "tuple[Column, Column]":
+    """1-based start and length of segment ``i`` (0-based) of a
+    length-``L`` string split into ``k`` near-even contiguous segments:
+    ``start = floor(i*L/k) + 1``, ``len = floor((i+1)*L/k) - floor(i*L/k)``.
+    Exact integer arithmetic (the graph.py _idiv idiom)."""
+    def idiv(a: Column) -> Column:
+        return ((a - a % k) / k).cast("int")
+    start = idiv(F.lit(i) * L) + 1
+    length = idiv(F.lit(i + 1) * L) - idiv(F.lit(i) * L)
+    return start, length
+
+
 def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
                         block_by: "tuple[str, ...]" = (),
                         threshold: int = 2,
-                        length_band: bool = True) -> DataFrame:
+                        length_band: bool = True,
+                        method: str = "segment") -> DataFrame:
     """Blocked Levenshtein similarity self-join (record linkage).
 
     Returns canonical pairs ``(id_a, id_b, distance)`` with
@@ -960,31 +973,192 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
     entity-resolution blocking scheme (Fellegi–Sunter): the quadratic
     term is bounded by the largest block, never the table.
 
-    100 TB shape: the self-join is an ordinary hash equi-join on the
-    block key (AQE skew-split applies — no ordering requirement), and
-    ``length_band`` prunes ``|len_a − len_b| > threshold`` pairs BEFORE
-    the Levenshtein evaluation (edit distance is lower-bounded by the
-    length gap), all inside whole-stage codegen — no Python. Choose
-    block keys so the hottest block stays executor-sized; an unblocked
-    run is the all-pairs oracle baseline and must be requested
-    explicitly via ``block_by=()`` on a bounded input (raises on empty
-    blocks only at plan time, not data time).
+    ``method`` picks the within-block strategy (both return the SAME
+    result set — equivalence pinned in tests):
+
+    - ``"segment"`` (default, the 100 TB path): PassJoin-style
+      pigeonhole filtering (Li/Deng/Feng, VLDB 2011 — public
+      knowledge). Every string is split into ``threshold + 1``
+      near-even segments; if ``ed(a, b) <= t``, at least one of
+      ``a``'s segments survives untouched and appears VERBATIM in
+      ``b``, shifted by at most ``t`` positions. So candidates come
+      from an ordinary hash EQUI-join of segment keys against a
+      bounded enumeration of partner-aligned substrings
+      (``(2t+1)·(t+1)·(2t+1)`` keys per row, constant at plan time) —
+      within-block cost scales with true matches, not block².
+      Strings shorter than ``2t + 1`` fall back to a tiny all-pairs
+      pool per block (any partner of such a string is itself short).
+    - ``"band"``: plain within-block pairing with the
+      ``length_band`` prune (edit distance is lower-bounded by the
+      length gap) — the quadratic baseline the segment path is
+      verified against; also the all-pairs oracle flavor when
+      ``block_by=()``.
+
+    All codegen (JVM ``levenshtein`` verifies candidates only), no
+    Python, no cross product outside the declared short-string pool.
     """
     if threshold < 0:
         raise ValueError(f"threshold must be >= 0, got {threshold}")
+    if method not in ("segment", "band"):
+        raise ValueError(f"method must be 'segment' or 'band', got {method!r}")
     blocks = list(block_by)
-    a = df.select(*blocks, F.col(id_col).alias("id_a"),
-                  F.col(text_col).alias("__text_a"))
-    b = df.select(*blocks, F.col(id_col).alias("id_b"),
-                  F.col(text_col).alias("__text_b"))
-    joined = (a.join(b, on=blocks) if blocks
-              else a.crossJoin(b)).where(F.col("id_a") < F.col("id_b"))
-    if length_band:
-        joined = joined.where(
-            F.abs(F.length("__text_a") - F.length("__text_b"))
-            <= F.lit(threshold))
-    return (joined
+    if method == "band":
+        a = df.select(*blocks, F.col(id_col).alias("id_a"),
+                      F.col(text_col).alias("__text_a"))
+        b = df.select(*blocks, F.col(id_col).alias("id_b"),
+                      F.col(text_col).alias("__text_b"))
+        joined = (a.join(b, on=blocks) if blocks
+                  else a.crossJoin(b)).where(F.col("id_a") < F.col("id_b"))
+        if length_band:
+            joined = joined.where(
+                F.abs(F.length("__text_a") - F.length("__text_b"))
+                <= F.lit(threshold))
+        return (joined
+                .withColumn("distance",
+                            F.levenshtein("__text_a", "__text_b"))
+                .where(F.col("distance") <= F.lit(threshold))
+                .select("id_a", "id_b", "distance"))
+
+    t, k = threshold, threshold + 1
+    base = df.select(*blocks, F.col(id_col).alias("__id"),
+                     F.col(text_col).alias("__text"),
+                     F.length(text_col).alias("__len"))
+
+    # --- segment side: the k segments of each long-enough string
+    seg_structs = []
+    for i in range(k):
+        st, ln = _even_segment(F.col("__len"), i, k)
+        seg_structs.append(F.struct(
+            F.lit(i).alias("i"), F.col("__len").alias("l"),
+            F.substring(F.col("__text"), st, ln).alias("seg")))
+    segside = (base.where(F.col("__len") >= k)
+               .select(*blocks, F.col("__id").alias("__sid"), "__len",
+                       F.explode(F.array(*seg_structs)).alias("__k"))
+               .select(*blocks, "__sid",
+                       F.col("__k.i").alias("__i"),
+                       F.col("__k.l").alias("__l"),
+                       F.col("__k.seg").alias("__seg")))
+
+    # --- probe side: substrings aligned to every possible partner
+    # length l ∈ [len−t, len+t], segment i, shift d ∈ [−t, t] (the
+    # untouched segment moves by at most the net edits before it)
+    probe_structs = []
+    for dl in range(-t, t + 1):
+        L = F.col("__len") + dl
+        for i in range(k):
+            st, ln = _even_segment(L, i, k)
+            for d in range(-t, t + 1):
+                s2 = st + d
+                valid = ((L >= k) & (ln >= 1) & (s2 >= 1)
+                         & (s2 + ln - 1 <= F.col("__len")))
+                probe_structs.append(F.when(valid, F.struct(
+                    F.lit(i).alias("i"), L.alias("l"),
+                    F.substring(F.col("__text"), s2, ln).alias("seg"))))
+    probeside = (base
+                 .select(*blocks, F.col("__id").alias("__oid"),
+                         F.explode(F.array_distinct(
+                             F.array(*probe_structs))).alias("__k"))
+                 .where(F.col("__k").isNotNull())
+                 .select(*blocks, "__oid",
+                         F.col("__k.i").alias("__i"),
+                         F.col("__k.l").alias("__l"),
+                         F.col("__k.seg").alias("__seg")))
+
+    cand = (segside.join(probeside,
+                         blocks + ["__i", "__l", "__seg"])
+            .where(F.col("__sid") != F.col("__oid"))
+            .select(F.least("__sid", "__oid").alias("id_a"),
+                    F.greatest("__sid", "__oid").alias("id_b")))
+
+    # --- short-string pool: any partner of a string shorter than k is
+    # itself shorter than 2t+1 — a bounded all-pairs per block
+    shorts = base.where(F.col("__len") <= 2 * t)
+    sa = shorts.select(*blocks, F.col("__id").alias("id_a"))
+    sb = shorts.select(*blocks, F.col("__id").alias("id_b"))
+    short_cand = ((sa.join(sb, on=blocks) if blocks
+                   else sa.crossJoin(sb))
+                  .where(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b"))
+
+    ta = df.select(F.col(id_col).alias("id_a"),
+                   F.col(text_col).alias("__text_a"))
+    tb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(text_col).alias("__text_b"))
+    return (cand.unionByName(short_cand).distinct()
+            .join(ta, "id_a").join(tb, "id_b")
             .withColumn("distance",
                         F.levenshtein("__text_a", "__text_b"))
-            .where(F.col("distance") <= F.lit(threshold))
+            .where(F.col("distance") <= F.lit(t))
             .select("id_a", "id_b", "distance"))
+
+
+def jaccard_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", shingle_n: int = 3,
+                         threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard similarity self-join via PREFIX FILTERING — the
+    scale path for :func:`ngram_jaccard_pairs` (which is the declared
+    all-pairs baseline). Same result set, no cross product.
+
+    Prefix principle (Chaudhuri/Ganti/Kaushik SSJoin 2006, Xiao et al.
+    PPJoin 2008 — public knowledge): order every set by one canonical
+    global token order; if J(A, B) >= t then A and B must share at
+    least one token within their first ``|s| - ceil(t*|s|) + 1``
+    tokens. The canonical order used here is (global frequency asc,
+    token asc) — rare-first, which minimizes candidate fan-out — and
+    is materialized WITHOUT a global rank: each doc sorts its own
+    (freq, tok) structs, so no global row_number/sort ever runs.
+
+    Plan at 100 TB: one explode + map-side-combined token-frequency
+    aggregate; one hash join back on the token (no ordering — AQE skew
+    split applies to stopword-grade shingles); one per-doc aggregate
+    (state bounded by the doc's own shingle count); the candidate join
+    keys on PREFIX tokens only (rare by construction) with the
+    length-ratio filter ``min >= t*max`` pruning before the distinct;
+    exact Jaccard verifies candidates only. Every exchange keys on
+    tokens or ids — never a pair enumeration of the corpus.
+
+    The prefix length rounds conservatively long (``ceil(t*|s|)`` is
+    computed as ``ceil(t*|s| - 1e-9)`` so float error can only ADD
+    candidates, never drop a true pair).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    s = df.select(F.col(id_col).alias("id"),
+                  word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    toks = s.select("id", F.explode("sh").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    docs = (toks.join(freq, "tok")
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("freq", "tok")))
+                 .alias("__order"),
+                 F.count(F.lit(1)).alias("__sz")))
+    plen = (F.col("__sz")
+            - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9))
+            + 1).cast("int")
+    prefix = (docs
+              .select("id", "__sz",
+                      F.explode(F.slice("__order", F.lit(1), plen))
+                      .alias("__p"))
+              # a frequency-1 token exists in exactly one doc — it can
+              # never produce a candidate PAIR, and on shingle inputs
+              # most tokens are unique: dropping them prunes the
+              # candidate join to the genuinely shared vocabulary
+              .where(F.col("__p.freq") > 1)
+              .select("id", "__sz", F.col("__p.tok").alias("tok")))
+    a = prefix.select(F.col("id").alias("left_id"),
+                      F.col("__sz").alias("__sza"), "tok")
+    b = prefix.select(F.col("id").alias("right_id"),
+                      F.col("__sz").alias("__szb"), "tok")
+    cand = (a.join(b, "tok")
+            .where(F.col("left_id") < F.col("right_id"))
+            .where(F.least("__sza", "__szb")
+                   >= F.lit(threshold) * F.greatest("__sza", "__szb"))
+            .select("left_id", "right_id")
+            .distinct())
+    lsh = s.select(F.col("id").alias("left_id"), F.col("sh").alias("__lsh"))
+    rsh = s.select(F.col("id").alias("right_id"), F.col("sh").alias("__rsh"))
+    return (cand.join(lsh, "left_id").join(rsh, "right_id")
+            .withColumn("jaccard",
+                        F.round(jaccard(F.col("__lsh"), F.col("__rsh")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("left_id", "right_id", "jaccard"))

@@ -554,7 +554,7 @@ def test_edit_distance_pairs_blocking_band_and_threshold(spark):
                threshold=2).collect()}
     # 1-2 (1 sub), 1-3 (2 subs), 2-3 (1 sub), 1-4 (t→c sub + h ins);
     # 2-4/3-4 are distance 3/4 (out); 5 is another block even though
-    # identical to 1; 6 is pruned by the length band
+    # identical to 1; 6 is out of the length band
     assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 1, (1, 4): 2}
     # unblocked flavor crosses blocks (declared all-pairs baseline)
     full = {(r.id_a, r.id_b): r.distance
@@ -564,3 +564,31 @@ def test_edit_distance_pairs_blocking_band_and_threshold(spark):
     with pytest.raises(ValueError, match="threshold"):
         edit_distance_pairs(df, id_col="id", text_col="name",
                             threshold=-1)
+    with pytest.raises(ValueError, match="method"):
+        edit_distance_pairs(df, id_col="id", text_col="name",
+                            method="nope")
+
+
+def test_edit_distance_segment_equals_band_mixed_lengths(spark):
+    """The PassJoin pigeonhole path returns EXACTLY the banded result
+    on a corpus with empty, short (< 2t+1) and long strings at every
+    threshold — the equivalence that licenses sharing one oracle."""
+    from osm2lanes_spark.operators.dedup import edit_distance_pairs
+
+    rows, h = [], lambda i, j: (i * 2654435761 + j * 40503) % 5
+    for i in range(120):
+        L = (i * 7) % 13  # lengths 0..12, includes empties
+        rows.append((i, i % 2, "".join("abcde"[h(i, j)]
+                                       for j in range(L))))
+    df = spark.createDataFrame(rows, "id long, blk int, name string")
+    for t in (0, 1, 2, 3):
+        band = {(r.id_a, r.id_b): r.distance
+                for r in edit_distance_pairs(
+                    df, "id", "name", ("blk",), t,
+                    method="band").collect()}
+        seg = {(r.id_a, r.id_b): r.distance
+               for r in edit_distance_pairs(
+                   df, "id", "name", ("blk",), t,
+                   method="segment").collect()}
+        assert seg == band, t
+    assert band  # the corpus actually produces matches at t=3

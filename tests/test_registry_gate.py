@@ -70,6 +70,7 @@ ADDED_SINCE_LAST_GATE = {
     "late_suppliers",
     "idle_rich",
     "mad_outliers",
+    "jaccard_prefix",
 }
 
 

@@ -1832,3 +1832,24 @@ def test_weighted_sample_guards(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_jaccard_prefix_matches_bruteforce(spark, dup_docs):
+    """The PPJoin prefix filter is lossless: the prefix-join scale path
+    returns EXACTLY the all-pairs result at every threshold tried (this
+    equivalence is what lets jaccard_prefix share ngram_jaccard's
+    oracle), and its plan contains no cross product."""
+    for t in (0.2, 0.5, 0.8, 1.0):
+        brute = {(r["left_id"], r["right_id"]): r["jaccard"]
+                 for r in D.ngram_jaccard_pairs(
+                     dup_docs, "doc_id", "text", threshold=t).collect()}
+        pref = {(r["left_id"], r["right_id"]): r["jaccard"]
+                for r in D.jaccard_prefix_pairs(
+                    dup_docs, "doc_id", "text", threshold=t).collect()}
+        assert pref == brute, t
+    plan = (D.jaccard_prefix_pairs(dup_docs, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    with pytest.raises(ValueError, match="threshold"):
+        D.jaccard_prefix_pairs(dup_docs, threshold=0.0)
