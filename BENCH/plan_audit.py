@@ -396,6 +396,19 @@ hash-verified against a full DuckDB replay (oracle s2_binning).""",
 Raster side aggregates per cell first (partial agg), then equi-joins the
 vector side by cell id — rasterize-then-join, never point-in-polygon per
 event row.""",
+    "cdc_merge": """\
+MERGE INTO semantics: the three-arm merge is ONE full-outer
+SortMergeJoin on the key (the change batch here derives from the base
+so both sides shuffle; a real daily delta takes broadcast_source=True
+and the base never moves); delete filtering and matched/insert column
+selection are pure codegen CASE work above the join, and the rollup
+partial-combines. No per-arm passes — one join resolves all three.""",
+    "cdc_compact": """\
+Change-log compaction: ONE hash exchange on the log's user key feeds a
+row_number window ordered by the unique event id with the
+delete-preference tie-break; survivors filter inside the window stage
+and the rollup partial-combines. The base table is never read — apply
+survivors with merge_upsert(broadcast_source=True).""",
     "pagerank": """\
 Iterative PageRank: the edge build (fact-fact join + distinct) and its
 degree pre-join localCheckpoint ONCE (cache_edges=True — without it
@@ -550,7 +563,7 @@ def main() -> None:
                  "cheapest_supplier", "vocab_coverage",
                  "source_overlap", "fuzzy_names", "small_qty_revenue",
                  "late_suppliers", "idle_rich", "mad_outliers",
-                 "jaccard_prefix"):
+                 "jaccard_prefix", "cdc_merge", "cdc_compact"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -1925,6 +1925,67 @@ def _q_mad_outliers(spark, sf_dir):
                  .alias("n_outliers")))
 
 
+def _q_cdc_merge(spark, sf_dir):
+    """MERGE INTO semantics (operators/cdc.py merge_upsert): a
+    deterministic change batch (updates on keys ≡0 mod 50, inserts on
+    shifted keys, deletes on keys ≡49 mod 100) applied to orders via
+    ONE full-outer hash join on the key — matched rows take the source
+    payload, delete-flagged rows drop, unmatched target rows pass
+    through. Rolled up per resulting status with decimal-exact sums.
+    The oracle replays the equivalent anti-join ∪ surviving-source
+    construction."""
+    from osm2lanes_spark.operators.cdc import merge_upsert
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = (orders.where(F.col("o_orderkey") % 50 == 0)
+               .select("o_orderkey",
+                       F.lit("X").alias("o_orderstatus"),
+                       (F.col("o_totalprice") + 1000)
+                       .alias("o_totalprice"),
+                       F.lit(False).alias("__del")))
+    inserts = (orders.where(F.col("o_orderkey") % 97 == 3)
+               .select((F.col("o_orderkey") + 100_000_000)
+                       .alias("o_orderkey"),
+                       F.lit("N").alias("o_orderstatus"),
+                       F.col("o_totalprice").alias("o_totalprice"),
+                       F.lit(False).alias("__del")))
+    deletes = (orders.where(F.col("o_orderkey") % 100 == 49)
+               .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                       F.lit(True).alias("__del")))
+    source = updates.unionByName(inserts).unionByName(deletes)
+    merged = merge_upsert(orders, source, ["o_orderkey"],
+                          delete_col="__del")
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(18,6)"))
+                         .cast("double"), 2).alias("total_price")))
+
+
+def _q_cdc_compact(spark, sf_dir):
+    """Latest-wins change-log compaction (operators/cdc.py
+    compact_cdc_log): events replayed as a per-user I/U/D log ordered
+    by the unique event id; each user's final state survives unless
+    the last op is a delete. ONE window over the log's key shuffle —
+    the base table is never read. Survivor payloads aggregate per
+    event_type with decimal-exact value sums."""
+    from osm2lanes_spark.operators.cdc import compact_cdc_log
+
+    ev = _read(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id", "event_id", "event_type", "value",
+        F.element_at(F.array(F.lit("I"), F.lit("U"), F.lit("U"),
+                             F.lit("D")),
+                     (F.pmod(F.col("event_id"), F.lit(4)) + 1)
+                     .cast("int")).alias("op"))
+    survivors = compact_cdc_log(log, ["user_id"], "event_id")
+    return (survivors.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                         .cast("double"), 2).alias("total_value")))
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -2000,6 +2061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _shipped(_q_mad_outliers),
         "ngram_jaccard": _shipped(_q_ngram_jaccard),
         "jaccard_prefix": _shipped(_q_jaccard_prefix),
+        "cdc_merge": _shipped(_q_cdc_merge),
+        "cdc_compact": _shipped(_q_cdc_compact),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
         "dedup_survivors": _shipped(_q_dedup_survivors),
@@ -4546,6 +4609,55 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY l_partkey
                 ORDER BY l_extendedprice ASC, l_suppkey ASC) = 1
+        """,
+        "cdc_merge": """
+            -- merge_upsert replay: merged = (target minus source keys)
+            -- UNION ALL (source rows not delete-flagged); updates keys
+            -- %50=0, inserts shifted +1e8 on keys %97=3, deletes %100=49
+            WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders),
+            src AS (
+                SELECT o_orderkey, 'X' AS o_orderstatus,
+                       o_totalprice + 1000 AS o_totalprice,
+                       FALSE AS del FROM t WHERE o_orderkey % 50 = 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, 'N', o_totalprice, FALSE
+                FROM t WHERE o_orderkey % 97 = 3
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE
+                FROM t WHERE o_orderkey % 100 = 49),
+            merged AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM t WHERE o_orderkey NOT IN
+                     (SELECT o_orderkey FROM src)
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM src WHERE NOT del)
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                              AS DOUBLE), 2) AS total_price
+            FROM merged GROUP BY o_orderstatus
+        """,
+        "cdc_compact": """
+            -- compact_cdc_log replay: latest event per user by the
+            -- unique event id, dropped when the final op is D
+            WITH log AS (
+                SELECT user_id, event_id, event_type, value,
+                       (['I','U','U','D'])[CAST(event_id % 4 AS INTEGER) + 1]
+                           AS op
+                FROM events),
+            last AS (
+                SELECT * FROM log
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY event_id DESC,
+                             CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC,
+                             op DESC) = 1)
+            SELECT event_type, count(*) AS n_users,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                              AS DOUBLE), 2) AS total_value
+            FROM last WHERE op <> 'D'
+            GROUP BY event_type
         """,
         "vocab_coverage": """
             -- profiling.vocab_coverage replay: top-50 tokens + exact

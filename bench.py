@@ -260,7 +260,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "cheapest_supplier", "vocab_coverage",
                      "source_overlap", "fuzzy_names",
                      "small_qty_revenue", "late_suppliers",
-                     "idle_rich", "mad_outliers", "jaccard_prefix")
+                     "idle_rich", "mad_outliers", "jaccard_prefix",
+                     "cdc_merge", "cdc_compact")
 
         def run_one(name):
             t0 = time.perf_counter()

@@ -71,6 +71,8 @@ ADDED_SINCE_LAST_GATE = {
     "idle_rich",
     "mad_outliers",
     "jaccard_prefix",
+    "cdc_merge",
+    "cdc_compact",
 }
 
 
