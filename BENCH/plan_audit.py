@@ -409,6 +409,12 @@ row_number window ordered by the unique event id with the
 delete-preference tie-break; survivors filter inside the window stage
 and the rollup partial-combines. The base table is never read — apply
 survivors with merge_upsert(broadcast_source=True).""",
+    "price_histogram": """\
+Equi-width histogram: two partial-combined aggregates — per-group
+min/max (≤ |groups| rows, BroadcastHashJoin back) and the binned count
+(≤ |groups|·bins rows) — with bin assignment as pure codegen double
+arithmetic. Never a sort, never a window, no Python; the same op order
+is replayed by the oracle so the histogram hashes bit-equal.""",
     "pagerank": """\
 Iterative PageRank: the edge build (fact-fact join + distinct) and its
 degree pre-join localCheckpoint ONCE (cache_edges=True — without it
@@ -563,7 +569,8 @@ def main() -> None:
                  "cheapest_supplier", "vocab_coverage",
                  "source_overlap", "fuzzy_names", "small_qty_revenue",
                  "late_suppliers", "idle_rich", "mad_outliers",
-                 "jaccard_prefix", "cdc_merge", "cdc_compact"):
+                 "jaccard_prefix", "cdc_merge", "cdc_compact",
+                 "price_histogram"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -1986,6 +1986,19 @@ def _q_cdc_compact(spark, sf_dir):
                          .cast("double"), 2).alias("total_value")))
 
 
+def _q_price_histogram(spark, sf_dir):
+    """Equi-width histogram (operators/profiling.py numeric_histogram):
+    order totals in 16 bins per priority with PER-GROUP bounds. Two
+    partial-combined aggregates (bounds ≤ |groups| rows broadcast
+    back, then the binned count) — never a sort, never a window; bin
+    arithmetic is identical IEEE doubles in both engines."""
+    from osm2lanes_spark.operators.profiling import numeric_histogram
+
+    return numeric_histogram(_read(spark, sf_dir, "orders"),
+                             "o_totalprice", bins=16,
+                             by="o_orderpriority")
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -2063,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": _shipped(_q_jaccard_prefix),
         "cdc_merge": _shipped(_q_cdc_merge),
         "cdc_compact": _shipped(_q_cdc_compact),
+        "price_histogram": _shipped(_q_price_histogram),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
         "dedup_survivors": _shipped(_q_dedup_survivors),
@@ -4658,6 +4672,27 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE), 2) AS total_value
             FROM last WHERE op <> 'D'
             GROUP BY event_type
+        """,
+        "price_histogram": """
+            -- numeric_histogram replay: per-priority bounds, 16
+            -- equi-width bins, bin = floor((v-lo)*16/span) clamped —
+            -- the EXACT same IEEE double op order as the Spark side
+            WITH b AS (
+                SELECT o_orderpriority, min(o_totalprice) AS lo,
+                       max(o_totalprice) AS hi
+                FROM orders GROUP BY o_orderpriority),
+            binned AS (
+                SELECT o.o_orderpriority,
+                       CASE WHEN hi - lo > 0 THEN
+                           CAST(least(15, floor((o_totalprice - lo) * 16
+                                                / (hi - lo))) AS INTEGER)
+                       ELSE 0 END AS bin, lo, hi
+                FROM orders o JOIN b USING (o_orderpriority))
+            SELECT o_orderpriority, bin,
+                   round(lo + bin * (hi - lo) / 16, 6) AS lo_edge,
+                   round(lo + (bin + 1) * (hi - lo) / 16, 6) AS hi_edge,
+                   count(*) AS n
+            FROM binned GROUP BY o_orderpriority, bin, lo, hi
         """,
         "vocab_coverage": """
             -- profiling.vocab_coverage replay: top-50 tokens + exact

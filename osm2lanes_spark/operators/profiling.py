@@ -688,3 +688,48 @@ def key_ngram_overlap(df: DataFrame, key_col: str, text_col: str = "text",
             .where(F.col("key_a") < F.col("key_b"))
             .groupBy("key_a", "key_b")
             .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+def numeric_histogram(df: DataFrame, value_col: str, bins: int = 20,
+                      by: "str | None" = None) -> DataFrame:
+    """Equi-width histogram of a numeric column: ``(bin, lo_edge,
+    hi_edge, n)``, optionally per ``by`` group with PER-GROUP bounds.
+    Nulls are dropped; the max value lands in the last bin (half-open
+    bins, closed on top).
+
+    Engine-exact: bin assignment is ``floor((v − lo) · bins / (hi −
+    lo))`` clamped to ``bins − 1`` — identical IEEE double arithmetic
+    in any engine, so the histogram hashes bit-equal cross-engine.
+
+    100 TB shape: TWO passes — a per-group min/max partial-combined
+    aggregate (≤ |groups| rows, broadcast back; 1-row broadcast when
+    ``by=None``) and the binned count (partial-combined, ≤
+    |groups|·bins rows). The data is never sorted and no window runs.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(value_col).cast("double")
+    data = df.where(v.isNotNull())
+    group = [by] if by else []
+    bounds = (data.groupBy(*group)
+              .agg(F.min(v).alias("__lo"), F.max(v).alias("__hi")))
+    joined = (data.join(F.broadcast(bounds), on=group) if group
+              else data.crossJoin(F.broadcast(bounds)))
+    span = F.col("__hi") - F.col("__lo")
+    bin_ = F.when(span > 0,
+                  F.least(F.lit(bins - 1),
+                          F.floor((v - F.col("__lo")) * bins / span)
+                          .cast("int"))).otherwise(F.lit(0))
+    return (joined.withColumn("bin", bin_.cast("int"))
+            .groupBy(*group, "bin", "__lo", "__hi")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(*group, "bin",
+                    F.round(F.col("__lo")
+                            + F.col("bin") * (F.col("__hi")
+                                              - F.col("__lo")) / bins,
+                            6).alias("lo_edge"),
+                    F.round(F.col("__lo")
+                            + (F.col("bin") + 1)
+                            * (F.col("__hi") - F.col("__lo")) / bins,
+                            6).alias("hi_edge"),
+                    "n"))

@@ -592,3 +592,26 @@ def test_edit_distance_segment_equals_band_mixed_lengths(spark):
                    method="segment").collect()}
         assert seg == band, t
     assert band  # the corpus actually produces matches at t=3
+
+
+def test_numeric_histogram_bins_edges_and_degenerate(spark):
+    from osm2lanes_spark.operators.profiling import numeric_histogram
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 2.5), ("a", 5.0), ("a", 10.0), ("a", None),
+         ("b", 7.0), ("b", 7.0)],
+        "g string, v double")
+    got = {(r.g, r.bin): (r.lo_edge, r.hi_edge, r.n)
+           for r in numeric_histogram(df, "v", bins=4, by="g").collect()}
+    # group a: lo=0 hi=10, width 2.5; max value clamps into last bin
+    assert got[("a", 0)] == (0.0, 2.5, 1)
+    assert got[("a", 1)] == (2.5, 5.0, 1)
+    assert got[("a", 2)] == (5.0, 7.5, 1)
+    assert got[("a", 3)] == (7.5, 10.0, 1)
+    # degenerate group (span 0) → everything in bin 0
+    assert got[("b", 0)] == (7.0, 7.0, 2)
+    # global flavor: one bounds row, nulls dropped
+    g = {r.bin: r.n for r in numeric_histogram(df, "v", bins=2).collect()}
+    assert g == {0: 2, 1: 4}
+    with pytest.raises(ValueError, match="bins"):
+        numeric_histogram(df, "v", bins=0)

@@ -73,6 +73,7 @@ ADDED_SINCE_LAST_GATE = {
     "jaccard_prefix",
     "cdc_merge",
     "cdc_compact",
+    "price_histogram",
 }
 
 
