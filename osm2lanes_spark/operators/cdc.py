@@ -43,28 +43,34 @@ def merge_upsert(target: DataFrame, source: DataFrame,
     payload_t = [c for c in target.columns if c not in keys]
     payload_s = [c for c in source.columns
                  if c not in keys and c != delete_col]
-    src = F.broadcast(source) if broadcast_source else source
-    # tag each side so "matched" is decidable after the outer join even
-    # when every payload column is legitimately null
-    t = target.withColumn("__in_t", F.lit(True))
-    s = src.withColumn("__in_s", F.lit(True))
+    # Rename every payload column per side BEFORE the join (never
+    # dataframe-qualified refs: a source derived FROM the target — the
+    # normal CDC case — makes t[c]/s[c] ambiguous self-join refs). The
+    # __in_s tag makes "matched" decidable even when every source
+    # payload column is legitimately null.
+    t = target.select(*keys,
+                      *[F.col(c).alias(f"__t_{c}") for c in payload_t])
+    s_cols = [F.col(c).alias(f"__s_{c}") for c in payload_s]
+    if delete_col is not None:
+        s_cols.append(F.col(delete_col).alias("__s_del"))
+    s = source.select(*keys, *s_cols, F.lit(True).alias("__in_s"))
+    if broadcast_source:
+        s = F.broadcast(s)
     joined = t.join(s, on=keys, how="full_outer")
     if delete_col is not None:
         joined = joined.where(
-            ~F.coalesce(F.col(delete_col), F.lit(False)))
+            ~F.coalesce(F.col("__s_del"), F.lit(False)))
     out_cols: list[Column] = [F.col(k) for k in keys]
-    seen = set(keys)
     for c in payload_s:  # source wins on matched rows
-        seen.add(c)
         if c in payload_t:
             out_cols.append(
-                F.when(F.col("__in_s").isNotNull(), s[c])
-                .otherwise(t[c]).alias(c))
+                F.when(F.col("__in_s").isNotNull(), F.col(f"__s_{c}"))
+                .otherwise(F.col(f"__t_{c}")).alias(c))
         else:
-            out_cols.append(s[c].alias(c))
+            out_cols.append(F.col(f"__s_{c}").alias(c))
     for c in payload_t:
-        if c not in seen:
-            out_cols.append(t[c].alias(c))
+        if c not in payload_s:
+            out_cols.append(F.col(f"__t_{c}").alias(c))
     return joined.select(*out_cols)
 
 

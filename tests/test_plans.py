@@ -407,3 +407,57 @@ def test_scd2_plan_single_exchange(spark, sf_dir):
     plan = _plan(E.queries()["scd2_status"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_cheapest_supplier_plan_group_limit_before_shuffle(spark, sf_dir):
+    """Argmin-per-group must pre-prune map-side: WindowGroupLimit keeps
+    each task's per-part top-1 BEFORE the single key exchange."""
+    plan = _plan(E.queries()["cheapest_supplier"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_vocab_coverage_plan_takeordered_bounded_window(spark, sf_dir):
+    """Top-N selection is TakeOrderedAndProject (never a global sort of
+    the count table); the only single-partition work runs over the
+    top_n rows that survive it."""
+    plan = _plan(E.queries()["vocab_coverage"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # a global sort would surface as a range-partitioned exchange
+    assert "Exchange rangepartitioning" not in plan, plan
+    # the token count itself must partial-combine before its exchange
+    assert "partial_count" in plan, plan
+
+
+def test_fuzzy_names_plan_no_cartesian_codegen_levenshtein(spark, sf_dir):
+    """The banded ER join is a block-keyed equi-join: no cross product,
+    no Python stage; levenshtein evaluates inside codegen."""
+    plan = _plan(E.queries()["fuzzy_names"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    for py_marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_marker not in plan, plan
+
+
+def test_cdc_merge_plan_single_outer_join(spark, sf_dir):
+    """The three MERGE arms resolve in ONE full-outer join — no
+    per-arm joins, no cross product."""
+    from osm2lanes_spark.operators.cdc import merge_upsert
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    src = orders.limit(10).withColumn("__del", F.lit(False))
+    plan = _plan(merge_upsert(orders, src, ["o_orderkey"],
+                              delete_col="__del"))
+    assert plan.count("FullOuter") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_source_overlap_plan_gram_keyed_join(spark, sf_dir):
+    """The pair matrix joins on the GRAM (bounded fan-out), never a
+    document cross product; the distinct partial-combines."""
+    plan = _plan(E.queries()["source_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "partial" in plan.lower(), plan
