@@ -415,6 +415,16 @@ min/max (≤ |groups| rows, BroadcastHashJoin back) and the binned count
 (≤ |groups|·bins rows) — with bin assignment as pure codegen double
 arithmetic. Never a sort, never a window, no Python; the same op order
 is replayed by the oracle so the histogram hashes bit-equal.""",
+    "part_skyline": """\
+2-D Pareto frontier without the quadratic dominator join: the input
+reduces map-side to one (x, min y) row per distinct x; the reduced
+table range-shuffles ONCE (checkpointed — Scan ExistingRDD — so both
+readers agree on partition ids, the round-4 lesson); the
+strictly-preceding running MIN is per range partition with a
+broadcast O(#partitions) subtotal stitch (its window is the only
+SinglePartition stage, bounded by #partitions rows); the frontier
+joins back as an ordinary x-keyed hash join AQE can broadcast. The
+oracle is the literal NOT EXISTS dominator.""",
     "pagerank": """\
 Iterative PageRank: the edge build (fact-fact join + distinct) and its
 degree pre-join localCheckpoint ONCE (cache_edges=True — without it
@@ -570,7 +580,7 @@ def main() -> None:
                  "source_overlap", "fuzzy_names", "small_qty_revenue",
                  "late_suppliers", "idle_rich", "mad_outliers",
                  "jaccard_prefix", "cdc_merge", "cdc_compact",
-                 "price_histogram"):
+                 "price_histogram", "part_skyline"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -1999,6 +1999,19 @@ def _q_price_histogram(spark, sf_dir):
                              by="o_orderpriority")
 
 
+def _q_part_skyline(spark, sf_dir):
+    """2-D Pareto frontier (operators/profiling.py pareto_frontier_2d):
+    parts no other part beats on BOTH price and size — the skyline
+    without the quadratic dominator join. Range-prefix MIN over the
+    (price, min size) reduction with the packing checkpoint
+    discipline; the oracle is the literal NOT EXISTS dominator."""
+    from osm2lanes_spark.operators.profiling import pareto_frontier_2d
+
+    part = _read(spark, sf_dir, "part")
+    return (pareto_frontier_2d(part, "p_retailprice", "p_size")
+            .select("p_partkey", "p_retailprice", "p_size"))
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -2077,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge": _shipped(_q_cdc_merge),
         "cdc_compact": _shipped(_q_cdc_compact),
         "price_histogram": _shipped(_q_price_histogram),
+        "part_skyline": _shipped(_q_part_skyline),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
         "dedup_survivors": _shipped(_q_dedup_survivors),
@@ -4693,6 +4707,18 @@ def oracle_sql() -> dict[str, str]:
                    round(lo + (bin + 1) * (hi - lo) / 16, 6) AS hi_edge,
                    count(*) AS n
             FROM binned GROUP BY o_orderpriority, bin, lo, hi
+        """,
+        "part_skyline": """
+            -- literal NOT-EXISTS dominator skyline (minimize price,
+            -- size); identical duplicates both survive
+            SELECT a.p_partkey, a.p_retailprice, a.p_size
+            FROM part a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_retailprice <= a.p_retailprice
+                  AND b.p_size <= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice
+                       OR b.p_size < a.p_size))
         """,
         "vocab_coverage": """
             -- profiling.vocab_coverage replay: top-50 tokens + exact

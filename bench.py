@@ -261,7 +261,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "source_overlap", "fuzzy_names",
                      "small_qty_revenue", "late_suppliers",
                      "idle_rich", "mad_outliers", "jaccard_prefix",
-                     "cdc_merge", "cdc_compact", "price_histogram")
+                     "cdc_merge", "cdc_compact", "price_histogram",
+                     "part_skyline")
 
         def run_one(name):
             t0 = time.perf_counter()

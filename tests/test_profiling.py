@@ -615,3 +615,26 @@ def test_numeric_histogram_bins_edges_and_degenerate(spark):
     assert g == {0: 2, 1: 4}
     with pytest.raises(ValueError, match="bins"):
         numeric_histogram(df, "v", bins=0)
+
+
+def test_pareto_frontier_2d_semantics(spark):
+    from osm2lanes_spark.operators.profiling import pareto_frontier_2d
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 9), (2, 2.0, 5), (3, 2.0, 7),   # 3 dominated by 2
+         (4, 3.0, 5),                              # dominated by 2 (y tie, x worse)
+         (5, 4.0, 2), (6, 4.0, 2),                 # identical duplicates both kept
+         (7, 5.0, 1), (8, 6.0, 3),                 # 8 dominated by 5/7
+         (9, None, 0), (10, 0.5, None)],           # nulls excluded
+        "id long, x double, y int")
+    got = sorted(r.id for r in pareto_frontier_2d(df, "x", "y").collect())
+    assert got == [1, 2, 5, 6, 7]
+    # python brute-force oracle on a pseudo-random cloud
+    pts = [(i, float((i * 37) % 101), ((i * 53) % 97))
+           for i in range(300)]
+    big = spark.createDataFrame(pts, "id long, x double, y int")
+    want = sorted(i for i, x, y in pts
+                  if not any((x2 <= x and y2 <= y and (x2 < x or y2 < y))
+                             for _, x2, y2 in pts))
+    assert sorted(r.id for r in
+                  pareto_frontier_2d(big, "x", "y").collect()) == want

@@ -74,6 +74,7 @@ ADDED_SINCE_LAST_GATE = {
     "cdc_merge",
     "cdc_compact",
     "price_histogram",
+    "part_skyline",
 }
 
 
