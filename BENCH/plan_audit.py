@@ -425,6 +425,25 @@ broadcast O(#partitions) subtotal stitch (its window is the only
 SinglePartition stage, bounded by #partitions rows); the frontier
 joins back as an ordinary x-keyed hash join AQE can broadcast. The
 oracle is the literal NOT EXISTS dominator.""",
+    "events_gapfill": """\
+Densified time series: the count aggregate partial-combines map-side
+to ≤ |buckets|·|keys| rows; the dense grid derives from a 1-row bounds
+aggregate (explode(sequence)) × the distinct key list — both
+time-span-bounded, their cross join declared and tiny — and the counts
+join in as the build side. The raw events scan once; no window.""",
+    "balance_deciles": """\
+ntile bucketing: ONE hash exchange on the nation key feeds the decile
+window over a (balance, custkey) total order (ties deterministic);
+the decile stats partial-combine after it. Min/max output — no sums,
+no float-order exposure.""",
+    "supplier_reach": """\
+Bounded-hop frontier BFS: the adjacency localCheckpoints once (the
+dumped plan's leaves are the converged reached/frontier checkpoints —
+rounds are driver-side control flow like dedup_components); per round
+the only full-size exchanges key on the node id (frontier join,
+distinct, anti-join against reached), and the frontier shrinks
+monotonically. Integer distances — engine-exact vs the recursive-CTE
+oracle.""",
     "pagerank": """\
 Iterative PageRank: the edge build (fact-fact join + distinct) and its
 degree pre-join localCheckpoint ONCE (cache_edges=True — without it
@@ -580,7 +599,8 @@ def main() -> None:
                  "source_overlap", "fuzzy_names", "small_qty_revenue",
                  "late_suppliers", "idle_rich", "mad_outliers",
                  "jaccard_prefix", "cdc_merge", "cdc_compact",
-                 "price_histogram", "part_skyline"):
+                 "price_histogram", "part_skyline", "events_gapfill",
+                 "balance_deciles", "supplier_reach"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -2012,6 +2012,63 @@ def _q_part_skyline(spark, sf_dir):
             .select("p_partkey", "p_retailprice", "p_size"))
 
 
+def _q_events_gapfill(spark, sf_dir):
+    """Gap-filled hourly event counts (operators/temporal.py
+    densify_counts): every (hour, type) cell of the observed range
+    emitted, zeros included — the alerting shape where a missing
+    bucket must read 0. Counts partial-combine; the dense grid is a
+    1-row bounds aggregate × the distinct type list (time-span-
+    bounded, a declared tiny cross join) joining the counts back.
+    Integer-microsecond bucketing, engine-exact."""
+    from osm2lanes_spark.operators.temporal import densify_counts
+
+    return densify_counts(_read(spark, sf_dir, "events"), "ts",
+                          by_col="event_type", bucket_seconds=3600)
+
+
+def _q_balance_deciles(spark, sf_dir):
+    """Per-nation account-balance deciles via ntile(10) on a total
+    order (balance, custkey — deterministic under ties): the windowed
+    bucketing shape. ONE hash exchange on the nation key; decile
+    stats partial-combine after the window. Min/max are exact row
+    values (no sums), so cross-engine parity is trivial."""
+    from pyspark.sql import Window
+
+    cust = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (cust.withColumn("decile", F.ntile(10).over(w))
+            .groupBy("c_nationkey", "decile")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.round(F.min("c_acctbal"), 2).alias("lo_bal"),
+                 F.round(F.max("c_acctbal"), 2).alias("hi_bal")))
+
+
+def _q_supplier_reach(spark, sf_dir):
+    """Bounded-hop BFS (operators/graph.py bfs_distances) over the
+    undirected customer↔supplier purchase graph from 10 seed
+    suppliers: hop 0 = seeds, 1 = their customers, 2 = co-suppliers.
+    Frontier-only joins against a checkpointed adjacency; the DuckDB
+    oracle replays it as a bounded recursive CTE. Reported as the
+    (distance, node-kind) histogram."""
+    from osm2lanes_spark.operators.graph import bfs_distances
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    edges = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+             .select((F.col("o_custkey") * 2).alias("src"),
+                     (F.col("l_suppkey") * 2 + 1).alias("dst"))
+             .distinct())
+    seeds = (spark.range(1, 11)
+             .select((F.col("id") * 2 + 1).alias("node")))
+    dists = bfs_distances(edges, seeds, max_hops=2, directed=False)
+    return (dists.withColumn(
+        "kind", F.when(F.col("node") % 2 == 1, "supplier")
+                 .otherwise("customer"))
+            .groupBy("dist", "kind")
+            .agg(F.count(F.lit(1)).alias("n_nodes")))
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -2091,6 +2148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compact": _shipped(_q_cdc_compact),
         "price_histogram": _shipped(_q_price_histogram),
         "part_skyline": _shipped(_q_part_skyline),
+        "events_gapfill": _shipped(_q_events_gapfill),
+        "balance_deciles": _shipped(_q_balance_deciles),
+        "supplier_reach": _shipped(_q_supplier_reach),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
         "dedup_survivors": _shipped(_q_dedup_survivors),
@@ -4719,6 +4779,60 @@ def oracle_sql() -> dict[str, str]:
                   AND b.p_size <= a.p_size
                   AND (b.p_retailprice < a.p_retailprice
                        OR b.p_size < a.p_size))
+        """,
+        "events_gapfill": """
+            -- densify_counts replay: observed bucket range x observed
+            -- types, zero-filled; integer-microsecond buckets
+            WITH b AS (
+                SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                           AS bkt, event_type
+                FROM events),
+            c AS (SELECT bkt, event_type, count(*) AS n
+                  FROM b GROUP BY 1, 2),
+            rng AS (SELECT min(bkt) AS lo, max(bkt) AS hi FROM b),
+            grid AS (
+                SELECT unnest(range(lo, hi + 1)) AS bkt FROM rng),
+            types AS (SELECT DISTINCT event_type FROM events)
+            SELECT make_timestamp(g.bkt * 3600000000) AS bucket_ts,
+                   t.event_type, coalesce(c.n, 0) AS n
+            FROM grid g CROSS JOIN types t
+            LEFT JOIN c ON c.bkt = g.bkt AND c.event_type = t.event_type
+        """,
+        "balance_deciles": """
+            SELECT c_nationkey, CAST(decile AS INTEGER) AS decile,
+                   count(*) AS n_cust,
+                   round(min(c_acctbal), 2) AS lo_bal,
+                   round(max(c_acctbal), 2) AS hi_bal
+            FROM (SELECT c_nationkey, c_acctbal,
+                         ntile(10) OVER (PARTITION BY c_nationkey
+                                         ORDER BY c_acctbal ASC,
+                                                  c_custkey ASC)
+                             AS decile
+                  FROM customer)
+            GROUP BY c_nationkey, decile
+        """,
+        "supplier_reach": """
+            -- bfs_distances replay: bounded recursive CTE (UNION
+            -- dedups per level), min distance per node, kind histogram
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT o_custkey * 2 AS s,
+                                l_suppkey * 2 + 1 AS d
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            ue AS (SELECT s, d FROM e
+                   UNION SELECT d AS s, s AS d FROM e),
+            walk(node, dist) AS (
+                SELECT (g + 1) * 2 + 1, 0
+                FROM (SELECT unnest(range(0, 10)) AS g)
+                UNION
+                SELECT ue.d, w.dist + 1
+                FROM walk w JOIN ue ON ue.s = w.node
+                WHERE w.dist < 2),
+            best AS (SELECT node, min(dist) AS dist
+                     FROM walk GROUP BY node)
+            SELECT dist, CASE WHEN node % 2 = 1 THEN 'supplier'
+                              ELSE 'customer' END AS kind,
+                   count(*) AS n_nodes
+            FROM best GROUP BY 1, 2
         """,
         "vocab_coverage": """
             -- profiling.vocab_coverage replay: top-50 tokens + exact

@@ -262,7 +262,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "small_qty_revenue", "late_suppliers",
                      "idle_rich", "mad_outliers", "jaccard_prefix",
                      "cdc_merge", "cdc_compact", "price_histogram",
-                     "part_skyline")
+                     "part_skyline", "events_gapfill",
+                     "balance_deciles", "supplier_reach")
 
         def run_one(name):
             t0 = time.perf_counter()

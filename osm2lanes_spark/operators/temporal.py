@@ -730,3 +730,44 @@ def scd2_build(df: DataFrame, key: str, ts: str, attrs: list[str],
         F.col("__us").alias("valid_from_us"),
         F.lead("__us").over(w2).alias("valid_to_us"))
         .withColumn("is_current", F.col("valid_to_us").isNull()))
+
+
+def densify_counts(df: DataFrame, ts_col: str = "ts",
+                   by_col: "str | None" = None,
+                   bucket_seconds: int = 3600) -> DataFrame:
+    """Gap-filled (densified) time-series counts: one row per
+    ``(bucket, by)`` combination over the OBSERVED global time range
+    and key set, with absent combinations emitted as zero — the
+    dashboard/alerting shape where a missing bucket must read 0, not
+    vanish (a silent scrape outage looks exactly like a missing row).
+
+    Returns ``(bucket_ts, <by_col>, n)`` with ``bucket_ts`` the bucket
+    start timestamp (integer-microsecond arithmetic — engine-exact).
+
+    100 TB shape: the count aggregate partial-combines map-side into
+    ≤ |buckets|·|keys| rows; the dense grid is built from a 1-row
+    bounds aggregate × the distinct key list (both tiny — its size is
+    set by the TIME SPAN and key cardinality, never the row count; the
+    grid cross join is declared and bounded) and joins the counts as
+    the BUILD side. The raw data is scanned once.
+    """
+    if bucket_seconds < 1:
+        raise ValueError(
+            f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    step = F.lit(bucket_seconds * 1_000_000).cast("long")
+    bkt = (F.floor(_micros(F.col(ts_col)) / step)).cast("long")
+    keys = [by_col] if by_col else []
+    data = df.where(F.col(ts_col).isNotNull())
+    counts = (data.withColumn("__bkt", bkt)
+              .groupBy("__bkt", *keys)
+              .agg(F.count(F.lit(1)).alias("n")))
+    bounds = data.agg(F.min(bkt).alias("__lo"), F.max(bkt).alias("__hi"))
+    grid = (bounds.select(F.explode(F.sequence("__lo", "__hi"))
+                          .alias("__bkt")))
+    if by_col:
+        grid = grid.crossJoin(data.select(by_col).distinct())
+    return (grid.join(counts, on=["__bkt", *keys], how="left")
+            .select(F.timestamp_micros(F.col("__bkt")
+                                       * step).alias("bucket_ts"),
+                    *keys,
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n")))

@@ -69,3 +69,25 @@ def test_pagerank_rejects_zero_iterations(spark):
     df = spark.createDataFrame(EDGES, "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(df, iterations=0)
+
+
+def test_bfs_distances_directed_undirected_and_bounds(spark):
+    from osm2lanes_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 1), (6, 7)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    d = {r.node: r.dist for r in bfs_distances(
+        edges, seeds, max_hops=2).collect()}
+    # directed: 1→2→3; 4 is 3 hops (cut), 5 only reaches 1 (not FROM 1)
+    assert d == {1: 0, 2: 1, 3: 2}
+    u = {r.node: r.dist for r in bfs_distances(
+        edges, seeds, max_hops=2, directed=False).collect()}
+    # undirected: 5 is one hop away; 6/7 stay unreachable
+    assert u == {1: 0, 2: 1, 5: 1, 3: 2}
+    z = {r.node: r.dist for r in bfs_distances(
+        edges, seeds, max_hops=0).collect()}
+    assert z == {1: 0}
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_distances(edges, seeds, max_hops=-1)

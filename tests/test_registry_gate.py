@@ -75,6 +75,9 @@ ADDED_SINCE_LAST_GATE = {
     "cdc_compact",
     "price_histogram",
     "part_skyline",
+    "events_gapfill",
+    "balance_deciles",
+    "supplier_reach",
 }
 
 

@@ -464,3 +464,28 @@ def test_scd2_point_in_time_via_asof(spark):
         probes, hist.select("k", F.col("valid_from_us").alias("ts"), "s"),
         on="k", ts="ts").collect()}
     assert got == {100: "a", 299: "a", 300: "b", 9999: "c"}
+
+
+def test_densify_counts_zero_fill_and_bounds(spark):
+    from datetime import datetime
+
+    from osm2lanes_spark.operators.temporal import densify_counts
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 5), "a"),
+         (datetime(2024, 1, 1, 0, 55), "a"),
+         (datetime(2024, 1, 1, 3, 10), "b"),
+         (None, "a")],
+        "ts timestamp_ntz, k string")
+    got = {(r.bucket_ts.hour, r.k): r.n
+           for r in densify_counts(df, "ts", by_col="k").collect()}
+    # observed range hours 0..3 x keys {a, b} = 8 cells, gaps at 0
+    assert len(got) == 8
+    assert got[(0, "a")] == 2 and got[(3, "b")] == 1
+    assert got[(1, "a")] == 0 and got[(2, "b")] == 0
+    # global flavor (no key): 4 cells
+    g = {r.bucket_ts.hour: r.n
+         for r in densify_counts(df, "ts").collect()}
+    assert g == {0: 2, 1: 0, 2: 0, 3: 1}
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        densify_counts(df, "ts", bucket_seconds=0)
