@@ -444,6 +444,14 @@ the only full-size exchanges key on the node id (frontier join,
 distinct, anti-join against reached), and the frontier shrinks
 monotonically. Integer distances — engine-exact vs the recursive-CTE
 oracle.""",
+    "value_quantiles_cont": """\
+Interpolated (percentile_cont) global quantiles over a continuous
+column: the token_quantiles_global machinery (range-partitioned
+two-pass prefix count behind a slim checkpoint — no single-partition
+window over the O(rows) histogram) answering BOTH neighbour ranks from
+the same cumulative relation, then a fixed-op-order linear blend in
+codegen. The only SinglePartition stages are the O(#partitions)
+subtotal window and the 1-row total.""",
     "pagerank": """\
 Iterative PageRank: the edge build (fact-fact join + distinct) and its
 degree pre-join localCheckpoint ONCE (cache_edges=True — without it
@@ -600,7 +608,8 @@ def main() -> None:
                  "late_suppliers", "idle_rich", "mad_outliers",
                  "jaccard_prefix", "cdc_merge", "cdc_compact",
                  "price_histogram", "part_skyline", "events_gapfill",
-                 "balance_deciles", "supplier_reach"):
+                 "balance_deciles", "supplier_reach",
+                 "value_quantiles_cont"):
         grab(name, qs[name](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join

@@ -2069,6 +2069,21 @@ def _q_supplier_reach(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_nodes")))
 
 
+def _q_value_quantiles_cont(spark, sf_dir):
+    """Interpolated (percentile_cont) global quantiles of the
+    continuous event value — grouped_quantiles' interpolate=True
+    flavor over the DISTRIBUTED range-prefix histogram (every value
+    distinct → the regime a single-partition window must not touch).
+    Both neighbour ranks come from the same cumulative histogram; the
+    linear blend is written in a fixed IEEE op order the oracle
+    replays bit-for-bit."""
+    from osm2lanes_spark.operators.profiling import grouped_quantiles
+
+    ev = _read(spark, sf_dir, "events")
+    return grouped_quantiles(ev, "value", (0.25, 0.5, 0.9, 0.99),
+                             interpolate=True)
+
+
 def _q_events_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, hour) → subtotals → grand
     total in ONE pass (Spark expands grouping sets map-side; at 100 TB
@@ -2151,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": _shipped(_q_events_gapfill),
         "balance_deciles": _shipped(_q_balance_deciles),
         "supplier_reach": _shipped(_q_supplier_reach),
+        "value_quantiles_cont": _shipped(_q_value_quantiles_cont),
         "langid": _shipped(_q_langid),
         "dedup_components": _shipped(_q_dedup_components),
         "dedup_survivors": _shipped(_q_dedup_survivors),
@@ -4833,6 +4849,32 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 'customer' END AS kind,
                    count(*) AS n_nodes
             FROM best GROUP BY 1, 2
+        """,
+        "value_quantiles_cont": """
+            -- interpolated quantiles replay: same histogram rank rule,
+            -- same blend op order v_lo + frac*(v_hi - v_lo)
+            WITH c AS (SELECT value AS val, count(*) AS cnt
+                       FROM events WHERE value IS NOT NULL
+                       GROUP BY value),
+            cum AS (SELECT val, sum(cnt) OVER (ORDER BY val) AS cum,
+                           sum(cnt) OVER () AS total
+                    FROM c),
+            q AS (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE)
+                      AS q),
+            picked AS (
+                SELECT q, 
+                       min(val) FILTER (cum >= CAST(floor((total - 1) * q)
+                                                    AS BIGINT) + 1)
+                           AS vlo,
+                       min(val) FILTER (cum >= least(
+                           CAST(floor((total - 1) * q) AS BIGINT) + 2,
+                           total)) AS vhi,
+                       min((total - 1) * q
+                           - CAST(floor((total - 1) * q) AS BIGINT))
+                           AS frac
+                FROM cum CROSS JOIN q GROUP BY q)
+            SELECT q, vlo + frac * (vhi - vlo) AS value
+            FROM picked ORDER BY q
         """,
         "vocab_coverage": """
             -- profiling.vocab_coverage replay: top-50 tokens + exact

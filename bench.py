@@ -263,7 +263,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "idle_rich", "mad_outliers", "jaccard_prefix",
                      "cdc_merge", "cdc_compact", "price_histogram",
                      "part_skyline", "events_gapfill",
-                     "balance_deciles", "supplier_reach")
+                     "balance_deciles", "supplier_reach",
+                     "value_quantiles_cont")
 
         def run_one(name):
             t0 = time.perf_counter()

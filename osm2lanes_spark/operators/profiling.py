@@ -150,7 +150,8 @@ def ngram_overlap(corpus: DataFrame, reference: DataFrame, n: int = 8,
 
 def grouped_quantiles(df: DataFrame, value_col: str,
                       qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
-                      by: str | Sequence[str] | None = None) -> DataFrame:
+                      by: str | Sequence[str] | None = None,
+                      interpolate: bool = False) -> DataFrame:
     """Exact quantiles of ``value_col`` per ``by`` group (or globally).
 
     Selection rule: for a group of ``total`` rows, quantile ``q`` is the
@@ -177,6 +178,13 @@ def grouped_quantiles(df: DataFrame, value_col: str,
     Returns ``(by?, q, value)`` sorted by (group, q). NULL values are
     excluded (rank is over non-null values, like SQL ordered-set
     aggregates). Raises on empty ``qs`` or q outside [0, 1].
+
+    ``interpolate=True`` switches to percentile_cont semantics: with
+    0-based position ``p = (total − 1)·q``, the result is the linear
+    blend ``v⌊p⌋ + (p − ⌊p⌋)·(v⌊p⌋₊₁ − v⌊p⌋)`` (always a double). Both
+    neighbour ranks are answered by the SAME cumulative histogram —
+    no extra pass — and the blend is written in exactly that operation
+    order so any engine replaying it reproduces the bits.
     """
     if not qs:
         raise ValueError("qs must be non-empty")
@@ -221,14 +229,31 @@ def grouped_quantiles(df: DataFrame, value_col: str,
                .drop("__pre", "__pid"))
     q_lit = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("__q")
     expanded = cum.select(*group_cols, value_col, "__cum", "__total", q_lit)
-    rank = (F.floor((F.col("__total") - F.lit(1)) * F.col("__q"))
-            .cast("long") + F.lit(1))
-    return (expanded
-            .groupBy(*group_cols, "__q")
-            .agg(F.min(F.when(F.col("__cum") >= rank, F.col(value_col)))
-                 .alias("value"))
-            .withColumnRenamed("__q", "q")
-            .select(*group_cols, "q", "value")
+    pos0 = F.floor((F.col("__total") - F.lit(1)) * F.col("__q")) \
+        .cast("long")
+    rank = pos0 + F.lit(1)
+    if not interpolate:
+        return (expanded
+                .groupBy(*group_cols, "__q")
+                .agg(F.min(F.when(F.col("__cum") >= rank,
+                                  F.col(value_col))).alias("value"))
+                .withColumnRenamed("__q", "q")
+                .select(*group_cols, "q", "value")
+                .orderBy(*group_cols, "q"))
+    rank_hi = F.least(pos0 + F.lit(2), F.col("__total"))
+    v = F.col(value_col).cast("double")
+    frac = ((F.col("__total") - F.lit(1)) * F.col("__q") - pos0)
+    blended = (expanded
+               .groupBy(*group_cols, "__q")
+               .agg(F.min(F.when(F.col("__cum") >= rank, v))
+                    .alias("__vlo"),
+                    F.min(F.when(F.col("__cum") >= rank_hi, v))
+                    .alias("__vhi"),
+                    F.first(frac).alias("__frac")))
+    return (blended
+            .select(*group_cols, F.col("__q").alias("q"),
+                    (F.col("__vlo") + F.col("__frac")
+                     * (F.col("__vhi") - F.col("__vlo"))).alias("value"))
             .orderBy(*group_cols, "q"))
 
 

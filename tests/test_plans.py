@@ -118,6 +118,17 @@ def test_global_quantiles_plan_distributed(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 2, plan
 
 
+def test_value_quantiles_cont_plan_distributed(spark, sf_dir):
+    """The interpolated flavor rides the SAME distributed histogram as
+    the exact one — adding the neighbour rank and the blend must not
+    reintroduce a single-partition window over the O(rows) histogram
+    or a second scan of the cumulative relation."""
+    plan = _plan(E.queries()["value_quantiles_cont"](spark, sf_dir))
+    assert "rangepartitioning(value#" not in plan, plan
+    assert "hashpartitioning(__pid" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
 def test_exact_packing_plan_distributed(spark, sf_dir):
     """exact=True must not fall back to a per-key sequential stage
     (VERDICT r04 #1): the r04 formulation was one applyInPandas task per

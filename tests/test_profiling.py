@@ -638,3 +638,27 @@ def test_pareto_frontier_2d_semantics(spark):
                              for _, x2, y2 in pts))
     assert sorted(r.id for r in
                   pareto_frontier_2d(big, "x", "y").collect()) == want
+
+
+def test_grouped_quantiles_interpolated(spark):
+    # values 10,20,30,40 (n=4): p(q)=3q → q=0.5: p=1.5 → 20+0.5*10=25;
+    # q=0/1 hit exact ranks; grouped flavor too
+    df = spark.createDataFrame(
+        [("g", v) for v in (40, 10, 30, 20)] + [("h", 7)],
+        "grp string, v int")
+    out = {(r.grp, r.q): r.value
+           for r in grouped_quantiles(df, "v", (0.0, 0.5, 1.0),
+                                      by="grp",
+                                      interpolate=True).collect()}
+    assert out == {("g", 0.0): 10.0, ("g", 0.5): 25.0, ("g", 1.0): 40.0,
+                   ("h", 0.0): 7.0, ("h", 0.5): 7.0, ("h", 1.0): 7.0}
+    # global distributed path agrees with numpy's linear interpolation
+    import numpy as np
+
+    vals = [float((i * 31) % 97) + 0.25 for i in range(500)]
+    big = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r.q: r.value
+           for r in grouped_quantiles(big, "v", (0.1, 0.5, 0.77),
+                                      interpolate=True).collect()}
+    for q, v in got.items():
+        assert v == pytest.approx(float(np.quantile(vals, q)), abs=1e-9)

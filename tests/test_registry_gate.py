@@ -78,6 +78,7 @@ ADDED_SINCE_LAST_GATE = {
     "events_gapfill",
     "balance_deciles",
     "supplier_reach",
+    "value_quantiles_cont",
 }
 
 
