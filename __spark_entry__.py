@@ -245,6 +245,60 @@ def _q_knn3(spark, sf_dir):
                       "rank")
 
 
+def _q_geohash_binning(spark, sf_dir):
+    """Tiling on geohash cells (third cell backend next to the morton
+    grid and S2): document points → precision-3 geohash via pure-Catalyst
+    bit arithmetic (spatial/geohash.py) → per-cell counts. The oracle
+    replays the quantize + Morton-spread + base32 chain bit-for-bit in
+    DuckDB, hash-verifying the encoder itself (the S2 strategy)."""
+    from osm2lanes_spark.spatial.geohash import geohash_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    return (docs
+            .withColumn("geohash", geohash_expr(
+                F.expr(_LON), F.expr(_LAT), 3))
+            .groupBy("geohash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc")))
+
+
+def _q_distance_pairs(spark, sf_dir):
+    """Within-radius spatial self-join (spatial/joins.py distance_join):
+    all document-point pairs within 800 km great-circle distance — the
+    set-at-once form of the reference's one-at-a-time Overpass `around`
+    lookup (overpass.rs:193-242). Grid-cell ring explode (per-row lon
+    width, antimeridian wrap) + ONE equi-join + exact haversine filter;
+    the oracle brute-forces the same fixed-op-order haversine over the
+    a<b cross product."""
+    from osm2lanes_spark.spatial.joins import distance_join
+
+    docs = _read(spark, sf_dir, "documents")
+    pts = docs.select("doc_id",
+                      F.expr(_LON).alias("lon"), F.expr(_LAT).alias("lat"))
+    left = pts.select(F.col("doc_id").alias("a_id"), "lon", "lat")
+    right = pts.select(F.col("doc_id").alias("b_id"), "lon", "lat")
+    return (distance_join(left, right, 800.0)
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id",
+                    F.round(F.col("dist_km"), 3).alias("dist_km")))
+
+
+def _q_dbscan_clusters(spark, sf_dir):
+    """Distributed DBSCAN (spatial/clustering.py) over document points:
+    ε = 800 km, min_pts = 3 (self-inclusive). ε-graph from the grid
+    distance join, cores by one degree aggregate, core reachability via
+    pointer-jumping components, border points to their minimum-labelled
+    core neighbor (the deterministic flavor of classic DBSCAN's
+    order-dependent border rule). Oracle: brute-force ε-graph + a
+    recursive-CTE reachability closure in DuckDB."""
+    from osm2lanes_spark.spatial.clustering import dbscan
+
+    docs = _read(spark, sf_dir, "documents")
+    pts = docs.select("doc_id",
+                      F.expr(_LON).alias("lon"), F.expr(_LAT).alias("lat"))
+    return dbscan(pts, eps_km=800.0, min_pts=3, id_col="doc_id")
+
+
 def _q_zonal(spark, sf_dir):
     """Raster→vector zonal join (north rule): events rasterized per cell,
     max-aggregated onto document points."""
@@ -2116,6 +2170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_binning": _shipped(_q_s2_binning),
         "knn": _shipped(_q_knn),
         "knn3": _shipped(_q_knn3),
+        "distance_pairs": _shipped(_q_distance_pairs),
+        "geohash_binning": _shipped(_q_geohash_binning),
+        "dbscan_clusters": _shipped(_q_dbscan_clusters),
         "zonal": _shipped(_q_zonal),
         "dedup_exact": _shipped(_q_dedup_exact),
         "token_stats": _shipped(_q_token_stats),
@@ -3485,6 +3542,13 @@ def _pagerank_oracle(iterations: int = 5, scale: int = 10 ** 12,
 
 
 def oracle_sql() -> dict[str, str]:
+    from osm2lanes_spark.spatial.geohash import geohash_oracle_cte
+    from osm2lanes_spark.spatial.joins import HAVERSINE_SQL
+
+    _hav_ab = HAVERSINE_SQL.format(lon1="a.lon", lat1="a.lat",
+                                   lon2="b.lon", lat2="b.lat")
+    _geohash_cte = geohash_oracle_cte("documents", _LON_SQL, _LAT_SQL,
+                                      3, "doc_id")
     out = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -3556,6 +3620,61 @@ def oracle_sql() -> dict[str, str]:
                 FROM pts q JOIN pts s ON s.doc_id <> q.doc_id
                 WHERE q.doc_id < 30) t
             WHERE rank <= 3
+        """,
+        "geohash_binning": f"""
+            -- full bit-level replay of the geohash encoder (see
+            -- spatial/geohash.py geohash_oracle_cte)
+            WITH {_geohash_cte}
+            SELECT geohash, count(*) AS n_docs, min(doc_id) AS min_doc
+            FROM gh GROUP BY geohash
+        """,
+        "dbscan_clusters": f"""
+            -- DBSCAN replay: brute-force eps-graph, degree cores,
+            -- recursive reachability closure over core-core edges,
+            -- min-label clusters, min-rule border assignment
+            WITH RECURSIVE pts AS (
+                SELECT doc_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat
+                FROM documents),
+            nbrs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+                WHERE {_hav_ab} <= 800.0),
+            cores AS (
+                SELECT a AS id FROM nbrs GROUP BY a
+                HAVING count(*) + 1 >= 3),
+            core_edges AS (
+                SELECT n.a, n.b FROM nbrs n
+                JOIN cores ca ON n.a = ca.id
+                JOIN cores cb ON n.b = cb.id),
+            r(src, node) AS (
+                SELECT id, id FROM cores
+                UNION
+                SELECT r.src, e.b FROM r JOIN core_edges e
+                ON r.node = e.a),
+            core_lab AS (
+                SELECT src AS doc_id, min(node) AS cluster_id,
+                       TRUE AS is_core
+                FROM r GROUP BY src),
+            border AS (
+                SELECT n.a AS doc_id, min(cl.cluster_id) AS cluster_id,
+                       FALSE AS is_core
+                FROM nbrs n JOIN core_lab cl ON n.b = cl.doc_id
+                WHERE n.a NOT IN (SELECT id FROM cores)
+                GROUP BY n.a)
+            SELECT doc_id, cluster_id, is_core FROM core_lab
+            UNION ALL
+            SELECT doc_id, cluster_id, is_core FROM border
+        """,
+        "distance_pairs": f"""
+            -- brute-force replay of the grid-accelerated distance join:
+            -- identical fixed-op-order haversine (see HAVERSINE_SQL)
+            WITH pts AS (
+                SELECT doc_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat
+                FROM documents)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   round({_hav_ab}, 3) AS dist_km
+            FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+            WHERE {_hav_ab} <= 800.0
         """,
         "zonal": f"""
             WITH raster AS (

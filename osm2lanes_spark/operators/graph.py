@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import _cap_leaf_stats
+
 
 def _idiv(a: Column, b: Column) -> Column:
     """Exact integer division for non-negative longs.
@@ -141,7 +143,11 @@ def pagerank(
                                     F.col("n_nodes"))),
                          F.lit(damping_den))).alias("rank")))
         if truncate_lineage:
-            ranks = ranks.localCheckpoint(eager=True)
+            # _cap_leaf_stats: each round's plan multiplies the previous
+            # leaf's stored sizeInBytes into itself twice (rank join +
+            # dangling agg) — bit-length doubles per round, so deep runs
+            # would OOM the stats visitor without the cap (util.py)
+            ranks = _cap_leaf_stats(ranks.localCheckpoint(eager=True))
     return ranks
 
 
@@ -186,9 +192,10 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
                .join(reached.select(node), node, "left_anti")
                .withColumn("dist", F.lit(hop)))
         if truncate_lineage:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = _cap_leaf_stats(nxt.localCheckpoint(eager=True))
         frontier = nxt
         reached = reached.unionByName(nxt)
         if truncate_lineage:
-            reached = reached.localCheckpoint(eager=True)
+            # same compounding shape as pagerank's rank loop — capped
+            reached = _cap_leaf_stats(reached.localCheckpoint(eager=True))
     return reached

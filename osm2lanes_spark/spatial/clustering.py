@@ -1,0 +1,110 @@
+"""Density-based spatial clustering (DBSCAN) over point columns.
+
+A distributed DBSCAN from the two primitives the engine already trusts:
+the grid-accelerated within-radius join (`joins.distance_join` — one cell
+equi-join, no crossJoin) for the ε-neighborhood graph, and the
+pointer-jumping min-label components of `operators.dedup` for the
+core-core reachability closure. The reference has no clustering of its
+own (spatial lookups delegate to Overpass — overpass.rs:147-242); this is
+engine-side capability per the LLM-pipeline mandate (spatial grouping of
+ways/POIs before per-area processing).
+
+Scale story (100 TB): the neighbor join shuffles once on grid cells;
+degree and core flags are one map-side-combined aggregate; components
+converge in O(log diameter) rounds of equi-join + min-agg; the border
+assignment is one more equi-join. No step is quadratic — the only
+density-dependent cost is the candidate factor of the ε-cell join, which
+AQE skew-splits for dense metros.
+
+Determinism: cluster_id = the minimum core point id of the component
+(the canonical survivor-key idiom), and border points take the MINIMUM
+label among their core neighbors — classic DBSCAN leaves border
+assignment order-dependent; the min rule makes it replayable by any
+engine (the DuckDB oracle replays it with a recursive CTE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import connected_components
+from .joins import distance_join
+
+
+def dbscan(points: DataFrame, eps_km: float, min_pts: int,
+           id_col: str = "id", lon: str = "lon",
+           lat: str = "lat") -> DataFrame:
+    """DBSCAN labels: ``(id_col, cluster_id, is_core)`` for every
+    non-noise point.
+
+    ``min_pts`` counts the point itself (scikit-learn semantics): a core
+    point has ≥ ``min_pts`` points within ``eps_km`` including itself.
+    Border points (non-core within ε of a core) join the minimum-labelled
+    neighboring core's cluster; noise points are absent from the output.
+    """
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1: {min_pts!r}")
+    from ..util import tracked_checkpoint
+
+    pts = points.select(F.col(id_col), F.col(lon).alias("lon"),
+                        F.col(lat).alias("lat"))
+    left = pts.select(F.col(id_col).alias("__a"), "lon", "lat")
+    right = pts.select(F.col(id_col).alias("__b"), "lon", "lat")
+    # ordered neighbor pairs (a ≠ b), both directions — one grid join.
+    # EAGER checkpoint: nbrs feeds deg, core_edges AND border, so without
+    # a LogicalRDD cut the distance-join subtree appears 3+ times in one
+    # plan and Catalyst's sizeInBytes products compound doubly-
+    # exponentially across the nested joins (BigInteger OOM, observed).
+    nbrs, _ = tracked_checkpoint(
+        distance_join(left, right, eps_km)
+        .where(F.col("__a") != F.col("__b"))
+        .select("__a", "__b"))
+    deg = (nbrs.groupBy("__a")
+           .agg((F.count(F.lit(1)) + F.lit(1)).alias("__deg")))
+    cores = (deg.where(F.col("__deg") >= F.lit(min_pts))
+             .select(F.col("__a").alias("__core")))
+
+    if min_pts <= 2:
+        # every edge endpoint is core (deg ≥ 2 incl. self ⇒ core):
+        # components over the raw edges, all members core
+        comp = connected_components(nbrs, left="__a", right="__b")
+        singles = (pts.join(deg, pts[id_col] == deg["__a"], "left_anti")
+                   if min_pts == 1 else None)
+        out = comp.select(F.col("id").alias(id_col),
+                          F.col("component").alias("cluster_id"),
+                          F.lit(True).alias("is_core"))
+        if singles is not None:
+            out = out.unionByName(
+                singles.select(F.col(id_col),
+                               F.col(id_col).alias("cluster_id"),
+                               F.lit(True).alias("is_core")))
+        return out
+
+    # semi-joins, NOT broadcast: cores is O(points) at scale
+    core_edges = (nbrs
+                  .join(cores.withColumnRenamed("__core", "__a"),
+                        "__a", "left_semi")
+                  .join(cores.withColumnRenamed("__core", "__b"),
+                        "__b", "left_semi"))
+    # isolated cores (no core neighbor) are their own cluster
+    comp = (connected_components(core_edges, left="__a", right="__b")
+            if not core_edges.isEmpty() else None)
+    iso = (cores.join(core_edges.select(F.col("__a").alias("__core"))
+                      .distinct(), "__core", "left_anti")
+           .select(F.col("__core").alias("id"),
+                   F.col("__core").alias("component")))
+    labels = iso if comp is None else comp.unionByName(iso)
+    core_lab = labels.select(F.col("id").alias(id_col),
+                             F.col("component").alias("cluster_id"),
+                             F.lit(True).alias("is_core"))
+    border = (nbrs
+              .join(core_lab.select(F.col(id_col).alias("__b"),
+                                    "cluster_id"), "__b")
+              .join(cores.withColumnRenamed("__core", "__a"),
+                    "__a", "left_anti")
+              .groupBy("__a")
+              .agg(F.min("cluster_id").alias("cluster_id"))
+              .select(F.col("__a").alias(id_col), "cluster_id",
+                      F.lit(False).alias("is_core")))
+    return core_lab.unionByName(border)

@@ -587,3 +587,123 @@ def knn_join(queries: DataFrame, ways: DataFrame, k: int = 1,
     for part in finished_parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Within-radius distance join
+# ---------------------------------------------------------------------------
+
+EARTH_RADIUS_KM = 6371.0
+_DEG2RAD = 0.017453292519943295  # float64(pi/180) — literal in BOTH engines
+
+# Oracle twin of haversine_km(): interpolate the four coordinate SQL
+# expressions. Every operation and its order matches the Column builder
+# exactly (x * 0.017453292519943295, never RADIANS(x): Java's toRadians
+# is x / 180 * pi while DuckDB multiplies by pi/180 — up to 1 ulp apart,
+# which a hash compare would see).
+HAVERSINE_SQL = (
+    "2.0 * 6371.0 * asin(sqrt("
+    "sin(({lat2} - {lat1}) * 0.017453292519943295 / 2.0)"
+    " * sin(({lat2} - {lat1}) * 0.017453292519943295 / 2.0)"
+    " + cos({lat1} * 0.017453292519943295)"
+    " * cos({lat2} * 0.017453292519943295)"
+    " * sin(({lon2} - {lon1}) * 0.017453292519943295 / 2.0)"
+    " * sin(({lon2} - {lon1}) * 0.017453292519943295 / 2.0)))")
+
+
+def haversine_km(lon1, lat1, lon2, lat2):
+    """Great-circle distance in km as a pure-Catalyst Column.
+
+    Fixed IEEE operation order (squares via multiplication, degree→radian
+    by a literal factor) so a SQL engine replaying ``HAVERSINE_SQL``
+    reproduces the double bit-for-bit up to libm's ≤1-ulp sin/cos/asin
+    wiggle — far below any sane output rounding.
+    """
+    dlat_h = F.sin((lat2 - lat1) * F.lit(_DEG2RAD) / F.lit(2.0))
+    dlon_h = F.sin((lon2 - lon1) * F.lit(_DEG2RAD) / F.lit(2.0))
+    a = (dlat_h * dlat_h
+         + F.cos(lat1 * F.lit(_DEG2RAD)) * F.cos(lat2 * F.lit(_DEG2RAD))
+         * dlon_h * dlon_h)
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def distance_join(left: DataFrame, right: DataFrame, radius_km: float,
+                  *, lon: str = "lon", lat: str = "lat",
+                  level: Optional[int] = None,
+                  dist_col: str = "dist_km") -> DataFrame:
+    """All (left, right) pairs within ``radius_km`` great-circle distance.
+
+    The scale shape (the reference resolves near-way lookups one Overpass
+    ``around`` call at a time — overpass.rs:193-242; a cluster needs the
+    set-at-once join):
+
+    1. index the right side by its home grid cell (one narrow projection);
+    2. explode each left row to the cells its radius can reach — a
+       *per-row* ring: ``dy`` is a constant (latitude degrees are uniform)
+       while ``dx`` widens with ``1/cos(|lat| + r)`` so high-latitude rows
+       scan exactly the lon band they need (x wraps modulo n across the
+       antimeridian; y clamps at the poles — correct while
+       ``radius < (90° − max|lat|) · 111 km``, i.e. no cross-pole pairs);
+    3. ONE cell equi-join (no crossJoin anywhere), then the exact
+       haversine filter. Candidate factor = ring area / cell area ≈ 9-25
+       for radius ≈ cell size; AQE's skew split handles dense city cells.
+
+    Everything is whole-stage-codegen'd Catalyst (bit-spread cell encode,
+    HOF ring build, haversine) — no Python in the path. Both coordinate
+    columns must be named ``lon``/``lat``-as-passed on BOTH inputs; other
+    column collisions are the caller's to alias. Output = left columns +
+    right columns (minus the right's coordinates) + ``dist_col``.
+
+    ``level`` defaults to the coarsest grid whose cell height ≥ the
+    radius (so dy == 1); pass a finer level to trade explode fan-out for
+    join selectivity when the data is dense.
+    """
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be positive: {radius_km!r}")
+    r_deg = radius_km / EARTH_RADIUS_KM * (180.0 / np.pi)
+    if level is None:
+        level = max(1, min(14, int(np.floor(np.log2(180.0 / r_deg)))))
+    n = 1 << level
+    cell_h = 180.0 / n
+    cell_w = 360.0 / n
+    dy = int(r_deg / cell_h) + 1
+
+    rx, ry = _grid_xy(F.col(lon), F.col(lat), level)
+    right_idx = (right
+                 .withColumnRenamed(lon, "__rlon")
+                 .withColumnRenamed(lat, "__rlat")
+                 .withColumn("__cell", _cell_from_xy(
+                     *_grid_xy(F.col("__rlon"), F.col("__rlat"), level),
+                     level=level)))
+
+    # per-row lon ring width: the partner's latitude is at most r_deg
+    # further poleward, so bound cos by the worst latitude in reach
+    phi_w = F.least(F.abs(F.col(lat)) + F.lit(r_deg), F.lit(89.9))
+    dx = F.least(
+        F.floor(F.lit(r_deg) / (F.cos(phi_w * F.lit(_DEG2RAD))
+                                * F.lit(cell_w))).cast("int") + F.lit(1),
+        F.lit(n // 2))
+    lx, ly = _grid_xy(F.col(lon), F.col(lat), level)
+    base = (left
+            .withColumn("__x", lx).withColumn("__y", ly)
+            .withColumn("__dx", dx))
+    # x wraps (antimeridian), y clamps (poles); array_distinct collapses
+    # the duplicates both produce at the caps
+    xs = F.transform(F.sequence(-F.col("__dx"), F.col("__dx")),
+                     lambda d: F.pmod(F.col("__x") + d, F.lit(n)))
+    ys = F.transform(F.sequence(F.lit(-dy), F.lit(dy)),
+                     lambda d: F.least(F.greatest(F.col("__y") + d,
+                                                  F.lit(0)),
+                                       F.lit(n - 1)))
+    cells = F.array_distinct(F.flatten(F.transform(
+        xs, lambda xx: F.transform(ys,
+                                   lambda yy: _cell_from_xy(xx, yy, level)))))
+    cand = (base.withColumn("__cell", F.explode(cells))
+            .drop("__x", "__y", "__dx")
+            .join(right_idx, "__cell")
+            .drop("__cell"))
+    d = haversine_km(F.col(lon), F.col(lat),
+                     F.col("__rlon"), F.col("__rlat"))
+    return (cand.withColumn(dist_col, d)
+            .where(F.col(dist_col) <= F.lit(float(radius_km)))
+            .drop("__rlon", "__rlat"))

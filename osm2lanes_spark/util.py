@@ -51,7 +51,51 @@ def tracked_checkpoint(df: DataFrame) -> "tuple[DataFrame, set]":
     sc = df.sparkSession.sparkContext
     before = _persistent_rdd_ids(sc)
     out = df.localCheckpoint(eager=True)
-    return out, _persistent_rdd_ids(sc) - before
+    ids = _persistent_rdd_ids(sc) - before
+    return _cap_leaf_stats(out), ids
+
+
+# A LogicalRDD's stored sizeInBytes past this bit-length can only be a
+# compounding artifact, never a real size (2^256 bytes ≫ all storage).
+_MAX_STAT_BITS = 256
+
+
+def _cap_leaf_stats(out: DataFrame) -> DataFrame:
+    """Strip a checkpointed leaf's stored statistics once they explode.
+
+    ``Dataset.localCheckpoint`` copies the *optimized plan's computed*
+    ``sizeInBytes`` into the new ``LogicalRDD`` (so one checkpoint keeps
+    broadcast decisions working — desirable). But an iterative operator
+    that self-joins each round's checkpoint makes that stored BigInt
+    SQUARE every round: bit-length doubles per round, and by round ~22
+    the stats visitor is multiplying 30M-bit integers — minutes of
+    driver CPU inside ``SizeInBytesOnlyStatsPlanVisitor``, then a heap
+    OOM in ``BigInteger.multiply`` (observed on dbscan's path-shaped
+    ε-graph at sf0.01; cliquey dedup graphs converge too early to show
+    it). Plans stay flat — the *stat* compounds.
+
+    Fix: when the stored stat exceeds any physically possible size,
+    rebuild the frame from the already-materialized ``RDD[InternalRow]``
+    (same blocks — the tracked ids stay valid) via
+    ``internalCreateDataFrame``, whose fresh ``LogicalRDD`` carries
+    default stats (``spark.sql.defaultSizeInBytes``). Below the
+    threshold the checkpointed frame passes through untouched, keeping
+    its accurate stats (and stored output partitioning) for the common
+    non-explosive case. Guarded: any py4j/private-API drift (e.g. Spark
+    Connect) falls back to the plain checkpoint.
+    """
+    try:
+        je = out._jdf.queryExecution()
+        # py4j materializes the scala BigInt as a Python int
+        if int(je.optimizedPlan().stats().sizeInBytes()) \
+                .bit_length() <= _MAX_STAT_BITS:
+            return out
+        spark = out.sparkSession
+        fresh = spark._jsparkSession.internalCreateDataFrame(
+            je.toRdd(), out._jdf.schema(), False)
+        return DataFrame(fresh, spark)
+    except Exception:
+        return out
 
 
 def unpersist_blocks(spark, ids, blocking: bool = False) -> None:

@@ -472,3 +472,24 @@ def test_source_overlap_plan_gram_keyed_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_distance_pairs_plan_equi_join_codegen_haversine(spark, sf_dir):
+    """The within-radius join is ONE grid-cell equi-join (explode ring ⋈
+    cell index) — never a cross product — and the haversine filter stays
+    inside whole-stage codegen (no Python in the hot path)."""
+    plan = _plan(E.queries()["distance_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "Generate explode" in plan, plan
+    assert "ASIN" in plan or "asin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_geohash_binning_plan_single_agg_no_python(spark, sf_dir):
+    """Geohash encode is pure Catalyst bit arithmetic: one partial+final
+    aggregate pair over the scan, zero Python stages."""
+    plan = _plan(E.queries()["geohash_binning"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -79,6 +79,9 @@ ADDED_SINCE_LAST_GATE = {
     "balance_deciles",
     "supplier_reach",
     "value_quantiles_cont",
+    "distance_pairs",
+    "geohash_binning",
+    "dbscan_clusters",
 }
 
 

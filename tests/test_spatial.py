@@ -362,3 +362,217 @@ def test_containment_join_h3_backend_matches_morton(spark):
                                      strategy="broadcast",
                                      cell_backend="h3").collect()}
     assert morton == h3b
+
+
+# --- geohash / distance join / DBSCAN (round-6 wave 7) ----------------------
+
+def _geohash_ref(lon: float, lat: float, precision: int) -> str:
+    """Classic interval-halving geohash (Niemeyer 2008), the textbook
+    algorithm — independent of the Morton-spread implementation."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lon_lo, lon_hi, lat_lo, lat_hi = -180.0, 180.0, -90.0, 90.0
+    bits, out, even = 0, [], True
+    ch = 0
+    for _ in range(precision * 5):
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch <<= 1
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(alphabet[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+@pytest.mark.parametrize("precision", [1, 3, 5, 8, 12])
+def test_geohash_expr_matches_interval_halving(spark, precision):
+    import pandas as pd
+
+    from osm2lanes_spark.spatial.geohash import geohash_expr
+
+    rng = np.random.default_rng(precision)
+    pdf = pd.DataFrame({
+        "i": range(300),
+        "lon": rng.uniform(-180, 180, 300),
+        "lat": rng.uniform(-90, 90, 300),
+    })
+    # pin known anchors too (geohash.org examples)
+    pdf.loc[0, ["lon", "lat"]] = (-5.6, 42.6)      # ezs42 at p=5
+    pdf.loc[1, ["lon", "lat"]] = (13.361389, 38.115556)  # sqc8b49rh...
+    got = {r["i"]: r["gh"] for r in
+           spark.createDataFrame(pdf)
+           .select("i", geohash_expr(F.col("lon"), F.col("lat"),
+                                     precision).alias("gh"))
+           .collect()}
+    for _, row in pdf.iterrows():
+        assert got[row["i"]] == _geohash_ref(row["lon"], row["lat"],
+                                             precision), row["i"]
+
+
+def test_geohash_known_anchor(spark):
+    import pandas as pd
+
+    from osm2lanes_spark.spatial.geohash import geohash_expr
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"lon": [-5.6], "lat": [42.6]}))
+    [row] = df.select(geohash_expr(F.col("lon"), F.col("lat"), 5)
+                      .alias("g")).collect()
+    assert row["g"] == "ezs42"
+
+
+def test_geohash_oracle_cte_matches_spark(spark):
+    import duckdb
+    import pandas as pd
+
+    from osm2lanes_spark.spatial.geohash import (geohash_expr,
+                                                 geohash_oracle_cte)
+
+    rng = np.random.default_rng(99)
+    pdf = pd.DataFrame({
+        "i": range(200),
+        "lon": rng.uniform(-180, 180, 200),
+        "lat": rng.uniform(-90, 90, 200),
+    })
+    spark_out = {r["i"]: r["g"] for r in
+                 spark.createDataFrame(pdf)
+                 .select("i", geohash_expr(F.col("lon"), F.col("lat"), 6)
+                         .alias("g")).collect()}
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    cte = geohash_oracle_cte("pts", "lon", "lat", 6, "i")
+    duck = dict(con.execute(
+        f"WITH {cte} SELECT i, geohash FROM gh").fetchall())
+    assert spark_out == duck
+
+
+def _brute_pairs(pdf, radius_km):
+    from osm2lanes_spark.spatial.joins import EARTH_RADIUS_KM
+
+    lon = np.radians(pdf["lon"].to_numpy())
+    lat = np.radians(pdf["lat"].to_numpy())
+    dlat = lat[:, None] - lat[None, :]
+    dlon = lon[:, None] - lon[None, :]
+    a = (np.sin(dlat / 2) ** 2
+         + np.cos(lat)[:, None] * np.cos(lat)[None, :]
+         * np.sin(dlon / 2) ** 2)
+    d = 2 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
+    ids = pdf["id"].to_numpy()
+    out = set()
+    n = len(pdf)
+    for i in range(n):
+        for j in range(n):
+            if i != j and d[i, j] <= radius_km + 1e-9:
+                out.add((ids[i], ids[j]))
+    return out
+
+
+@pytest.mark.parametrize("radius_km", [200.0, 900.0])
+def test_distance_join_matches_brute_force(spark, radius_km):
+    import pandas as pd
+
+    from osm2lanes_spark.spatial.joins import distance_join
+
+    rng = np.random.default_rng(17)
+    pdf = pd.DataFrame({
+        "id": range(250),
+        "lon": rng.uniform(-180, 180, 250),
+        "lat": rng.uniform(-88, 88, 250),
+    })
+    # clusters straddling the antimeridian and near a pole
+    pdf.loc[:10, "lon"] = rng.uniform(179.0, 180.0, 11)
+    pdf.loc[11:20, "lon"] = rng.uniform(-180.0, -179.0, 10)
+    pdf.loc[:20, "lat"] = rng.uniform(-5, 5, 21)
+    pdf.loc[21:30, "lat"] = rng.uniform(83, 86, 10)
+    sdf = spark.createDataFrame(pdf)
+    left = sdf.select(F.col("id").alias("a"), "lon", "lat")
+    right = sdf.select(F.col("id").alias("b"), "lon", "lat")
+    got = {(r["a"], r["b"]) for r in
+           distance_join(left, right, radius_km)
+           .where(F.col("a") != F.col("b")).collect()}
+    assert got == _brute_pairs(pdf, radius_km)
+
+
+def test_distance_join_rejects_bad_radius(spark):
+    import pandas as pd
+
+    from osm2lanes_spark.spatial.joins import distance_join
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"id": [1], "lon": [0.0], "lat": [0.0]}))
+    with pytest.raises(ValueError):
+        distance_join(df, df, 0.0)
+
+
+def _brute_dbscan(pdf, eps_km, min_pts):
+    """Reference DBSCAN with min-label clusters and min-rule borders."""
+    nbrs = _brute_pairs(pdf, eps_km)
+    ids = list(pdf["id"])
+    adj = {i: set() for i in ids}
+    for a, b in nbrs:
+        adj[a].add(b)
+    cores = {i for i in ids if len(adj[i]) + 1 >= min_pts}
+    # components over core-core edges
+    label = {c: c for c in cores}
+
+    def find(x):
+        while label[x] != x:
+            label[x] = label[label[x]]
+            x = label[x]
+        return x
+
+    for a in cores:
+        for b in adj[a]:
+            if b in cores:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    label[hi] = lo
+    out = {}
+    for c in cores:
+        out[c] = (find(c), True)
+    for i in ids:
+        if i in cores:
+            continue
+        core_nb = [out[b][0] for b in adj[i] if b in cores]
+        if core_nb:
+            out[i] = (min(core_nb), False)
+    return out
+
+
+@pytest.mark.parametrize("min_pts", [1, 2, 3, 5])
+def test_dbscan_matches_brute_force(spark, min_pts):
+    import pandas as pd
+
+    from osm2lanes_spark.spatial.clustering import dbscan
+
+    rng = np.random.default_rng(min_pts * 101 + 1)
+    centers = [(-170.0, 2.0), (178.0, -1.0), (10.0, 48.0), (100.0, -30.0)]
+    rows = []
+    k = 0
+    for cx, cy in centers:
+        for _ in range(12):
+            rows.append((k, cx + rng.normal(0, 2.0), cy + rng.normal(0, 2.0)))
+            k += 1
+    for _ in range(20):  # sparse noise
+        rows.append((k, rng.uniform(-160, 160), rng.uniform(-60, 60)))
+        k += 1
+    pdf = pd.DataFrame(rows, columns=["id", "lon", "lat"])
+    got = {r["id"]: (r["cluster_id"], r["is_core"]) for r in
+           dbscan(spark.createDataFrame(pdf), eps_km=500.0,
+                  min_pts=min_pts, id_col="id").collect()}
+    assert got == _brute_dbscan(pdf, 500.0, min_pts)
