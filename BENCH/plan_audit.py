@@ -396,6 +396,36 @@ hash-verified against a full DuckDB replay (oracle s2_binning).""",
 Raster side aggregates per cell first (partial agg), then equi-joins the
 vector side by cell id — rasterize-then-join, never point-in-polygon per
 event row.""",
+    "distance_pairs": """\
+Within-radius join: each left row explodes to its per-row reachable
+cell ring (lon width adapts to latitude; antimeridian wraps), then ONE
+cell equi-join against the indexed right side and the codegen'd
+haversine filter — no CartesianProduct/BNLJ anywhere, no Python.""",
+    "geohash_binning": """\
+Geohash encode is the same Morton bit-spread chain as the grid cells
+plus a base32 array lookup — all JVM bit arithmetic inside
+WholeStageCodegen; one partial-agg shuffle on the geohash.""",
+    "idw_events": """\
+IDW interpolation = the distance-join candidate set (cell ring explode
++ ONE equi-join) followed by one map-side-combined integer-sum aggregate
+keyed on the query point — weights and values quantized so the mean is
+partitioning-order exact.""",
+    "trajectories": """\
+Per-user trace roll-up: the lag window and the summary aggregate share
+a single entity-keyed exchange; step distances quantize to integers
+before summing. All haversine/bearing math is codegen'd JVM column
+arithmetic.""",
+    "cluster_stats": """\
+DBSCAN→zonal composition: converged labels equi-join the points once,
+then one map-side-combined aggregate per cluster (counts, bbox,
+quantized-sum centroid).""",
+    "dbscan_clusters": """\
+Dumped plan = the final border-assignment join (ε-graph + components are
+driver-side rounds over checkpointed blocks). The ε-graph is ONE grid
+equi-join (distance_pairs shape); cores are one map-side-combined degree
+agg; components converge by pointer jumping with capped leaf stats
+(util._cap_leaf_stats — the stored sizeInBytes would otherwise square
+per round).""",
     "cdc_merge": """\
 MERGE INTO semantics: the three-arm merge is ONE full-outer
 SortMergeJoin on the key (the change batch here derives from the base
@@ -609,8 +639,16 @@ def main() -> None:
                  "jaccard_prefix", "cdc_merge", "cdc_compact",
                  "price_histogram", "part_skyline", "events_gapfill",
                  "balance_deciles", "supplier_reach",
-                 "value_quantiles_cont"):
+                 "value_quantiles_cont",
+                 "distance_pairs", "geohash_binning",
+                 "idw_events", "trajectories"):
         grab(name, qs[name](spark, SF_DIR))
+
+    # dbscan: the dumped plan is the final border-assignment join over
+    # the converged core labels (the ε-graph build + component rounds are
+    # driver-side control flow over checkpointed blocks, like knn/cc)
+    grab("dbscan_clusters", qs["dbscan_clusters"](spark, SF_DIR))
+    grab("cluster_stats", qs["cluster_stats"](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join
     # back onto the corpus (the propagation rounds are driver-side control

@@ -299,6 +299,55 @@ def _q_dbscan_clusters(spark, sf_dir):
     return dbscan(pts, eps_km=800.0, min_pts=3, id_col="doc_id")
 
 
+def _q_cluster_stats(spark, sf_dir):
+    """DBSCAN→zonal composition (spatial/clustering.py cluster_stats):
+    per-cluster member/core counts, bounding box and quantized-sum
+    centroid — the per-metro profiling stats a curation pipeline keys
+    area decisions on. Oracle: the dbscan recursive-CTE replay joined
+    back to the points and aggregated with identical integer sums."""
+    from osm2lanes_spark.spatial.clustering import cluster_stats, dbscan
+
+    docs = _read(spark, sf_dir, "documents")
+    pts = docs.select("doc_id",
+                      F.expr(_LON).alias("lon"), F.expr(_LAT).alias("lat"))
+    labels = dbscan(pts, eps_km=800.0, min_pts=3, id_col="doc_id")
+    return cluster_stats(pts, labels, id_col="doc_id")
+
+
+def _q_idw_events(spark, sf_dir):
+    """IDW spatial interpolation (spatial/interpolate.py): event values
+    as scattered field samples, interpolated onto document points within
+    300 km (power-2 inverse-distance weights, quantized integer sums so
+    the mean is partitioning- and engine-order exact). Oracle:
+    brute-force radius predicate with the same fixed-op-order haversine
+    and the same integer quantization."""
+    from osm2lanes_spark.spatial.interpolate import idw_interpolate
+
+    docs = _read(spark, sf_dir, "documents")
+    ev = _read(spark, sf_dir, "events")
+    pts = docs.select("doc_id",
+                      F.expr(_LON).alias("lon"), F.expr(_LAT).alias("lat"))
+    smp = ev.select(F.expr(_ELON).alias("lon"),
+                    F.expr(_ELAT).alias("lat"), "value")
+    return idw_interpolate(pts, smp, 300.0, id_col="doc_id")
+
+
+def _q_trajectories(spark, sf_dir):
+    """Per-user trajectory roll-up (spatial/trajectory.py): events as a
+    GPS trace ordered by (ts, event_id) — path length (quantized step
+    sum), net first→last displacement, straightness. One entity-keyed
+    shuffle for window + aggregate. Oracle: SQL window replay with the
+    identical haversine and quantization."""
+    from osm2lanes_spark.spatial.trajectory import trajectory_summary
+
+    ev = _read(spark, sf_dir, "events")
+    traces = ev.select(F.col("user_id"), F.col("ts"), F.col("event_id"),
+                       F.expr(_ELON).alias("lon"),
+                       F.expr(_ELAT).alias("lat"))
+    return trajectory_summary(traces, entity="user_id", order="ts",
+                              tiebreak="event_id")
+
+
 def _q_zonal(spark, sf_dir):
     """Raster→vector zonal join (north rule): events rasterized per cell,
     max-aggregated onto document points."""
@@ -2173,6 +2222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_pairs": _shipped(_q_distance_pairs),
         "geohash_binning": _shipped(_q_geohash_binning),
         "dbscan_clusters": _shipped(_q_dbscan_clusters),
+        "cluster_stats": _shipped(_q_cluster_stats),
+        "idw_events": _shipped(_q_idw_events),
+        "trajectories": _shipped(_q_trajectories),
         "zonal": _shipped(_q_zonal),
         "dedup_exact": _shipped(_q_dedup_exact),
         "token_stats": _shipped(_q_token_stats),
@@ -3545,10 +3597,49 @@ def oracle_sql() -> dict[str, str]:
     from osm2lanes_spark.spatial.geohash import geohash_oracle_cte
     from osm2lanes_spark.spatial.joins import HAVERSINE_SQL
 
+    from osm2lanes_spark.spatial.interpolate import idw_oracle_sql
+
     _hav_ab = HAVERSINE_SQL.format(lon1="a.lon", lat1="a.lat",
                                    lon2="b.lon", lat2="b.lat")
     _geohash_cte = geohash_oracle_cte("documents", _LON_SQL, _LAT_SQL,
                                       3, "doc_id")
+    # dbscan CTE chain shared by dbscan_clusters and cluster_stats:
+    # brute-force eps-graph, degree cores, recursive reachability closure
+    # over core-core edges, min-label clusters, min-rule borders
+    _dbscan_cte = f"""
+            pts AS (
+                SELECT doc_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat
+                FROM documents),
+            nbrs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+                WHERE {_hav_ab} <= 800.0),
+            cores AS (
+                SELECT a AS id FROM nbrs GROUP BY a
+                HAVING count(*) + 1 >= 3),
+            core_edges AS (
+                SELECT n.a, n.b FROM nbrs n
+                JOIN cores ca ON n.a = ca.id
+                JOIN cores cb ON n.b = cb.id),
+            r(src, node) AS (
+                SELECT id, id FROM cores
+                UNION
+                SELECT r.src, e.b FROM r JOIN core_edges e
+                ON r.node = e.a),
+            core_lab AS (
+                SELECT src AS doc_id, min(node) AS cluster_id,
+                       TRUE AS is_core
+                FROM r GROUP BY src),
+            border AS (
+                SELECT n.a AS doc_id, min(cl.cluster_id) AS cluster_id,
+                       FALSE AS is_core
+                FROM nbrs n JOIN core_lab cl ON n.b = cl.doc_id
+                WHERE n.a NOT IN (SELECT id FROM cores)
+                GROUP BY n.a),
+            lab AS (
+                SELECT doc_id, cluster_id, is_core FROM core_lab
+                UNION ALL
+                SELECT doc_id, cluster_id, is_core FROM border)"""
     out = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -3629,41 +3720,78 @@ def oracle_sql() -> dict[str, str]:
             FROM gh GROUP BY geohash
         """,
         "dbscan_clusters": f"""
-            -- DBSCAN replay: brute-force eps-graph, degree cores,
-            -- recursive reachability closure over core-core edges,
-            -- min-label clusters, min-rule border assignment
-            WITH RECURSIVE pts AS (
-                SELECT doc_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat
-                FROM documents),
-            nbrs AS (
-                SELECT a.doc_id AS a, b.doc_id AS b
-                FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
-                WHERE {_hav_ab} <= 800.0),
-            cores AS (
-                SELECT a AS id FROM nbrs GROUP BY a
-                HAVING count(*) + 1 >= 3),
-            core_edges AS (
-                SELECT n.a, n.b FROM nbrs n
-                JOIN cores ca ON n.a = ca.id
-                JOIN cores cb ON n.b = cb.id),
-            r(src, node) AS (
-                SELECT id, id FROM cores
-                UNION
-                SELECT r.src, e.b FROM r JOIN core_edges e
-                ON r.node = e.a),
-            core_lab AS (
-                SELECT src AS doc_id, min(node) AS cluster_id,
-                       TRUE AS is_core
-                FROM r GROUP BY src),
-            border AS (
-                SELECT n.a AS doc_id, min(cl.cluster_id) AS cluster_id,
-                       FALSE AS is_core
-                FROM nbrs n JOIN core_lab cl ON n.b = cl.doc_id
-                WHERE n.a NOT IN (SELECT id FROM cores)
-                GROUP BY n.a)
-            SELECT doc_id, cluster_id, is_core FROM core_lab
-            UNION ALL
-            SELECT doc_id, cluster_id, is_core FROM border
+            WITH RECURSIVE {_dbscan_cte}
+            SELECT doc_id, cluster_id, is_core FROM lab
+        """,
+        "cluster_stats": f"""
+            -- dbscan replay + per-cluster zonal roll-up with the same
+            -- quantized integer centroid sums as cluster_stats()
+            WITH RECURSIVE {_dbscan_cte}
+            SELECT cluster_id, count(*) AS n_points,
+                   CAST(sum(CAST(is_core AS BIGINT)) AS BIGINT)
+                       AS n_core,
+                   min(lon) AS min_lon, max(lon) AS max_lon,
+                   min(lat) AS min_lat, max(lat) AS max_lat,
+                   round(CAST(sum(CAST(round(lon * 1000000.0) AS BIGINT))
+                              AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE)
+                         / 1000000.0, 6) AS ctr_lon,
+                   round(CAST(sum(CAST(round(lat * 1000000.0) AS BIGINT))
+                              AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE)
+                         / 1000000.0, 6) AS ctr_lat
+            FROM lab JOIN pts USING (doc_id)
+            GROUP BY cluster_id
+        """,
+        "idw_events": idw_oracle_sql(
+            f"SELECT doc_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat"
+            " FROM documents",
+            f"SELECT {_ELON} AS lon, {_ELAT} AS lat, value FROM events",
+            300.0,
+            HAVERSINE_SQL.format(lon1="p.lon", lat1="p.lat",
+                                 lon2="s.lon", lat2="s.lat"),
+            id_col="doc_id"),
+        "trajectories": f"""
+            -- window replay of trajectory_summary: identical haversine,
+            -- identical integer step quantization (D_SCALE = 1e6)
+            WITH t AS (
+                SELECT user_id, ts, event_id,
+                       {_ELON} AS lon, {_ELAT} AS lat
+                FROM events),
+            s AS (
+                SELECT user_id, lon, lat,
+                       lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+                       first_value(lon) OVER wf AS flon,
+                       first_value(lat) OVER wf AS flat,
+                       last_value(lon) OVER wf AS llon,
+                       last_value(lat) OVER wf AS llat
+                FROM t
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)),
+            q AS (
+                SELECT user_id, flon, flat, llon, llat,
+                       COALESCE(CAST(round(
+                           ({HAVERSINE_SQL.format(
+                               lon1='plon', lat1='plat',
+                               lon2='lon', lat2='lat')})
+                           * 1000000.0) AS BIGINT), 0) AS stepq
+                FROM s),
+            agg AS (
+                SELECT user_id, count(*) AS n_points,
+                       round(CAST(sum(stepq) AS DOUBLE) / 1000000.0, 6)
+                           AS path_km,
+                       round({HAVERSINE_SQL.format(
+                           lon1='min(flon)', lat1='min(flat)',
+                           lon2='min(llon)', lat2='min(llat)')}, 6)
+                           AS net_km
+                FROM q GROUP BY user_id)
+            SELECT user_id, n_points, path_km, net_km,
+                   CASE WHEN path_km > 0
+                        THEN round(net_km / path_km, 6)
+                        ELSE 1.0 END AS straightness
+            FROM agg
         """,
         "distance_pairs": f"""
             -- brute-force replay of the grid-accelerated distance join:

@@ -264,7 +264,10 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "cdc_merge", "cdc_compact", "price_histogram",
                      "part_skyline", "events_gapfill",
                      "balance_deciles", "supplier_reach",
-                     "value_quantiles_cont")
+                     "value_quantiles_cont",
+                     "distance_pairs", "geohash_binning",
+                     "dbscan_clusters", "cluster_stats", "idw_events",
+                     "trajectories")
 
         def run_one(name):
             t0 = time.perf_counter()

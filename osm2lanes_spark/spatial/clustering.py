@@ -108,3 +108,40 @@ def dbscan(points: DataFrame, eps_km: float, min_pts: int,
               .select(F.col("__a").alias(id_col), "cluster_id",
                       F.lit(False).alias("is_core")))
     return core_lab.unionByName(border)
+
+
+C_SCALE = 1_000_000  # coordinate quantum for order-exact centroid sums
+
+
+def cluster_stats(points: DataFrame, labels: DataFrame,
+                  id_col: str = "id") -> DataFrame:
+    """Zonal roll-up of :func:`dbscan` output: per cluster, the member /
+    core counts, bounding box, and centroid.
+
+    ``points`` = (id_col, lon, lat); ``labels`` = dbscan's
+    (id_col, cluster_id, is_core). One equi-join on the point id + one
+    map-side-combined aggregate on cluster_id — the DBSCAN→zonal-stats
+    composition (per-metro corpus profiling before per-area processing).
+    Centroids quantize coordinates to integers before summing
+    (order-exact below 2^53), then round — the engine-exact mean idiom.
+    """
+    j = labels.join(points.select(F.col(id_col), "lon", "lat"), id_col)
+    lonq = F.round(F.col("lon") * F.lit(float(C_SCALE))).cast("long")
+    latq = F.round(F.col("lat") * F.lit(float(C_SCALE))).cast("long")
+    return (j.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum(F.col("is_core").cast("long")).alias("n_core"),
+                 F.min("lon").alias("min_lon"),
+                 F.max("lon").alias("max_lon"),
+                 F.min("lat").alias("min_lat"),
+                 F.max("lat").alias("max_lat"),
+                 F.sum(lonq).alias("__slon"),
+                 F.sum(latq).alias("__slat"))
+            .select("cluster_id", "n_points", "n_core",
+                    "min_lon", "max_lon", "min_lat", "max_lat",
+                    F.round(F.col("__slon").cast("double")
+                            / F.col("n_points").cast("double")
+                            / F.lit(float(C_SCALE)), 6).alias("ctr_lon"),
+                    F.round(F.col("__slat").cast("double")
+                            / F.col("n_points").cast("double")
+                            / F.lit(float(C_SCALE)), 6).alias("ctr_lat")))

@@ -493,3 +493,24 @@ def test_geohash_binning_plan_single_agg_no_python(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "partial" in plan.lower(), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trajectories_plan_one_exchange_window_agg_fused(spark, sf_dir):
+    """The per-user lag window and the summary aggregate share ONE
+    entity-keyed exchange; the haversine/bearing math is all codegen'd
+    column arithmetic (no Python)."""
+    plan = _plan(E.queries()["trajectories"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan, plan
+    assert "partial_sum" in plan, plan  # map-side combined summary
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_idw_events_plan_equi_join_partial_agg(spark, sf_dir):
+    """IDW = distance-join candidates (cell equi-join, no cross product)
+    + one map-side-combined integer-sum aggregate."""
+    plan = _plan(E.queries()["idw_events"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -82,6 +82,9 @@ ADDED_SINCE_LAST_GATE = {
     "distance_pairs",
     "geohash_binning",
     "dbscan_clusters",
+    "cluster_stats",
+    "idw_events",
+    "trajectories",
 }
 
 
