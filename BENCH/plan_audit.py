@@ -405,6 +405,10 @@ haversine filter — no CartesianProduct/BNLJ anywhere, no Python.""",
 Geohash encode is the same Morton bit-spread chain as the grid cells
 plus a base32 array lookup — all JVM bit arithmetic inside
 WholeStageCodegen; one partial-agg shuffle on the geohash.""",
+    "raster_focal": """\
+Focal convolution by scatter: explode each populated cell to its 3x3
+targets (constant fan-out), ONE map-side-combined regroup on the target
+cell. Integer-quantized values keep the sums order-exact.""",
     "idw_events": """\
 IDW interpolation = the distance-join candidate set (cell ring explode
 + ONE equi-join) followed by one map-side-combined integer-sum aggregate
@@ -641,7 +645,7 @@ def main() -> None:
                  "balance_deciles", "supplier_reach",
                  "value_quantiles_cont",
                  "distance_pairs", "geohash_binning",
-                 "idw_events", "trajectories"):
+                 "idw_events", "trajectories", "raster_focal"):
         grab(name, qs[name](spark, SF_DIR))
 
     # dbscan: the dumped plan is the final border-assignment join over

@@ -361,6 +361,22 @@ def _q_zonal(spark, sf_dir):
             .agg(F.max("rval").alias("zonal_max")))
 
 
+def _q_raster_focal(spark, sf_dir):
+    """Focal raster convolution (spatial/raster.py focal_sum): events
+    rasterized to a 256² integer grid (values quantized to 1e-6), then a
+    3×3 box-kernel focal sum via scatter-explode + ONE map-side-combined
+    regroup — the smoothed-density-surface step between rasterize and
+    threshold. Oracle: offsets cross join with the same edge clipping."""
+    from osm2lanes_spark.spatial.raster import focal_sum
+
+    ev = _read(spark, sf_dir, "events")
+    raster = (ev.select(F.expr(_EGX).alias("x"), F.expr(_EGY).alias("y"),
+                        F.round(F.col("value") * F.lit(1e6))
+                        .cast("long").alias("vq"))
+              .groupBy("x", "y").agg(F.sum("vq").alias("value")))
+    return focal_sum(raster, 256, 256, k=1)
+
+
 def _q_dedup_exact(spark, sf_dir):
     """Exact dedup groups (normalized-md5 fingerprint)."""
     from osm2lanes_spark.operators.text import normalized
@@ -2225,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_stats": _shipped(_q_cluster_stats),
         "idw_events": _shipped(_q_idw_events),
         "trajectories": _shipped(_q_trajectories),
+        "raster_focal": _shipped(_q_raster_focal),
         "zonal": _shipped(_q_zonal),
         "dedup_exact": _shipped(_q_dedup_exact),
         "token_stats": _shipped(_q_token_stats),
@@ -3803,6 +3820,25 @@ def oracle_sql() -> dict[str, str]:
                    round({_hav_ab}, 3) AS dist_km
             FROM pts a JOIN pts b ON a.doc_id < b.doc_id
             WHERE {_hav_ab} <= 800.0
+        """,
+        "raster_focal": f"""
+            -- scatter replay: every populated cell contributes to its
+            -- 3x3 targets (edge-clipped), one regroup on the target
+            WITH r AS (
+                SELECT x, y, CAST(sum(vq) AS BIGINT) AS value FROM (
+                    SELECT {_EGX_SQL} AS x, {_EGY_SQL} AS y,
+                           CAST(round(value * 1000000.0) AS BIGINT) AS vq
+                    FROM events) src
+                GROUP BY x, y),
+            o(d) AS (VALUES (-1), (0), (1)),
+            t AS (
+                SELECT r.x + ox.d AS x, r.y + oy.d AS y, r.value
+                FROM r, o ox, o oy
+                WHERE r.x + ox.d BETWEEN 0 AND 255
+                  AND r.y + oy.d BETWEEN 0 AND 255)
+            SELECT x, y, CAST(sum(value) AS BIGINT) AS focal,
+                   count(*) AS n_nbrs
+            FROM t GROUP BY x, y
         """,
         "zonal": f"""
             WITH raster AS (

@@ -69,3 +69,41 @@ def zonal_join(ways: DataFrame, raster: DataFrame, level: int,
             .groupBy(way_id)
             .agg(agg_fn("value").alias(f"zonal_{agg}"),
                  F.count(F.lit(1)).alias("n_cells")))
+
+
+def focal_sum(raster: DataFrame, width: int, height: int,
+              k: int = 1, x: str = "x", y: str = "y",
+              value: str = "value") -> DataFrame:
+    """Focal (moving-window) sum: for every populated cell, the sum of
+    values over its (2k+1)² neighborhood — the relational form of a
+    raster convolution with a box kernel (smoothed heat maps, density
+    surfaces before thresholding).
+
+    Scatter formulation: each source cell explodes to the ≤(2k+1)²
+    target cells its value contributes to (clipped at the raster edge —
+    planar semantics, no wrap), then ONE map-side-combined groupBy on
+    the target sums contributions. A gather via self-join would shuffle
+    the raster twice; the scatter is a single exchange and the explode
+    fan-out is the kernel size, a constant.
+
+    Output: (x, y, focal, n_nbrs) over cells reached by ≥1 source —
+    focal is exact whenever ``value`` is integral (quantize floats
+    first: order-exact integer sums).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0: {k!r}")
+    offs = F.sequence(F.lit(-k), F.lit(k))
+    targets = F.filter(
+        F.flatten(F.transform(
+            offs, lambda dx: F.transform(
+                offs, lambda dy: F.struct(
+                    (F.col(x) + dx).alias("tx"),
+                    (F.col(y) + dy).alias("ty"))))),
+        lambda t: (t["tx"] >= 0) & (t["tx"] < width)
+        & (t["ty"] >= 0) & (t["ty"] < height))
+    return (raster
+            .select(F.explode(targets).alias("__t"), F.col(value))
+            .groupBy(F.col("__t")["tx"].alias(x),
+                     F.col("__t")["ty"].alias(y))
+            .agg(F.sum(value).alias("focal"),
+                 F.count(F.lit(1)).alias("n_nbrs")))

@@ -514,3 +514,13 @@ def test_idw_events_plan_equi_join_partial_agg(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan, plan
     assert "partial_sum" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_raster_focal_plan_scatter_single_regroup(spark, sf_dir):
+    """Focal sum scatters via explode then regroups ONCE (map-side
+    combined) — a gather self-join would shuffle the raster twice."""
+    plan = _plan(E.queries()["raster_focal"](spark, sf_dir))
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -85,6 +85,7 @@ ADDED_SINCE_LAST_GATE = {
     "cluster_stats",
     "idw_events",
     "trajectories",
+    "raster_focal",
 }
 
 

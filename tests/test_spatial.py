@@ -576,3 +576,31 @@ def test_dbscan_matches_brute_force(spark, min_pts):
            dbscan(spark.createDataFrame(pdf), eps_km=500.0,
                   min_pts=min_pts, id_col="id").collect()}
     assert got == _brute_dbscan(pdf, 500.0, min_pts)
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_focal_sum_matches_numpy_convolution(spark, k):
+    import pandas as pd
+
+    from osm2lanes_spark.spatial.raster import focal_sum
+
+    rng = np.random.default_rng(k + 3)
+    w, h = 12, 9
+    grid = np.zeros((w, h), np.int64)
+    cells = rng.choice(w * h, size=40, replace=False)
+    vals = rng.integers(-50, 100, size=40)
+    for c, v in zip(cells, vals):
+        grid[c // h, c % h] = v
+    pdf = pd.DataFrame({"x": cells // h, "y": cells % h, "value": vals})
+    out = {(r["x"], r["y"]): (r["focal"], r["n_nbrs"]) for r in
+           focal_sum(spark.createDataFrame(pdf), w, h, k=k).collect()}
+    # numpy reference: box-kernel sum over populated neighbors
+    for (x0, y0), (focal, n) in out.items():
+        xs = slice(max(0, x0 - k), min(w, x0 + k + 1))
+        ys = slice(max(0, y0 - k), min(h, y0 + k + 1))
+        assert focal == grid[xs, ys].sum(), (x0, y0)
+        pop = np.zeros((w, h), bool)
+        pop[pdf["x"], pdf["y"]] = True
+        assert n == int(pop[xs, ys].sum()), (x0, y0)
+    # every cell reached by some populated neighbor is present
+    assert len(out) >= len(pdf)
