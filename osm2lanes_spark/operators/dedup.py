@@ -453,7 +453,7 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
 
 def connected_components(pairs: DataFrame, left: str = "left_id",
                          right: str = "right_id",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50, jumps: int = 3) -> DataFrame:
     """Group near-duplicate pairs into clusters: (id, component) for every
     id appearing in ``pairs``, where ``component`` is the minimum member
     id — the canonical dedup survivor key.
@@ -500,16 +500,25 @@ def connected_components(pairs: DataFrame, left: str = "left_id",
             labels.unionByName(nbr)
             .groupBy("id").agg(F.min("comp").alias("comp")))
         # pointer jumping: follow the label's own label (comp is always a
-        # node id, so the lookup is the same labels relation)
-        lookup = prop.select(F.col("id").alias("_cid"),
-                             F.col("comp").alias("_ccomp"))
+        # node id, so the lookup is the same labels relation). ``jumps``
+        # compressions per round: each halves remaining label-chain
+        # length, so path-shaped graphs (geographic chains — the dbscan
+        # ε-graph) converge in ~log_{2^jumps} rounds instead of ~log₂;
+        # measured on a 2048-node path: 12 rounds → 5 at jumps=3. Each
+        # extra jump is one node-keyed self-join of the (small) labels
+        # relation per round; halving the round count halves the count
+        # of edge-relation joins — the expensive side at scale.
+        cur = prop
+        for _ in range(max(1, jumps)):
+            lookup = cur.select(F.col("id").alias("_cid"),
+                                F.col("comp").alias("_ccomp"))
+            cur = (cur.join(lookup, cur.comp == F.col("_cid"), "left")
+                   .select(cur.id,
+                           F.least(cur.comp,
+                                   F.coalesce(F.col("_ccomp"), cur.comp))
+                           .alias("comp")))
         prev, prev_ids = labels, labels_ids
-        labels, labels_ids = tracked_checkpoint(
-            prop.join(lookup, prop.comp == F.col("_cid"), "left")
-            .select(prop.id,
-                    F.least(prop.comp,
-                            F.coalesce(F.col("_ccomp"), prop.comp))
-                    .alias("comp")))
+        labels, labels_ids = tracked_checkpoint(cur)
         # the new round's labels are materialized: prop's blocks are
         # superseded immediately (VERDICT r04 #5 — without the explicit
         # frees, every round's label table sat in block storage until
