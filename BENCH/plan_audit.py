@@ -405,6 +405,15 @@ haversine filter — no CartesianProduct/BNLJ anywhere, no Python.""",
 Geohash encode is the same Morton bit-spread chain as the grid cells
 plus a base32 array lookup — all JVM bit arithmetic inside
 WholeStageCodegen; one partial-agg shuffle on the geohash.""",
+    "sssp_costs": """\
+Bounded-hop Bellman-Ford: per round ONE equi-join onto the cached
+adjacency + a map-side-combined min-agg; integer cent weights keep
+sums exact. Rounds checkpoint with capped leaf stats; the dumped plan
+is the final materialized distance leaf.""",
+    "triangles": """\
+a<b<c orientation finds each triangle once: two hash equi-joins over
+the canonical checkpointed edge leaf + one partial-combined count —
+no cross product; hub vertices ride AQE skew splits.""",
     "raster_focal": """\
 Focal convolution by scatter: explode each populated cell to its 3x3
 targets (constant fan-out), ONE map-side-combined regroup on the target
@@ -645,7 +654,8 @@ def main() -> None:
                  "balance_deciles", "supplier_reach",
                  "value_quantiles_cont",
                  "distance_pairs", "geohash_binning",
-                 "idw_events", "trajectories", "raster_focal"):
+                 "idw_events", "trajectories", "raster_focal",
+                 "triangles"):
         grab(name, qs[name](spark, SF_DIR))
 
     # dbscan: the dumped plan is the final border-assignment join over
@@ -653,6 +663,9 @@ def main() -> None:
     # driver-side control flow over checkpointed blocks, like knn/cc)
     grab("dbscan_clusters", qs["dbscan_clusters"](spark, SF_DIR))
     grab("cluster_stats", qs["cluster_stats"](spark, SF_DIR))
+    # sssp: the dumped plan is the checkpointed final distance leaf
+    # (relaxation rounds are driver-side control flow, like pagerank)
+    grab("sssp_costs", qs["sssp_costs"](spark, SF_DIR))
 
     # components: the dumped plan is the converged labels' final join
     # back onto the corpus (the propagation rounds are driver-side control

@@ -1743,6 +1743,51 @@ def _q_scd2_status(spark, sf_dir):
                       attrs=["o_orderstatus"], tiebreak="o_orderkey")
 
 
+def _q_sssp_costs(spark, sf_dir):
+    """Bounded-hop weighted shortest paths (operators/graph.py
+    weighted_sssp — Bellman-Ford rounds): cheapest ≤4-edge purchase
+    path from the minimum customer over the bidirectional
+    customer↔supplier graph, edge weight = min order-line price in
+    integer cents (exact 64-bit sums — bit-identical in any engine).
+    The DuckDB oracle unrolls the same relaxation recurrence as chained
+    CTEs (the pagerank idiom; enumerating paths recursively would blow
+    up combinatorially)."""
+    from osm2lanes_spark.operators.graph import weighted_sssp
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    cust = _read(spark, sf_dir, "customer")
+    base = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+            .select((F.col("o_custkey") * 2).alias("c"),
+                    (F.col("l_suppkey") * 2 + 1).alias("s"),
+                    F.round(F.col("l_extendedprice") * F.lit(100.0))
+                    .cast("long").alias("w")))
+    edges = (base.select(F.col("c").alias("src"), F.col("s").alias("dst"),
+                         "w")
+             .unionByName(base.select(F.col("s").alias("src"),
+                                      F.col("c").alias("dst"), "w")))
+    sources = cust.agg((F.min("c_custkey") * 2).alias("node"))
+    return weighted_sssp(edges, sources, weight="w", max_hops=4)
+
+
+def _q_triangles(spark, sf_dir):
+    """Triangle counting (operators/graph.py triangle_counts) over the
+    co-purchase part graph (parts sharing an order): a<b<c canonical
+    orientation finds each triangle exactly once via two hash equi-joins
+    — the clustering-coefficient numerator used as a graph-quality
+    signal. Oracle: the identical three-way join in SQL."""
+    from osm2lanes_spark.operators.graph import triangle_counts
+
+    li = _read(spark, sf_dir, "lineitem")
+    pl = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("p")).distinct()
+    pr = pl.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    edges = (pl.join(pr, (pl["o"] == pr["o2"]) & (pl["p"] < pr["p2"]))
+             .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+             .distinct())
+    return triangle_counts(edges)
+
+
 def _q_pagerank(spark, sf_dir):
     """Iterative PageRank (operators/graph.py) over the bipartite
     customer→supplier purchase graph — the domain-authority quality
@@ -2271,6 +2316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_docs": _shipped(_q_weighted_docs),
         "scd2_status": _shipped(_q_scd2_status),
         "pagerank": _shipped(_q_pagerank),
+        "sssp_costs": _shipped(_q_sssp_costs),
+        "triangles": _shipped(_q_triangles),
         "qsketch_chars": _shipped(_q_qsketch_chars),
         "dq_checks": _shipped(_q_dq_checks),
         "pivot_events": _shipped(_q_pivot_events),
@@ -3610,6 +3657,33 @@ def _pagerank_oracle(iterations: int = 5, scale: int = 10 ** 12,
     """)
 
 
+def _sssp_oracle(max_hops: int = 4) -> str:
+    """Unrolled Bellman-Ford relaxation (the pagerank chained-CTE idiom)
+    over the bidirectional customer↔supplier cents-weight graph."""
+    w = "CAST(round(l_extendedprice * 100.0) AS BIGINT)"
+    parts = [f"""e AS (
+        SELECT src, dst, min(w) AS w FROM (
+            SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, {w} AS w
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            UNION ALL
+            SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst, {w} AS w
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey) b
+        GROUP BY src, dst)""",
+             """d0 AS (
+        SELECT min(c_custkey) * 2 AS node, CAST(0 AS BIGINT) AS dist
+        FROM customer)"""]
+    for k in range(1, max_hops + 1):
+        parts.append(f"""d{k} AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{k - 1}
+            UNION ALL
+            SELECT e.dst AS node, d{k - 1}.dist + e.w AS dist
+            FROM d{k - 1} JOIN e ON d{k - 1}.node = e.src) x
+        GROUP BY node)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, dist FROM d{max_hops}")
+
+
 def oracle_sql() -> dict[str, str]:
     from osm2lanes_spark.spatial.geohash import geohash_oracle_cte
     from osm2lanes_spark.spatial.joins import HAVERSINE_SQL
@@ -3820,6 +3894,22 @@ def oracle_sql() -> dict[str, str]:
                    round({_hav_ab}, 3) AS dist_km
             FROM pts a JOIN pts b ON a.doc_id < b.doc_id
             WHERE {_hav_ab} <= 800.0
+        """,
+        "sssp_costs": _sssp_oracle(4),
+        "triangles": """
+            -- a<b<c orientation: each triangle joined exactly once
+            WITH pl AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+            e AS (
+                SELECT DISTINCT x.p AS a, y.p AS b
+                FROM pl x JOIN pl y ON x.o = y.o AND x.p < y.p),
+            t AS (
+                SELECT e1.a, e1.b, e2.b AS c
+                FROM e e1
+                JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT a, count(*) AS n_triangles FROM t GROUP BY a
         """,
         "raster_focal": f"""
             -- scatter replay: every populated cell contributes to its

@@ -267,7 +267,7 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "value_quantiles_cont",
                      "distance_pairs", "geohash_binning",
                      "dbscan_clusters", "cluster_stats", "idw_events",
-                     "trajectories", "raster_focal")
+                     "trajectories", "raster_focal", "sssp_costs", "triangles")
 
         def run_one(name):
             t0 = time.perf_counter()

@@ -199,3 +199,75 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
             # same compounding shape as pagerank's rank loop — capped
             reached = _cap_leaf_stats(reached.localCheckpoint(eager=True))
     return reached
+
+
+def weighted_sssp(edges: DataFrame, sources: DataFrame,
+                  src: str = "src", dst: str = "dst", weight: str = "w",
+                  max_hops: int = 4, node: str = "node",
+                  truncate_lineage: bool = True) -> DataFrame:
+    """Bounded-hop single-source shortest paths (Bellman-Ford rounds):
+    minimum path weight over ≤``max_hops`` edges from any seed in
+    ``sources`` (one ``node`` column) to every reachable node.
+
+    Weights must be non-negative INTEGERS (cents, scaled costs) — sums
+    stay exact 64-bit arithmetic, so the result is bit-identical in any
+    engine and the DuckDB oracle can unroll the same recurrence as
+    chained CTEs (the pagerank idiom; a path-enumerating recursive CTE
+    would blow up combinatorially on dense graphs).
+
+    Each round is ONE equi-join of the current distance table onto the
+    cached adjacency plus one map-side-combined min-aggregate — the
+    relational relaxation step. Rounds localCheckpoint with capped leaf
+    stats (the same compounding shape as the pagerank loop). 100 TB
+    shape: distances and edges hash-partition on the node key; no
+    windows, no driver-side state.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"),
+                     F.col(weight).cast("long").alias("__w"))
+    e = e.groupBy("__s", "__d").agg(F.min("__w").alias("__w"))
+    e = _cap_leaf_stats(e.localCheckpoint(eager=True))
+    dist = (sources.select(F.col(node).alias(node)).distinct()
+            .withColumn("dist", F.lit(0).cast("long")))
+    dist = _cap_leaf_stats(dist.localCheckpoint(eager=True))
+    for _ in range(max_hops):
+        relaxed = (dist.join(e, dist[node] == e["__s"])
+                   .select(F.col("__d").alias(node),
+                           (F.col("dist") + F.col("__w")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy(node).agg(F.min("dist").alias("dist")))
+        if truncate_lineage:
+            dist = _cap_leaf_stats(dist.localCheckpoint(eager=True))
+    return dist
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Triangles per lowest-id vertex: edges canonicalize to a < b
+    (direction and duplicates collapse), and each triangle {a<b<c} is
+    found exactly once by joining its two wedge edges (a,b)-(b,c) with
+    the closing edge (a,c).
+
+    The a<b<c orientation is the classic enumeration-dedup trick: every
+    triangle has exactly one vertex ordering, so no post-hoc /6 division
+    and no double counting. Two hash equi-joins + one map-side-combined
+    count — the joins key on vertex ids, AQE splits hub vertices. (The
+    degree-ordering refinement — orient edges low-degree → high-degree —
+    drops wedge fan-out to O(m^1.5) on power-law graphs; the id
+    orientation keeps the oracle replay trivial and is exact either
+    way.)
+    """
+    canon = (edges.select(F.least(src, dst).alias("a"),
+                          F.greatest(src, dst).alias("b"))
+             .where(F.col("a") < F.col("b"))
+             .distinct())
+    canon = _cap_leaf_stats(canon.localCheckpoint(eager=True))
+    ab = canon
+    bc = canon.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    ac = canon.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    wedges = ab.join(bc, ab["b"] == bc["b2"]).select("a", "b", "c")
+    tri = wedges.join(ac, (wedges["a"] == ac["a3"])
+                      & (wedges["c"] == ac["c3"])).select("a", "b", "c")
+    return (tri.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))

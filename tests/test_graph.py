@@ -91,3 +91,75 @@ def test_bfs_distances_directed_undirected_and_bounds(spark):
     assert z == {1: 0}
     with pytest.raises(ValueError, match="max_hops"):
         bfs_distances(edges, seeds, max_hops=-1)
+
+
+def test_weighted_sssp_matches_bellman_ford(spark):
+    import itertools
+    import numpy as np
+
+    from osm2lanes_spark.operators.graph import weighted_sssp
+
+    rng = np.random.default_rng(11)
+    n = 40
+    rows = []
+    for a, b in itertools.combinations(range(n), 2):
+        if rng.random() < 0.12:
+            rows.append((a, b, int(rng.integers(1, 100))))
+            rows.append((b, a, int(rng.integers(1, 100))))
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    for hops in (0, 1, 3):
+        got = {r.node: r.dist for r in weighted_sssp(
+            edges, seeds, max_hops=hops).collect()}
+        # reference: iterated relaxation over ≤hops edges
+        dist = {0: 0}
+        for _ in range(hops):
+            nxt = dict(dist)
+            for a, b, w in rows:
+                if a in dist and dist[a] + w < nxt.get(b, 1 << 60):
+                    nxt[b] = dist[a] + w
+            dist = nxt
+        assert got == dist, hops
+
+
+def test_weighted_sssp_parallel_edges_take_min(spark):
+    from osm2lanes_spark.operators.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 2, 3), (2, 3, 5)], "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in weighted_sssp(
+        edges, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 3, 3: 8}
+
+
+def test_triangle_counts_small_and_direction_insensitive(spark):
+    from osm2lanes_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles) + a pendant edge + a reversed dup
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges += [(4, 5), (2, 1)]  # pendant + reverse duplicate
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.a: r.n_triangles for r in triangle_counts(df).collect()}
+    # K4 triangles by lowest vertex: {1,2,3} {1,2,4} {1,3,4} → a=1 ×3,
+    # {2,3,4} → a=2 ×1
+    assert got == {1: 3, 2: 1}
+
+
+def test_triangle_counts_brute_force_random(spark):
+    import itertools
+    import numpy as np
+
+    from osm2lanes_spark.operators.graph import triangle_counts
+
+    rng = np.random.default_rng(23)
+    n = 30
+    es = {(a, b) for a, b in itertools.combinations(range(n), 2)
+          if rng.random() < 0.25}
+    df = spark.createDataFrame(sorted(es), "src long, dst long")
+    got = {r.a: r.n_triangles for r in triangle_counts(df).collect()}
+    exp = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            exp[a] = exp.get(a, 0) + 1
+    assert got == exp

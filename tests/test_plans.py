@@ -524,3 +524,22 @@ def test_raster_focal_plan_scatter_single_regroup(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "partial_sum" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangles_plan_equi_joins_no_cartesian(spark, sf_dir):
+    """Triangle enumeration is two hash equi-joins over the canonical
+    edge leaf + one map-side-combined count — no cross product."""
+    plan = _plan(E.queries()["triangles"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_sssp_plan_rounds_checkpointed_to_leaf(spark, sf_dir):
+    """Relaxation rounds are driver-side control flow over checkpointed
+    blocks (like pagerank/knn): the returned frame IS the materialized
+    final distance leaf — zero residual exchanges, no Python."""
+    plan = _plan(E.queries()["sssp_costs"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -86,6 +86,8 @@ ADDED_SINCE_LAST_GATE = {
     "idw_events",
     "trajectories",
     "raster_focal",
+    "sssp_costs",
+    "triangles",
 }
 
 
