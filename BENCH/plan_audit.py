@@ -414,6 +414,14 @@ is the final materialized distance leaf.""",
 a<b<c orientation finds each triangle once: two hash equi-joins over
 the canonical checkpointed edge leaf + one partial-combined count —
 no cross product; hub vertices ride AQE skew splits.""",
+    "raster_peaks": """\
+Non-max suppression: same scatter shape as the focal sum (center
+offset excluded, max agg), then one left equi-join back — strict
+compare, no cross product.""",
+    "tile_pyramid": """\
+Whole pyramid in ONE pass: explode each base cell to its (level,
+parent) tuples, one map-side-combined groupBy — a hierarchy shuffle,
+not a job per zoom level.""",
     "raster_focal": """\
 Focal convolution by scatter: explode each populated cell to its 3x3
 targets (constant fan-out), ONE map-side-combined regroup on the target
@@ -655,7 +663,7 @@ def main() -> None:
                  "value_quantiles_cont",
                  "distance_pairs", "geohash_binning",
                  "idw_events", "trajectories", "raster_focal",
-                 "triangles"):
+                 "triangles", "raster_peaks", "tile_pyramid"):
         grab(name, qs[name](spark, SF_DIR))
 
     # dbscan: the dumped plan is the final border-assignment join over

@@ -377,6 +377,48 @@ def _q_raster_focal(spark, sf_dir):
     return focal_sum(raster, 256, 256, k=1)
 
 
+def _q_raster_peaks(spark, sf_dir):
+    """Non-maximum suppression (spatial/raster.py raster_peaks): local
+    maxima of the 256² integer event raster — cells strictly above every
+    populated 3×3 neighbor; the hotspot-extraction step after focal
+    smoothing. Oracle: neighbor-offsets cross join with the same strict
+    compare."""
+    from osm2lanes_spark.spatial.raster import raster_peaks
+
+    ev = _read(spark, sf_dir, "events")
+    raster = (ev.select(F.expr(_EGX).alias("x"), F.expr(_EGY).alias("y"),
+                        F.round(F.col("value") * F.lit(1e6))
+                        .cast("long").alias("vq"))
+              .groupBy("x", "y").agg(F.sum("vq").alias("value")))
+    return raster_peaks(raster, 256, 256, k=1)
+
+
+def _q_tile_pyramid(spark, sf_dir):
+    """Tile-pyramid rollup: event counts and quantized value sums per
+    grid cell at levels 8/6/4/2 of the 256² raster in ONE pass — each
+    base cell explodes to its (level, parent) tuples (integer division
+    by the level's cell span) and a single map-side-combined groupBy
+    aggregates the whole pyramid; the hypertable-rollup shape (a
+    hierarchy shuffle, not one job per zoom level). Oracle: the same
+    division replayed per level via a VALUES cross join."""
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(F.expr(_EGX).alias("x"), F.expr(_EGY).alias("y"),
+                     F.round(F.col("value") * F.lit(1e6))
+                     .cast("long").alias("vq"))
+    lv = F.array(*[F.struct(F.lit(l).alias("level"),
+                            F.lit(1 << (8 - l)).alias("span"))
+                   for l in (2, 4, 6, 8)])
+    return (base
+            .select(F.explode(lv).alias("__l"), "x", "y", "vq")
+            .groupBy(F.col("__l")["level"].alias("level"),
+                     (F.col("x") / F.col("__l")["span"]).cast("long")
+                     .alias("px"),
+                     (F.col("y") / F.col("__l")["span"]).cast("long")
+                     .alias("py"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("vq").alias("value")))
+
+
 def _q_dedup_exact(spark, sf_dir):
     """Exact dedup groups (normalized-md5 fingerprint)."""
     from osm2lanes_spark.operators.text import normalized
@@ -2287,6 +2329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_events": _shipped(_q_idw_events),
         "trajectories": _shipped(_q_trajectories),
         "raster_focal": _shipped(_q_raster_focal),
+        "raster_peaks": _shipped(_q_raster_peaks),
+        "tile_pyramid": _shipped(_q_tile_pyramid),
         "zonal": _shipped(_q_zonal),
         "dedup_exact": _shipped(_q_dedup_exact),
         "token_stats": _shipped(_q_token_stats),
@@ -3929,6 +3973,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT x, y, CAST(sum(value) AS BIGINT) AS focal,
                    count(*) AS n_nbrs
             FROM t GROUP BY x, y
+        """,
+        "raster_peaks": f"""
+            -- strict non-max suppression vs populated 3x3 neighbors
+            WITH r AS (
+                SELECT x, y, CAST(sum(vq) AS BIGINT) AS value FROM (
+                    SELECT {_EGX_SQL} AS x, {_EGY_SQL} AS y,
+                           CAST(round(value * 1000000.0) AS BIGINT) AS vq
+                    FROM events) src
+                GROUP BY x, y),
+            o(d) AS (VALUES (-1), (0), (1)),
+            nbr AS (
+                SELECT r.x + ox.d AS x, r.y + oy.d AS y,
+                       max(r.value) AS nbr_max
+                FROM r, o ox, o oy
+                WHERE NOT (ox.d = 0 AND oy.d = 0)
+                  AND r.x + ox.d BETWEEN 0 AND 255
+                  AND r.y + oy.d BETWEEN 0 AND 255
+                GROUP BY 1, 2)
+            SELECT r.x, r.y, r.value
+            FROM r LEFT JOIN nbr ON r.x = nbr.x AND r.y = nbr.y
+            WHERE nbr.nbr_max IS NULL OR r.value > nbr.nbr_max
+        """,
+        "tile_pyramid": f"""
+            -- one-pass pyramid: per level = integer division by its span
+            WITH base AS (
+                SELECT {_EGX_SQL} AS x, {_EGY_SQL} AS y,
+                       CAST(round(value * 1000000.0) AS BIGINT) AS vq
+                FROM events),
+            lv(level, span) AS (VALUES (2, 64), (4, 16), (6, 4), (8, 1))
+            SELECT CAST(lv.level AS BIGINT) AS level,
+                   CAST(base.x // lv.span AS BIGINT) AS px,
+                   CAST(base.y // lv.span AS BIGINT) AS py,
+                   count(*) AS n_events,
+                   CAST(sum(vq) AS BIGINT) AS value
+            FROM base, lv
+            GROUP BY 1, 2, 3
         """,
         "zonal": f"""
             WITH raster AS (

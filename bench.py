@@ -267,7 +267,8 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "value_quantiles_cont",
                      "distance_pairs", "geohash_binning",
                      "dbscan_clusters", "cluster_stats", "idw_events",
-                     "trajectories", "raster_focal", "sssp_costs", "triangles")
+                     "trajectories", "raster_focal", "sssp_costs", "triangles",
+                     "raster_peaks", "tile_pyramid")
 
         def run_one(name):
             t0 = time.perf_counter()

@@ -107,3 +107,42 @@ def focal_sum(raster: DataFrame, width: int, height: int,
                      F.col("__t")["ty"].alias(y))
             .agg(F.sum(value).alias("focal"),
                  F.count(F.lit(1)).alias("n_nbrs")))
+
+
+def raster_peaks(raster: DataFrame, width: int, height: int,
+                 k: int = 1, x: str = "x", y: str = "y",
+                 value: str = "value") -> DataFrame:
+    """Local maxima: populated cells strictly greater than every
+    populated neighbor in their (2k+1)²−1 ring — non-maximum
+    suppression, the peak-extraction step after focal smoothing
+    (hotspot detection over density surfaces).
+
+    Same scatter shape as :func:`focal_sum` but excluding the center
+    offset and aggregating max: each cell scatters its value to its
+    neighbors, one regroup computes every cell's neighbor-max, and an
+    equi-join back to the raster keeps cells above it. Cells with no
+    populated neighbor are peaks by definition (left join, null-safe
+    compare). Ties (equal neighbor) suppress BOTH cells — the strict
+    inequality is what makes the result orientation-independent.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k!r}")
+    offs = F.sequence(F.lit(-k), F.lit(k))
+    targets = F.filter(
+        F.flatten(F.transform(
+            offs, lambda dx: F.transform(
+                offs, lambda dy: F.struct(
+                    (F.col(x) + dx).alias("tx"),
+                    (F.col(y) + dy).alias("ty"))))),
+        lambda t: (t["tx"] >= 0) & (t["tx"] < width)
+        & (t["ty"] >= 0) & (t["ty"] < height)
+        & ~((t["tx"] == F.col(x)) & (t["ty"] == F.col(y))))
+    nbr_max = (raster
+               .select(F.explode(targets).alias("__t"), F.col(value))
+               .groupBy(F.col("__t")["tx"].alias(x),
+                        F.col("__t")["ty"].alias(y))
+               .agg(F.max(value).alias("__nbr_max")))
+    return (raster.join(nbr_max, [x, y], "left")
+            .where(F.col("__nbr_max").isNull()
+                   | (F.col(value) > F.col("__nbr_max")))
+            .select(x, y, value))

@@ -543,3 +543,19 @@ def test_sssp_plan_rounds_checkpointed_to_leaf(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_raster_peaks_plan_scatter_max_single_regroup(spark, sf_dir):
+    plan = _plan(E.queries()["raster_peaks"](spark, sf_dir))
+    assert "Generate explode" in plan, plan
+    assert "partial_max" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tile_pyramid_plan_one_pass_all_levels(spark, sf_dir):
+    """The whole pyramid is ONE explode + ONE map-side-combined groupBy
+    — not a shuffle per zoom level."""
+    plan = _plan(E.queries()["tile_pyramid"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Generate explode" in plan, plan
+    assert "partial_sum" in plan, plan

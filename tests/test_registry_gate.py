@@ -88,6 +88,8 @@ ADDED_SINCE_LAST_GATE = {
     "raster_focal",
     "sssp_costs",
     "triangles",
+    "raster_peaks",
+    "tile_pyramid",
 }
 
 

@@ -604,3 +604,48 @@ def test_focal_sum_matches_numpy_convolution(spark, k):
         assert n == int(pop[xs, ys].sum()), (x0, y0)
     # every cell reached by some populated neighbor is present
     assert len(out) >= len(pdf)
+
+
+def test_raster_peaks_matches_numpy(spark):
+    import pandas as pd
+
+    from osm2lanes_spark.spatial.raster import raster_peaks
+
+    rng = np.random.default_rng(8)
+    w, h = 15, 11
+    cells = rng.choice(w * h, size=60, replace=False)
+    vals = rng.integers(1, 1000, size=60)
+    pdf = pd.DataFrame({"x": cells // h, "y": cells % h, "value": vals})
+    # force a tie pair to pin the strict-inequality suppression
+    pdf.loc[0, ["x", "y", "value"]] = (0, 0, 500)
+    pdf.loc[1, ["x", "y", "value"]] = (0, 1, 500)
+    pdf = pdf.drop_duplicates(["x", "y"])
+    got = {(r["x"], r["y"]) for r in
+           raster_peaks(spark.createDataFrame(pdf), w, h, k=1).collect()}
+    grid = np.full((w, h), np.iinfo(np.int64).min)
+    for _, r in pdf.iterrows():
+        grid[r["x"], r["y"]] = r["value"]
+    exp = set()
+    for _, r in pdf.iterrows():
+        x0, y0, v = int(r["x"]), int(r["y"]), int(r["value"])
+        nb = [grid[i, j]
+              for i in range(max(0, x0 - 1), min(w, x0 + 2))
+              for j in range(max(0, y0 - 1), min(h, y0 + 2))
+              if (i, j) != (x0, y0) and grid[i, j] != np.iinfo(np.int64).min]
+        if not nb or v > max(nb):
+            exp.add((x0, y0))
+    assert got == exp
+    assert (0, 0) not in got and (0, 1) not in got  # the tie suppressed
+
+
+def test_tile_pyramid_levels_consistent(spark, sf_dir):
+    import __spark_entry__ as E
+
+    out = E.queries()["tile_pyramid"](spark, sf_dir).toPandas()
+    totals = out.groupby("level")[["n_events", "value"]].sum()
+    # every level partitions the same base events: totals invariant
+    assert totals["n_events"].nunique() == 1
+    assert totals["value"].nunique() == 1
+    # coarser level → no more cells than the finer one
+    sizes = out.groupby("level").size()
+    assert sizes.loc[2] <= sizes.loc[4] <= sizes.loc[6] <= sizes.loc[8]
