@@ -208,3 +208,51 @@ def stream_sessions(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_geofence_counts(spark: SparkSession, input_dir: str,
+                           output_dir: str, checkpoint_dir: str,
+                           geofence_cells: DataFrame, level: int = 10,
+                           window: str = "5 minutes",
+                           watermark: str = "10 minutes",
+                           schema: Optional[T.StructType] = None,
+                           available_now: bool = True):
+    """Geofence hit counts over a point stream: encode each event's
+    (lon, lat) to its grid cell (pure-Catalyst morton encode — works
+    unchanged under streaming, no Python stage), stream-static
+    inner-join against the ``geofence_cells`` table (cell, fence_id —
+    e.g. a polygon's `cover_polygon` cells), then watermarked windowed
+    counts per fence. The spatial tier's streaming expression: alerting
+    on activity inside areas of interest as events arrive.
+
+    The static side is a plain DataFrame — broadcast by Spark when
+    small (the usual geofence case); the stateful windowed count keys
+    on (window, fence_id), so state size is fences × open windows, not
+    events.
+    """
+    from ..spatial.joins import cell_expr
+
+    schema = schema or T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])
+    events = (spark.readStream.schema(schema).parquet(input_dir)
+              .withWatermark("ts", watermark)
+              .withColumn("cell", cell_expr(F.col("lon"), F.col("lat"),
+                                            level)))
+    hits = events.join(geofence_cells, "cell")
+    counts = (hits
+              .groupBy(F.window("ts", window).alias("w"), "fence_id")
+              .agg(F.count(F.lit(1)).alias("n_events"))
+              .select(F.col("w.start").alias("window_start"),
+                      "fence_id", "n_events"))
+    writer = (counts.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

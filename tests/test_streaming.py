@@ -207,3 +207,54 @@ def test_stream_stateless_curation_ops(spark, tmp_path):
         str(tmp_path / "cur_out")).collect()))
     want = sorted(map(tuple, transform(batch).collect()))
     assert got == want and len(want) > 0
+
+
+def test_stream_geofence_counts(spark, tmp_path):
+    """Spatial tier under streaming: grid encode + stream-static fence
+    join + watermarked window counts, exactly-once through restart."""
+    import pandas as pd
+
+    from osm2lanes_spark.spatial.joins import cell_expr
+    from osm2lanes_spark.streaming.jobs import stream_geofence_counts
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # 30 events inside fence A (around 10,50), 10 inside B (-70,-20),
+    # 5 far outside any fence
+    for i in range(30):
+        rows.append((i, base + pd.Timedelta(minutes=i % 4),
+                     10.0 + (i % 3) * 1e-4, 50.0 + (i % 5) * 1e-4))
+    for i in range(10):
+        rows.append((100 + i, base + pd.Timedelta(minutes=i % 4),
+                     -70.0, -20.0))
+    for i in range(5):
+        rows.append((200 + i, base, 120.0, 70.0))
+    # a far-future straggler inside fence A advances the watermark and
+    # seals the real windows (its own window never emits)
+    rows.append((999, base + pd.Timedelta(hours=9), 10.0, 50.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "lon", "lat"])
+    spark.createDataFrame(pdf).write.parquet(str(src / "batch0"))
+
+    anchors = spark.createDataFrame(
+        pd.DataFrame({"fence_id": ["A", "B"],
+                      "lon": [10.0, -70.0], "lat": [50.0, -20.0]}))
+    fences = anchors.select(
+        "fence_id", cell_expr(F.col("lon"), F.col("lat"), 10).alias("cell"))
+
+    q = stream_geofence_counts(spark, str(src) + "/*", str(out), str(ck),
+                               fences, level=10)
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out)).toPandas()
+    by_fence = got.groupby("fence_id")["n_events"].sum().to_dict()
+    assert by_fence == {"A": 30, "B": 10}  # outside-fence events dropped
+
+    # exactly-once across restart: a second identical run adds nothing
+    q2 = stream_geofence_counts(spark, str(src) + "/*", str(out), str(ck),
+                                fences, level=10)
+    q2.awaitTermination(120)
+    again = spark.read.parquet(str(out)).toPandas()
+    assert again["n_events"].sum() == got["n_events"].sum()
