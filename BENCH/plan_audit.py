@@ -414,6 +414,10 @@ is the final materialized distance leaf.""",
 a<b<c orientation finds each triangle once: two hash equi-joins over
 the canonical checkpointed edge leaf + one partial-combined count —
 no cross product; hub vertices ride AQE skew splits.""",
+    "revenue_cube": """\
+CUBE lattice in ONE pass: Expand emits the four grouping-set rows
+map-side, a single partial-combined exchange aggregates all of them —
+one shuffle, not one per grouping set.""",
     "raster_peaks": """\
 Non-max suppression: same scatter shape as the focal sum (center
 offset excluded, max agg), then one left equi-join back — strict
@@ -663,7 +667,8 @@ def main() -> None:
                  "value_quantiles_cont",
                  "distance_pairs", "geohash_binning",
                  "idw_events", "trajectories", "raster_focal",
-                 "triangles", "raster_peaks", "tile_pyramid"):
+                 "triangles", "raster_peaks", "tile_pyramid",
+                 "revenue_cube"):
         grab(name, qs[name](spark, SF_DIR))
 
     # dbscan: the dumped plan is the final border-assignment join over

@@ -2301,6 +2301,33 @@ def _q_events_rollup(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def _q_revenue_cube(spark, sf_dir):
+    """Full CUBE lattice (nation × order-year, all four grouping sets)
+    in ONE pass — the OLAP completion next to `events_rollup`'s
+    hierarchy. Grouping flags are explicit indicator columns (portable
+    across engines, unlike engine-specific grouping-id bit layouts);
+    revenue sums as decimal(18,2) so partial-aggregation order can't
+    move the result. Oracle: GROUP BY CUBE with GROUPING()."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    j = (orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+         .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+         .select("n_name", F.year("o_orderdate").alias("yr"),
+                 F.col("o_totalprice").cast("decimal(18,2)").alias("p")))
+    return (j.cube("n_name", "yr")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 # exact decimal sum, ONE final conversion to double
+                 # (deterministic) — DuckDB surfaces decimals as float64
+                 F.round(F.sum("p").cast("double"), 2).alias("revenue"),
+                 F.grouping("n_name").cast("int").alias("g_nation"),
+                 F.grouping("yr").cast("int").alias("g_year"))
+            .select(F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                    F.coalesce(F.col("yr").cast("string"), F.lit("ALL"))
+                    .alias("year"),
+                    "g_nation", "g_year", "n_orders", "revenue"))
+
+
 def _shipped(fn):
     @functools.wraps(fn)
     def wrapper(spark, sf_dir):
@@ -2426,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": _shipped(_q_sessions),
         "sessions_scale": _shipped(_q_sessions_scale),
         "events_rollup": _shipped(_q_events_rollup),
+        "revenue_cube": _shipped(_q_revenue_cube),
     }
 
 
@@ -5064,6 +5092,22 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3600000000 PRECEDING
                                AND CURRENT ROW)
+        """,
+        "revenue_cube": """
+            -- CUBE lattice with explicit grouping flags; decimal sums
+            SELECT COALESCE(n_name, 'ALL') AS nation,
+                   COALESCE(CAST(yr AS VARCHAR), 'ALL') AS year,
+                   CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+                   CAST(GROUPING(yr) AS INTEGER) AS g_year,
+                   count(*) AS n_orders,
+                   round(CAST(sum(p) AS DOUBLE), 2) AS revenue
+            FROM (
+                SELECT n_name, year(o_orderdate) AS yr,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey) j
+            GROUP BY CUBE(n_name, yr)
         """,
         "events_rollup": """
             SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,

@@ -559,3 +559,12 @@ def test_tile_pyramid_plan_one_pass_all_levels(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "Generate explode" in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_revenue_cube_plan_single_expand_exchange(spark, sf_dir):
+    """The CUBE runs as ONE Expand + one partial-combined aggregate
+    exchange — never a shuffle per grouping set; dims stay broadcast."""
+    plan = _plan(E.queries()["revenue_cube"](spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

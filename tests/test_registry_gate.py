@@ -90,6 +90,7 @@ ADDED_SINCE_LAST_GATE = {
     "triangles",
     "raster_peaks",
     "tile_pyramid",
+    "revenue_cube",
 }
 
 
