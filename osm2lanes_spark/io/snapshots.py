@@ -201,6 +201,44 @@ class SnapshotTable:
         return {"expired": expired,
                 "deleted_dirs": [os.path.basename(d) for d in doomed]}
 
+    # --- maintenance ------------------------------------------------------
+    def compact(self, spark: SparkSession,
+                target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Small-file compaction (Iceberg's rewrite_data_files): rewrite
+        the CURRENT table state into ≈``target_file_bytes`` files and
+        commit it as an overwrite snapshot — readers flip atomically at
+        the manifest rename, history keeps the old state as a
+        time-travel point until `expire_snapshots` reclaims it.
+
+        File count is sized from the live snapshots' ACTUAL on-disk
+        bytes (compressed parquet — the same basis the target is
+        expressed in), not Catalyst's uncompressed estimates. The
+        rewrite is a round-robin ``repartition(n)`` — even output files
+        regardless of the append pattern that produced the fragments.
+        At 100 TB this is the nightly maintenance pass that keeps scan
+        task counts proportional to data, not to commit history.
+        """
+        snaps = self.snapshots()
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots in {self.path}")
+        live = self._dirs_for(snaps)
+        total = 0
+        n_files_before = 0
+        for d in live:
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(d, f))
+                    n_files_before += 1
+        n = max(1, -(-total // max(1, target_file_bytes)))  # ceil
+        entry = self.commit(self.read(spark).repartition(int(n)),
+                            mode="overwrite")
+        snap_dir = os.path.join(self.path, entry["dir"])
+        n_files_after = sum(1 for f in os.listdir(snap_dir)
+                            if f.endswith(".parquet"))
+        return {**entry, "bytes_before": total,
+                "files_before": n_files_before,
+                "files_after": n_files_after}
+
     # --- reads ------------------------------------------------------------
     def _dirs_for(self, snaps: list[dict]) -> list[str]:
         # an overwrite snapshot supersedes everything before it; expired

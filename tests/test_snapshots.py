@@ -228,3 +228,25 @@ def test_commit_lock_crash_safe(spark, tmp_path):
     df = spark.range(3).withColumnRenamed("id", "v")
     entry = table.commit(df, lock_timeout=5.0)
     assert entry["rows"] == 3
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    from osm2lanes_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    # 6 fragmented appends, several files each
+    for i in range(6):
+        t.commit(spark.range(i * 100, (i + 1) * 100).repartition(4),
+                 mode="append")
+    before_rows = sorted(r["id"] for r in t.read(spark).collect())
+    pre_id = t.current_snapshot_id()
+    info = t.compact(spark, target_file_bytes=1 << 30)  # everything → 1 file
+    assert info["files_before"] >= 24
+    assert info["files_after"] == 1
+    # contents identical, readers see the compacted state
+    assert sorted(r["id"] for r in t.read(spark).collect()) == before_rows
+    # history intact: time travel to the pre-compaction state still works
+    assert sorted(r["id"] for r in
+                  t.read_at(spark, pre_id).collect()) == before_rows
+    # incremental readers see the rewrite as one overwrite snapshot
+    assert t.current_snapshot_id() == info["id"]
