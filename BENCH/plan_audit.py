@@ -414,6 +414,22 @@ is the final materialized distance leaf.""",
 a<b<c orientation finds each triangle once: two hash equi-joins over
 the canonical checkpointed edge leaf + one partial-combined count —
 no cross product; hub vertices ride AQE skew splits.""",
+    "market_share": """\
+Q8 shape: both nation roles and the region gate ride broadcasts; ONE
+fact shuffle chain; num/den sum as exact decimals with a single final
+double division.""",
+    "returned_revenue": """\
+Q10 shape: date + returnflag predicates push to the scans, nation dim
+broadcasts, top-20 is TakeOrderedAndProject on (exact-decimal revenue,
+custkey) — never a global sort.""",
+    "volume_customers": """\
+Q18 shape: the quantity HAVING cut partial-combines map-side before
+one orderkey shuffle; customer/order joins follow the filtered (small)
+order set.""",
+    "brand_revenue_bands": """\
+Q19 shape: the OR-of-ANDs disjunction stays a pushable scan filter
+(brand/size on the broadcast part side, quantity on lineitem), one
+final 1-row aggregate.""",
     "revenue_cube": """\
 CUBE lattice in ONE pass: Expand emits the four grouping-set rows
 map-side, a single partial-combined exchange aggregates all of them —
@@ -668,7 +684,8 @@ def main() -> None:
                  "distance_pairs", "geohash_binning",
                  "idw_events", "trajectories", "raster_focal",
                  "triangles", "raster_peaks", "tile_pyramid",
-                 "revenue_cube"):
+                 "revenue_cube", "market_share", "returned_revenue",
+                 "volume_customers", "brand_revenue_bands"):
         grab(name, qs[name](spark, SF_DIR))
 
     # dbscan: the dumped plan is the final border-assignment join over

@@ -2301,6 +2301,118 @@ def _q_events_rollup(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def _q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_5's share of
+    EUROPE-customer revenue per order year. Dual-role nation dim
+    (supplier side names the share nation, customer side routes through
+    region), decimal numerator/denominator summed exactly, ONE final
+    double division rounded — partial-agg order can't move the result."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    cn = F.broadcast(nation.join(region,
+                                 nation["n_regionkey"]
+                                 == region["r_regionkey"])
+                     .where(F.col("r_name") == "EUROPE")
+                     .select(F.col("n_nationkey").alias("ck")))
+    sn = F.broadcast(nation.select(F.col("n_nationkey").alias("sk"),
+                                   F.col("n_name").alias("supp_nation")))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    j = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+         .join(cust, orders["o_custkey"] == cust["c_custkey"])
+         .join(cn, cust["c_nationkey"] == F.col("ck"))
+         .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+         .join(sn, supp["s_nationkey"] == F.col("sk"))
+         .select(F.year("o_orderdate").alias("o_year"),
+                 vol.alias("volume"), "supp_nation"))
+    return (j.groupBy("o_year")
+            .agg(F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                              F.col("volume"))
+                       .otherwise(F.lit(0).cast("decimal(18,6)")))
+                 .alias("__num"),
+                 F.sum("volume").alias("__den"))
+            .select("o_year",
+                    F.round(F.col("__num").cast("double")
+                            / F.col("__den").cast("double"), 6)
+                    .alias("mkt_share")))
+
+
+def _q_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item ranking): top-20 customers by
+    revenue lost to returns in one quarter. Exact decimal revenue +
+    custkey tie-break makes the top-20 cut engine-stable; selection is
+    a TakeOrderedAndProject, never a global sort."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    j = (li.where(F.col("l_returnflag") == "R")
+         .join(orders.where(
+             (F.col("o_orderdate") >= F.lit("1996-01-01"))
+             & (F.col("o_orderdate") < F.lit("1996-04-01"))),
+             li["l_orderkey"] == orders["o_orderkey"])
+         .join(cust, orders["o_custkey"] == cust["c_custkey"])
+         .join(nation, cust["c_nationkey"] == nation["n_nationkey"]))
+    # rounding happens in EXACT decimal space (HALF_UP both engines);
+    # rounding the double instead diverges on .5 shortest-repr cases
+    agg = (j.groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+           .agg(F.sum(rev).cast("decimal(18,2)").cast("double")
+                .alias("revenue")))
+    return (agg.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20))
+
+
+def _q_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds 300 units, with the customer and the order
+    totals. Quantities are integer-valued doubles — the HAVING cut is
+    exact in any engine."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 0).cast("long")
+                .alias("total_qty"))
+           .where(F.col("total_qty") > 300))
+    return (big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.col("o_orderdate").cast("date").cast("string")
+                    .alias("orderdate"),
+                    "total_qty"))
+
+
+def _q_brand_revenue_bands(spark, sf_dir):
+    """TPC-H Q19 shape (OR-of-ANDs predicate revenue): three disjunctive
+    (brand, size band, quantity band) arms — the disjunction must still
+    reach the scans as a pushable filter, and the decimal sum is
+    order-exact."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = F.broadcast(_read(spark, sf_dir, "part"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    arm1 = ((F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15))
+    arm2 = ((F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(10, 25))
+    arm3 = ((F.col("p_brand") == "Brand#33")
+            & F.col("p_size").between(15, 40)
+            & F.col("l_quantity").between(20, 35))
+    return (j.where(arm1 | arm2 | arm3)
+            .agg(F.sum(rev).cast("decimal(18,2)").cast("double")
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
 def _q_revenue_cube(spark, sf_dir):
     """Full CUBE lattice (nation × order-year, all four grouping sets)
     in ONE pass — the OLAP completion next to `events_rollup`'s
@@ -2454,6 +2566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_scale": _shipped(_q_sessions_scale),
         "events_rollup": _shipped(_q_events_rollup),
         "revenue_cube": _shipped(_q_revenue_cube),
+        "market_share": _shipped(_q_market_share),
+        "returned_revenue": _shipped(_q_returned_revenue),
+        "volume_customers": _shipped(_q_volume_customers),
+        "brand_revenue_bands": _shipped(_q_brand_revenue_bands),
     }
 
 
@@ -5092,6 +5208,76 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3600000000 PRECEDING
                                AND CURRENT ROW)
+        """,
+        "market_share": """
+            -- Q8 shape: exact decimal num/den, one double division
+            WITH vol AS (
+                SELECT year(o_orderdate) AS o_year,
+                       CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6)) AS volume,
+                       sn.n_name AS supp_nation
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation sn ON s_nationkey = sn.n_nationkey
+                WHERE r_name = 'EUROPE')
+            SELECT o_year,
+                   round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                                       THEN volume
+                                       ELSE CAST(0 AS DECIMAL(18,6))
+                                  END) AS DOUBLE)
+                         / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+            FROM vol GROUP BY o_year
+        """,
+        "returned_revenue": """
+            -- Q10 shape: exact decimal revenue, custkey tie-break top-20
+            SELECT c_custkey, c_name, n_name, c_acctbal,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, n_name, c_acctbal
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "volume_customers": """
+            -- Q18 shape: integer-exact quantity HAVING cut
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(round(sum(l_quantity), 0) AS BIGINT)
+                           AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(round(sum(l_quantity), 0) AS BIGINT) > 300)
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+                       AS orderdate,
+                   total_qty
+            FROM big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "brand_revenue_bands": """
+            -- Q19 shape: OR-of-ANDs arms, exact decimal sum
+            SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 5 AND 20
+                   AND l_quantity BETWEEN 10 AND 25)
+               OR (p_brand = 'Brand#33' AND p_size BETWEEN 15 AND 40
+                   AND l_quantity BETWEEN 20 AND 35)
         """,
         "revenue_cube": """
             -- CUBE lattice with explicit grouping flags; decimal sums

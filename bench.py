@@ -268,7 +268,9 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "distance_pairs", "geohash_binning",
                      "dbscan_clusters", "cluster_stats", "idw_events",
                      "trajectories", "raster_focal", "sssp_costs", "triangles",
-                     "raster_peaks", "tile_pyramid", "revenue_cube")
+                     "raster_peaks", "tile_pyramid", "revenue_cube",
+                     "market_share", "returned_revenue",
+                     "volume_customers", "brand_revenue_bands")
 
         def run_one(name):
             t0 = time.perf_counter()

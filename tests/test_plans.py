@@ -568,3 +568,20 @@ def test_revenue_cube_plan_single_expand_exchange(spark, sf_dir):
     assert "Expand" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_returned_revenue_plan_pushdown_topk(spark, sf_dir):
+    """Q10 shape: returnflag + date predicates reach the parquet scans;
+    selection is per-partition top-k, never a global sort."""
+    plan = _plan(E.queries()["returned_revenue"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_market_share_plan_broadcast_dims(spark, sf_dir):
+    """Q8 shape: every dimension (both nation roles, region, supplier)
+    broadcasts — the only shuffles key on the fact tables."""
+    plan = _plan(E.queries()["market_share"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan

@@ -91,6 +91,10 @@ ADDED_SINCE_LAST_GATE = {
     "raster_peaks",
     "tile_pyramid",
     "revenue_cube",
+    "market_share",
+    "returned_revenue",
+    "volume_customers",
+    "brand_revenue_bands",
 }
 
 
