@@ -414,6 +414,10 @@ is the final materialized distance leaf.""",
 a<b<c orientation finds each triangle once: two hash equi-joins over
 the canonical checkpointed edge leaf + one partial-combined count —
 no cross product; hub vertices ride AQE skew splits.""",
+    "trips": """\
+Trip segmentation: lag window, running break count and the per-trip
+roll-up all share ONE entity-keyed exchange; cross-cut steps are
+zeroed so trip paths are internal-only.""",
     "market_share": """\
 Q8 shape: both nation roles and the region gate ride broadcasts; ONE
 fact shuffle chain; num/den sum as exact decimals with a single final
@@ -685,7 +689,7 @@ def main() -> None:
                  "idw_events", "trajectories", "raster_focal",
                  "triangles", "raster_peaks", "tile_pyramid",
                  "revenue_cube", "market_share", "returned_revenue",
-                 "volume_customers", "brand_revenue_bands"):
+                 "volume_customers", "brand_revenue_bands", "trips"):
         grab(name, qs[name](spark, SF_DIR))
 
     # dbscan: the dumped plan is the final border-assignment join over

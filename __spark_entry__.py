@@ -2413,6 +2413,25 @@ def _q_brand_revenue_bands(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_items")))
 
 
+def _q_trips(spark, sf_dir):
+    """Trip segmentation (spatial/trajectory.py trip_segments): user
+    traces cut where the time gap exceeds 24 h OR the step exceeds
+    25000 km (gap-dominated here: the hash-scattered synthetic points
+    never trip the jump cut, exercising the time rule + path sums) — GPS trip detection, the spatial twin of sessionize. One
+    entity-keyed exchange for lag + running break count + roll-up;
+    cross-cut steps belong to no trip. Oracle: window replay with the
+    identical haversine and integer quantization."""
+    from osm2lanes_spark.spatial.trajectory import trip_segments
+
+    ev = _read(spark, sf_dir, "events")
+    traces = ev.select(F.col("user_id"), F.col("ts"), F.col("event_id"),
+                       F.expr(_ELON).alias("lon"),
+                       F.expr(_ELAT).alias("lat"))
+    return trip_segments(traces, gap_minutes=1440.0, jump_km=25000.0,
+                         entity="user_id", order="ts",
+                         tiebreak="event_id")
+
+
 def _q_revenue_cube(spark, sf_dir):
     """Full CUBE lattice (nation × order-year, all four grouping sets)
     in ONE pass — the OLAP completion next to `events_rollup`'s
@@ -2566,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_scale": _shipped(_q_sessions_scale),
         "events_rollup": _shipped(_q_events_rollup),
         "revenue_cube": _shipped(_q_revenue_cube),
+        "trips": _shipped(_q_trips),
         "market_share": _shipped(_q_market_share),
         "returned_revenue": _shipped(_q_returned_revenue),
         "volume_customers": _shipped(_q_volume_customers),
@@ -5278,6 +5298,44 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 25)
                OR (p_brand = 'Brand#33' AND p_size BETWEEN 15 AND 40
                    AND l_quantity BETWEEN 20 AND 35)
+        """,
+        "trips": f"""
+            -- trip-segmentation window replay: identical haversine,
+            -- identical break predicate and integer quantization
+            WITH t AS (
+                SELECT user_id, ts, event_id,
+                       {_ELON} AS lon, {_ELAT} AS lat
+                FROM events),
+            s AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER w AS pts,
+                       ({HAVERSINE_SQL.format(
+                           lon1='lag(lon) OVER w', lat1='lag(lat) OVER w',
+                           lon2='lon', lat2='lat')}) AS step
+                FROM t
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            f AS (
+                SELECT user_id, ts, event_id, step,
+                       CASE WHEN pts IS NULL THEN 1
+                            WHEN epoch(ts) - epoch(pts) > 86400 THEN 1
+                            WHEN step > 25000.0 THEN 1
+                            ELSE 0 END AS brk
+                FROM s),
+            g AS (
+                SELECT user_id, ts, brk,
+                       CASE WHEN brk = 1 THEN 0
+                            ELSE COALESCE(CAST(round(step * 1000000.0)
+                                               AS BIGINT), 0) END AS stepq,
+                       CAST(sum(brk) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS trip_id
+                FROM f)
+            SELECT user_id, trip_id, count(*) AS n_points,
+                   round(CAST(sum(stepq) AS DOUBLE) / 1000000.0, 6)
+                       AS path_km,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM g GROUP BY user_id, trip_id
         """,
         "revenue_cube": """
             -- CUBE lattice with explicit grouping flags; decimal sums

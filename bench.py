@@ -270,7 +270,7 @@ def run_bench(spark, sf_dir: str, include_aux: bool = True) -> dict:
                      "trajectories", "raster_focal", "sssp_costs", "triangles",
                      "raster_peaks", "tile_pyramid", "revenue_cube",
                      "market_share", "returned_revenue",
-                     "volume_customers", "brand_revenue_bands")
+                     "volume_customers", "brand_revenue_bands", "trips")
 
         def run_one(name):
             t0 = time.perf_counter()

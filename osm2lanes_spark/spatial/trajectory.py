@@ -130,3 +130,54 @@ def trajectory_summary(traces: DataFrame, *, entity: str = "entity",
                                F.round(F.col("net_km")
                                        / F.col("path_km"), 6))
                         .otherwise(F.lit(1.0))))
+
+
+def trip_segments(traces: DataFrame, *, gap_minutes: float = 30.0,
+                  jump_km: float = 500.0, entity: str = "entity",
+                  order: str = "ts",
+                  tiebreak: str | None = None) -> DataFrame:
+    """Trip segmentation: split each entity's trace into trips wherever
+    the time gap exceeds ``gap_minutes`` OR the step length exceeds
+    ``jump_km`` (teleport = data glitch or untracked transit), then roll
+    up per trip — the staypoint/trip-detection primitive of GPS
+    pipelines (and the spatial twin of `temporal.sessionize`, which cuts
+    on time alone).
+
+    trip_id = running count of break flags (first point breaks), so ids
+    are 1..n_trips per entity, deterministic under the (order, tiebreak)
+    sort. One entity-keyed exchange: the lag window, the running count,
+    and the per-(entity, trip) aggregate all share the partitioning.
+    Output: entity, trip_id, n_points, path_km (integer-quantized sum),
+    start/end order values.
+    """
+    keys = [order] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(entity).orderBy(*[F.col(k) for k in keys])
+    step = haversine_km(F.lag("lon").over(w), F.lag("lat").over(w),
+                        F.col("lon"), F.col("lat"))
+    prev_ts = F.lag(order).over(w)
+    # NTZ timestamps refuse a direct long cast; the timestamp hop pins
+    # epoch seconds in the session zone (UTC), matching DuckDB's epoch()
+    secs = F.col(order).cast("timestamp").cast("long")
+    prev_secs = prev_ts.cast("timestamp").cast("long")
+    gap_break = secs - prev_secs > F.lit(int(gap_minutes * 60))
+    is_break = F.when(prev_ts.isNull(), F.lit(1)).otherwise(
+        F.when(gap_break | (step > F.lit(float(jump_km))), F.lit(1))
+        .otherwise(F.lit(0)))
+    run = Window.partitionBy(entity).orderBy(*[F.col(k) for k in keys]) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepq = F.coalesce(
+        F.round(step * F.lit(float(D_SCALE))).cast("long"), F.lit(0))
+    marked = (traces
+              .withColumn("__brk", is_break)
+              .withColumn("__trip", F.sum("__brk").over(run))
+              # a break step belongs to NO trip: zero the distance that
+              # crosses the cut so a trip's path is internal only
+              .withColumn("__stepq",
+                          F.when(F.col("__brk") == 1, F.lit(0))
+                          .otherwise(stepq)))
+    return (marked.groupBy(entity, F.col("__trip").alias("trip_id"))
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.round(F.sum("__stepq").cast("double")
+                         / F.lit(float(D_SCALE)), 6).alias("path_km"),
+                 F.min(order).alias("start_" + order),
+                 F.max(order).alias("end_" + order)))

@@ -95,6 +95,7 @@ ADDED_SINCE_LAST_GATE = {
     "returned_revenue",
     "volume_customers",
     "brand_revenue_bands",
+    "trips",
 }
 
 

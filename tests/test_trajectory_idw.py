@@ -124,3 +124,30 @@ def test_cluster_stats_small(spark):
     assert c1["ctr_lon"] == pytest.approx(1.0)
     assert c1["ctr_lat"] == pytest.approx(1.0)
     assert out[4]["n_points"] == 1
+
+
+def test_trip_segments_gap_and_jump_cuts(spark):
+    from osm2lanes_spark.spatial.trajectory import trip_segments
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # trip 1: three close points, minutes apart
+        (1, base, 0.0, 0.0),
+        (1, base + pd.Timedelta(minutes=5), 0.1, 0.0),
+        (1, base + pd.Timedelta(minutes=10), 0.2, 0.0),
+        # gap cut: 2 hours silence → trip 2
+        (1, base + pd.Timedelta(hours=2, minutes=30), 0.3, 0.0),
+        # jump cut: teleport 90° away minutes later → trip 3
+        (1, base + pd.Timedelta(hours=2, minutes=35), 90.0, 0.0),
+        (1, base + pd.Timedelta(hours=2, minutes=40), 90.1, 0.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity", "ts", "lon", "lat"])
+    out = {r["trip_id"]: (r["n_points"], r["path_km"]) for r in
+           trip_segments(spark.createDataFrame(pdf), gap_minutes=30.0,
+                         jump_km=500.0).collect()}
+    assert sorted(out) == [1, 2, 3]
+    assert out[1][0] == 3 and out[1][1] > 20  # two ~11 km steps
+    assert out[2] == (1, 0.0)
+    assert out[3][0] == 2
+    # the cross-cut teleport distance is NOT charged to trip 3
+    assert out[3][1] < 20
