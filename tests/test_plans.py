@@ -585,3 +585,12 @@ def test_market_share_plan_broadcast_dims(spark, sf_dir):
     plan = _plan(E.queries()["market_share"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_trips_plan_one_entity_exchange(spark, sf_dir):
+    """Trip segmentation's lag window, running break count and roll-up
+    share ONE entity-keyed exchange."""
+    plan = _plan(E.queries()["trips"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
