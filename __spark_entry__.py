@@ -1027,8 +1027,12 @@ def _q_curation_pipeline(spark, sf_dir):
     from osm2lanes_spark.operators.packing import contiguous_packs
     from osm2lanes_spark.operators.sampling import hash_split, mixture_sample
     from osm2lanes_spark.operators.text import tokens, with_langid
+    from osm2lanes_spark.util import spread
 
-    docs = _read(spark, sf_dir, "documents").withColumn(
+    # spread before the scan-fused row gates: tokenize + langid + the
+    # mixture explode otherwise run on the single-task scan of a
+    # one-row-group file (guide §2.5; no-op at real input scale)
+    docs = spread(_read(spark, sf_dir, "documents"), "doc_id").withColumn(
         "n_tokens", F.size(tokens(F.col("text"))))
     gated = docs.where((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000))
     en = with_langid(gated).where(F.col("lang_pred") == "en")

@@ -24,10 +24,16 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A conditional commit found the table advanced past the snapshot
+    it was computed from (Iceberg's commit-conflict semantics)."""
 
 
 def have_iceberg(spark: SparkSession) -> bool:
@@ -65,8 +71,19 @@ class SnapshotTable:
 
     # --- writes -----------------------------------------------------------
     def commit(self, df: DataFrame, mode: str = "append",
-               lock_timeout: float = 60.0) -> dict:
+               lock_timeout: float = 60.0,
+               expected_snapshot_id: "Optional[int] | str" = "any") -> dict:
         """Write a new snapshot; invisible until the manifest rename lands.
+
+        ``expected_snapshot_id`` (default ``"any"`` = unconditional, the
+        append semantics) makes the commit CONDITIONAL: re-checked under
+        the commit lock just before the manifest append, and the commit
+        raises ``ConcurrentCommitError`` if another snapshot landed since
+        — Iceberg's validate-then-commit for rewrites, where an overwrite
+        computed from a stale state would silently supersede a concurrent
+        append's rows (ADVICE r06 #2). Pass the
+        ``current_snapshot_id()`` the rewrite was computed FROM (``None``
+        for an empty table).
 
         Concurrency (ADVICE r01 #4, hardened r03): the snapshot id is
         CLAIMED with an O_EXCL marker (``snap-<id>.claim``) so two
@@ -118,6 +135,15 @@ class SnapshotTable:
                         raise TimeoutError(f"commit lock busy: {lock}")
                     time.sleep(0.05)
             snaps = self.snapshots()
+            if expected_snapshot_id != "any":
+                cur = snaps[-1]["id"] if snaps else None
+                if cur != expected_snapshot_id:
+                    # the never-committed data dir would otherwise leak
+                    shutil.rmtree(snap_dir, ignore_errors=True)
+                    raise ConcurrentCommitError(
+                        f"table advanced to snapshot {cur!r} while this "
+                        f"commit was computed from "
+                        f"{expected_snapshot_id!r} — rebase and retry")
             new_manifest = sorted(snaps + [entry], key=lambda s: s["id"])
             tmp = self._manifest_path + f".tmp-{snap_id}"
             with open(tmp, "w") as f:
@@ -148,7 +174,6 @@ class SnapshotTable:
         same read-vs-expire window Iceberg has).
         """
         import fcntl
-        import shutil
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
@@ -230,8 +255,16 @@ class SnapshotTable:
                     total += os.path.getsize(os.path.join(d, f))
                     n_files_before += 1
         n = max(1, -(-total // max(1, target_file_bytes)))  # ceil
+        # conditional commit (ADVICE r06 #2): the overwrite is computed
+        # from the state read above — if a concurrent append lands
+        # between that read and the manifest append, committing would
+        # silently drop its rows; the expected-id check under the commit
+        # lock raises ConcurrentCommitError instead (Iceberg's
+        # rewrite_data_files validation; the caller retries).
+        base_id = snaps[-1]["id"]
         entry = self.commit(self.read(spark).repartition(int(n)),
-                            mode="overwrite")
+                            mode="overwrite",
+                            expected_snapshot_id=base_id)
         snap_dir = os.path.join(self.path, entry["dir"])
         n_files_after = sum(1 for f in os.listdir(snap_dir)
                             if f.endswith(".parquet"))

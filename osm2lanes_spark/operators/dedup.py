@@ -755,7 +755,11 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
 
     toks = tokens(F.col(text_col))
-    base = (df.select(F.col(id_col), toks.alias("__toks"))
+    # spread before the O(n_tokens · k) rolling-window build: fused into
+    # a single-task scan it runs single-threaded (guide §2.5); no-op at
+    # real scale
+    base = (_spread(df, id_col)
+            .select(F.col(id_col), toks.alias("__toks"))
             .withColumn("__n", F.size("__toks"))
             .where(F.col("__n") >= k))
     # window starts are 0-based; slice() is 1-based, so window i covers
@@ -1012,9 +1016,19 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"method must be 'segment' or 'band', got {method!r}")
     blocks = list(block_by)
     if method == "band":
-        a = df.select(*blocks, F.col(id_col).alias("id_a"),
+        # Spread BOTH sides before the block join: the pair fan-out is
+        # |block|² while the input is tiny (a single-row-group parquet
+        # file scans as ONE task), so without this the entire quadratic
+        # explosion runs on one core regardless of cluster width
+        # (guide §2.5/§6.1 — measured 512 s single-threaded vs ~8 s
+        # spread at the driver's sf1.0). Whichever side the planner
+        # builds, the probe side is then partitioned to the session's
+        # parallelism; at real scale the inputs already exceed it and
+        # spread() is a no-op.
+        sp = _spread(df, id_col)
+        a = sp.select(*blocks, F.col(id_col).alias("id_a"),
                       F.col(text_col).alias("__text_a"))
-        b = df.select(*blocks, F.col(id_col).alias("id_b"),
+        b = sp.select(*blocks, F.col(id_col).alias("id_b"),
                       F.col(text_col).alias("__text_b"))
         joined = (a.join(b, on=blocks) if blocks
                   else a.crossJoin(b)).where(F.col("id_a") < F.col("id_b"))
@@ -1022,16 +1036,25 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
             joined = joined.where(
                 F.abs(F.length("__text_a") - F.length("__text_b"))
                 <= F.lit(threshold))
+        # Banded levenshtein (guide §4.1 — prefer the cheaper builtin):
+        # the threshold form early-abandons at O(t·n) per pair instead
+        # of the full O(n²) DP and returns -1 past the bound — for
+        # surviving pairs the value is the exact distance, so results
+        # are bit-identical.
         return (joined
                 .withColumn("distance",
-                            F.levenshtein("__text_a", "__text_b"))
-                .where(F.col("distance") <= F.lit(threshold))
+                            F.levenshtein("__text_a", "__text_b",
+                                          threshold))
+                .where(F.col("distance") >= 0)
                 .select("id_a", "id_b", "distance"))
 
     t, k = threshold, threshold + 1
-    base = df.select(*blocks, F.col(id_col).alias("__id"),
-                     F.col(text_col).alias("__text"),
-                     F.length(text_col).alias("__len"))
+    # spread before the segment/probe explodes: same single-file-scan
+    # guard as the band path (no-op once input partitions ≥ parallelism)
+    base = _spread(df, id_col).select(
+        *blocks, F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        F.length(text_col).alias("__len"))
 
     # --- segment side: the k segments of each long-enough string
     seg_structs = []
@@ -1095,9 +1118,11 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                    F.col(text_col).alias("__text_b"))
     return (cand.unionByName(short_cand).distinct()
             .join(ta, "id_a").join(tb, "id_b")
+            # banded levenshtein: early-abandon at O(t·n), -1 past the
+            # bound; exact distance for survivors (same result set)
             .withColumn("distance",
-                        F.levenshtein("__text_a", "__text_b"))
-            .where(F.col("distance") <= F.lit(t))
+                        F.levenshtein("__text_a", "__text_b", t))
+            .where(F.col("distance") >= 0)
             .select("id_a", "id_b", "distance"))
 
 
@@ -1132,8 +1157,11 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    s = df.select(F.col(id_col).alias("id"),
-                  word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    # spread first (single-file-scan guard): the shingle build, explode
+    # and every downstream join inherit the scan's task count otherwise
+    s = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"))
     toks = s.select("id", F.explode("sh").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     docs = (toks.join(freq, "tok")
@@ -1146,22 +1174,42 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
             + 1).cast("int")
     prefix = (docs
               .select("id", "__sz",
-                      F.explode(F.slice("__order", F.lit(1), plen))
-                      .alias("__p"))
+                      F.posexplode(F.slice("__order", F.lit(1), plen))
+                      .alias("__i0", "__p"))
               # a frequency-1 token exists in exactly one doc — it can
               # never produce a candidate PAIR, and on shingle inputs
               # most tokens are unique: dropping them prunes the
               # candidate join to the genuinely shared vocabulary
               .where(F.col("__p.freq") > 1)
-              .select("id", "__sz", F.col("__p.tok").alias("tok")))
+              .select("id", "__sz",
+                      (F.col("__i0") + 1).alias("__pos"),
+                      F.col("__p.tok").alias("tok")))
     a = prefix.select(F.col("id").alias("left_id"),
-                      F.col("__sz").alias("__sza"), "tok")
+                      F.col("__sz").alias("__sza"),
+                      F.col("__pos").alias("__pa"), "tok")
     b = prefix.select(F.col("id").alias("right_id"),
-                      F.col("__sz").alias("__szb"), "tok")
+                      F.col("__sz").alias("__szb"),
+                      F.col("__pos").alias("__pb"), "tok")
+    # PPJoin positional filter (Xiao et al. 2008 §3.2): a true pair's
+    # FIRST shared token in the canonical order sits at positions
+    # (pa, pb) with all other shared tokens after it on both sides, so
+    # overlap <= 1 + min(sza - pa, szb - pb); J >= t requires overlap
+    # >= ceil(t/(1+t)·(sza+szb)) (rounded DOWN by an epsilon so float
+    # error can only keep extra candidates). Rows generated by a later
+    # shared token may be pruned — the first-token row survives, and
+    # the distinct() collapses them anyway. On dense low-entropy
+    # vocabularies (this corpus's 30-word worst case) the d² fan-out
+    # comes from the more-frequent late-prefix tokens — exactly the
+    # rows this bound removes before the distinct (guide §2.3).
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                   * (F.col("__sza") + F.col("__szb")) - F.lit(1e-9))
     cand = (a.join(b, "tok")
             .where(F.col("left_id") < F.col("right_id"))
             .where(F.least("__sza", "__szb")
                    >= F.lit(threshold) * F.greatest("__sza", "__szb"))
+            .where(F.lit(1) + F.least(F.col("__sza") - F.col("__pa"),
+                                      F.col("__szb") - F.col("__pb"))
+                   >= alpha)
             .select("left_id", "right_id")
             .distinct())
     lsh = s.select(F.col("id").alias("left_id"), F.col("sh").alias("__lsh"))

@@ -267,7 +267,58 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     bc = canon.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     ac = canon.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
     wedges = ab.join(bc, ab["b"] == bc["b2"]).select("a", "b", "c")
-    tri = wedges.join(ac, (wedges["a"] == ac["a3"])
-                      & (wedges["c"] == ac["c3"])).select("a", "b", "c")
+
+    # Bloom pre-filter on the closing edge (guide §3.2): the wedge set
+    # is the quadratic term (sum over b of in(b)·out(b) — ~40× the edge
+    # count on the co-purchase graph), and shuffling every wedge into
+    # the closing-edge join dominates the leg. A packed-63-bit-word
+    # Bloom over the canonical edge keys (the profiling.bloom_build
+    # layout, xxhash64-hashed — this is an internal pre-filter, so no
+    # cross-engine replay constraint) drops the ~97% of wedges with no
+    # closing edge BEFORE the exchange; false positives are removed by
+    # the exact join that follows, so the result is unchanged. Sizing:
+    # ~15 bits/edge at k=2 (fpp ≈ 2%), capped so the broadcast word
+    # table stays ≤ ~2M rows; the count() is a cheap job over the
+    # already-materialized checkpoint.
+    n_edges = canon.count()
+    m_bits = 1 << max(16, min(27, int(15 * max(1, n_edges)).bit_length()))
+    probes = 2
+
+    def _pos(x: Column, y: Column, j: int) -> Column:
+        return F.pmod(F.xxhash64(F.lit(j), x, y), F.lit(m_bits))
+
+    build = None
+    for j in range(probes):
+        pos = _pos(F.col("a"), F.col("b"), j)
+        part = canon.select(
+            (pos - pos % 63).alias("__p0"),
+            F.pow(F.lit(2.0), (pos % 63).cast("int"))
+            .cast("long").alias("__mask"))
+        build = part if build is None else build.unionByName(part)
+    words = F.broadcast(
+        build.select((F.col("__p0") / 63).cast("long").alias("__w"),
+                     "__mask")
+        .groupBy("__w").agg(F.bit_or("__mask").alias("__bits")))
+
+    maybe = wedges
+    keep = F.lit(True)
+    for j in range(probes):
+        pos = _pos(F.col("a"), F.col("c"), j)
+        maybe = (maybe
+                 .withColumn(f"__wd{j}", (pos - pos % 63))
+                 .withColumn(f"__mk{j}",
+                             F.pow(F.lit(2.0), (pos % 63).cast("int"))
+                             .cast("long"))
+                 .join(words.select(F.col("__w").alias(f"__w{j}"),
+                                    F.col("__bits").alias(f"__b{j}")),
+                       (F.col(f"__wd{j}") / 63).cast("long")
+                       == F.col(f"__w{j}"), "left"))
+        keep = keep & (F.col(f"__b{j}").isNotNull()
+                       & (F.col(f"__b{j}").bitwiseAND(F.col(f"__mk{j}"))
+                          == F.col(f"__mk{j}")))
+    maybe = maybe.where(keep).select("a", "b", "c")
+
+    tri = maybe.join(ac, (maybe["a"] == ac["a3"])
+                     & (maybe["c"] == ac["c3"])).select("a", "b", "c")
     return (tri.groupBy("a")
             .agg(F.count(F.lit(1)).alias("n_triangles")))

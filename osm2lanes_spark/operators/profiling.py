@@ -40,6 +40,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
+from ..util import spread as _spread  # single-file-scan guard (guide §2.5):
+# a one-row-group parquet file scans as ONE task, so every explode /
+# regex / md5 pass fused into the scan stage runs single-threaded
+# regardless of cluster width; spreading first is a no-op once input
+# partitions reach the session parallelism (the 100 TB case).
 
 
 def ngrams(text: Column, n: int, lowercase: bool = True) -> Column:
@@ -75,7 +80,7 @@ def ngram_counts(df: DataFrame, n: int = 2, text_col: str = "text",
     """Exact corpus-wide n-gram counts: ``(ngram, count)``. One explode +
     one hash aggregate (map-side partial combine — the shuffle carries
     per-task distinct n-grams, so hot n-grams are combined hardest)."""
-    grams = df.select(
+    grams = _spread(df, text_col).select(
         F.explode(ngrams(F.col(text_col), n, lowercase)).alias("ngram"))
     return grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("count"))
 
@@ -130,7 +135,7 @@ def ngram_overlap(corpus: DataFrame, reference: DataFrame, n: int = 8,
                  .withColumn("__hit", F.lit(1)))
     if broadcast_reference:
         ref_grams = broadcast(ref_grams)
-    doc_grams = corpus.select(
+    doc_grams = _spread(corpus, id_col).select(
         F.col(id_col),
         F.explode_outer(
             F.array_distinct(ngrams(F.col(text_col), n, lowercase)))
@@ -350,7 +355,7 @@ def with_unigram_logprob(df: DataFrame, text_col: str = "text",
                          "input — rename them or pass a different out=")
 
     fit_on = df if train is None else train
-    tok_train = fit_on.select(
+    tok_train = _spread(fit_on, text_col).select(
         F.explode(tokens(F.col(text_col))).alias("__tok"))
     vocab = tok_train.groupBy("__tok").agg(
         F.count(F.lit(1)).alias("__cnt"))
@@ -358,7 +363,7 @@ def with_unigram_logprob(df: DataFrame, text_col: str = "text",
         F.sum("__cnt").alias("__total"),
         F.count(F.lit(1)).alias("__v")))
 
-    scored_toks = df.select(
+    scored_toks = _spread(df, id_col).select(
         F.col(id_col),
         F.explode(tokens(F.col(text_col))).alias("__tok"))
     v = F.broadcast(vocab) if broadcast_vocab else vocab
@@ -470,8 +475,9 @@ def bm25_topk(df: DataFrame, terms: list[str], k: int = 10,
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     text = F.col(text_col)
-    base = (df.select(F.col(id_col),
-                      F.transform(tokens(text), F.lower).alias("_toks"))
+    base = (_spread(df, id_col)
+            .select(F.col(id_col),
+                    F.transform(tokens(text), F.lower).alias("_toks"))
             .withColumn("_dl", F.size(F.col("_toks")))
             .where(F.col("_dl") > 0))
     stats = F.broadcast(base.agg(
@@ -543,7 +549,7 @@ def bloom_build(reference: DataFrame, n: int = 8, m_bits: int = 1 << 20,
     to broadcast as gram strings: the bloom compresses any reference to
     ``m_bits`` bits at a false-positive rate you pick via m/k.
     """
-    grams = reference.select(
+    grams = _spread(reference, text_col).select(
         F.explode(F.array_distinct(ngrams(F.col(text_col), n, lowercase)))
         .alias("__gram"))
     js = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j")
@@ -587,7 +593,7 @@ def bloom_contamination(corpus: DataFrame, bloom: DataFrame,
     """
     from pyspark.sql.functions import broadcast
 
-    doc_grams = corpus.select(
+    doc_grams = _spread(corpus, id_col).select(
         F.col(id_col),
         F.explode_outer(
             F.array_distinct(ngrams(F.col(text_col), n, lowercase)))
@@ -672,7 +678,7 @@ def vocab_coverage(df: DataFrame, text_col: str = "text",
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
     col = F.col(text_col)
-    toks = df.select(
+    toks = _spread(df, text_col).select(
         F.explode(tokens(F.lower(col) if lowercase else col))
         .alias("token"))
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -704,9 +710,10 @@ def key_ngram_overlap(df: DataFrame, key_col: str, text_col: str = "text",
     count shuffles at most |keys|² partial rows. No all-pairs product
     anywhere.
     """
-    grams = (df.select(F.col(key_col).alias("key_a"),
-                       F.explode(ngrams(F.col(text_col), n, lowercase))
-                       .alias("gram"))
+    grams = (_spread(df, text_col)
+             .select(F.col(key_col).alias("key_a"),
+                     F.explode(ngrams(F.col(text_col), n, lowercase))
+                     .alias("gram"))
              .distinct())
     other = grams.select(F.col("key_a").alias("key_b"), "gram")
     return (grams.join(other, "gram")

@@ -240,9 +240,14 @@ def _gram_bucket_rows(df: DataFrame, text_col: str, ns: tuple[int, ...],
     (:func:`~osm2lanes_spark.operators.text.token_bucket` — any engine
     with md5 replays the features bit-for-bit)."""
     from .text import token_bucket
+    from ..util import spread as _sp
 
-    return (df.select(*ids, F.explode(_grams(F.col(text_col), ns))
-                      .alias("__gram"))
+    # spread first: the gram explode + md5 bucketing otherwise runs
+    # inside the (often single-task) scan stage — guide §2.5; no-op at
+    # real scale where input partitions exceed the session parallelism
+    return (_sp(df, text_col)
+            .select(*ids, F.explode(_grams(F.col(text_col), ns))
+                    .alias("__gram"))
             .select(*ids, token_bucket(F.col("__gram"), n_buckets, seed)
                     .alias("__bkt")))
 

@@ -45,7 +45,7 @@ def dbscan(points: DataFrame, eps_km: float, min_pts: int,
     """
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1: {min_pts!r}")
-    from ..util import tracked_checkpoint
+    from ..util import tracked_checkpoint, unpersist_blocks
 
     pts = points.select(F.col(id_col), F.col(lon).alias("lon"),
                         F.col(lat).alias("lat"))
@@ -56,7 +56,7 @@ def dbscan(points: DataFrame, eps_km: float, min_pts: int,
     # a LogicalRDD cut the distance-join subtree appears 3+ times in one
     # plan and Catalyst's sizeInBytes products compound doubly-
     # exponentially across the nested joins (BigInteger OOM, observed).
-    nbrs, _ = tracked_checkpoint(
+    nbrs, nbrs_ids = tracked_checkpoint(
         distance_join(left, right, eps_km)
         .where(F.col("__a") != F.col("__b"))
         .select("__a", "__b"))
@@ -79,6 +79,11 @@ def dbscan(points: DataFrame, eps_km: float, min_pts: int,
                 singles.select(F.col(id_col),
                                F.col(id_col).alias("cluster_id"),
                                F.lit(True).alias("is_core")))
+        # materialize the (small) label frame, then free the ε-graph
+        # blocks — the largest intermediate — instead of leaving them in
+        # block storage until plan GC (ADVICE r06; the r04 #5 pattern)
+        out, _ = tracked_checkpoint(out)
+        unpersist_blocks(points.sparkSession, nbrs_ids)
         return out
 
     # semi-joins, NOT broadcast: cores is O(points) at scale
@@ -107,7 +112,14 @@ def dbscan(points: DataFrame, eps_km: float, min_pts: int,
               .agg(F.min("cluster_id").alias("cluster_id"))
               .select(F.col("__a").alias(id_col), "cluster_id",
                       F.lit(False).alias("is_core")))
-    return core_lab.unionByName(border)
+    # materialize the (small) label frame, then free the ε-graph blocks
+    # — the largest intermediate — instead of leaving them in block
+    # storage until plan GC (ADVICE r06; the r04 #5 leak pattern). The
+    # eager checkpoint does the same work the caller's first action
+    # would, and the downstream cluster_stats join reads a flat leaf.
+    out, _ = tracked_checkpoint(core_lab.unionByName(border))
+    unpersist_blocks(points.sparkSession, nbrs_ids)
+    return out
 
 
 C_SCALE = 1_000_000  # coordinate quantum for order-exact centroid sums

@@ -654,15 +654,20 @@ def distance_join(left: DataFrame, right: DataFrame, radius_km: float,
     column collisions are the caller's to alias. Output = left columns +
     right columns (minus the right's coordinates) + ``dist_col``.
 
-    ``level`` defaults to the coarsest grid whose cell height ≥ the
-    radius (so dy == 1); pass a finer level to trade explode fan-out for
-    join selectivity when the data is dense.
+    ``level`` defaults to a grid whose cell height ≈ radius/4: the ring
+    then hugs the disc (candidate overshoot ≈ 2× the true-bounding-box
+    instead of the up-to-14× a radius-sized cell costs — measured on the
+    800 km self-join: ring 2278 deg² vs 163 deg² disc at the coarse
+    default). The explode fan-out grows to ~45-120 cells/row, but those
+    are narrow pre-join rows; the candidate rows they prune are wide
+    post-join rows (guide §2.3 — shuffle fewer bytes). Pass a coarser
+    level to trade back when samples are sparse.
     """
     if radius_km <= 0:
         raise ValueError(f"radius_km must be positive: {radius_km!r}")
     r_deg = radius_km / EARTH_RADIUS_KM * (180.0 / np.pi)
     if level is None:
-        level = max(1, min(14, int(np.floor(np.log2(180.0 / r_deg)))))
+        level = max(1, min(14, int(np.floor(np.log2(180.0 / r_deg))) + 2))
     n = 1 << level
     cell_h = 180.0 / n
     cell_w = 360.0 / n
@@ -684,7 +689,13 @@ def distance_join(left: DataFrame, right: DataFrame, radius_km: float,
                                 * F.lit(cell_w))).cast("int") + F.lit(1),
         F.lit(n // 2))
     lx, ly = _grid_xy(F.col(lon), F.col(lat), level)
-    base = (left
+    # spread the left side before the ring explode: a single-row-group
+    # parquet scan is ONE task, and everything from the explode through
+    # the cell join and haversine filter inherits that parallelism
+    # (guide §2.5/§6.1). No-op once input partitions ≥ the session's
+    # default parallelism (the 100 TB case).
+    from ..util import spread as _spread
+    base = (_spread(left, lon)
             .withColumn("__x", lx).withColumn("__y", ly)
             .withColumn("__dx", dx))
     # x wraps (antimeridian), y clamps (poles); array_distinct collapses

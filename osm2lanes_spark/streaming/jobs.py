@@ -229,6 +229,16 @@ def stream_geofence_counts(spark: SparkSession, input_dir: str,
     small (the usual geofence case); the stateful windowed count keys
     on (window, fence_id), so state size is fences × open windows, not
     events.
+
+    Granularity (ADVICE r06 #4, declared): counts are CELL-granular —
+    every event in a fence's covering cells is counted, including
+    points inside a cover cell but outside the exact polygon, so
+    boundary cells systematically over-count relative to true
+    containment. This matches the alerting use (cells are the index the
+    caller chose via ``level``; finer levels tighten the bound). For
+    exact hits, run the batch containment join's point-in-polygon
+    refine over the flagged windows downstream — a refine stage here
+    would put per-event polygon tests into the streaming hot path.
     """
     from ..spatial.joins import cell_expr
 

@@ -250,3 +250,49 @@ def test_compact_rewrites_small_files(spark, tmp_path):
                   t.read_at(spark, pre_id).collect()) == before_rows
     # incremental readers see the rewrite as one overwrite snapshot
     assert t.current_snapshot_id() == info["id"]
+
+
+def test_conditional_commit_detects_concurrent_append(spark, tmp_path):
+    """ADVICE r06 #2: an overwrite computed from a stale state must not
+    silently supersede a concurrent append — the expected-snapshot-id
+    check under the commit lock raises instead."""
+    import pytest
+
+    from osm2lanes_spark.io.snapshots import (ConcurrentCommitError,
+                                              SnapshotTable)
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(100), mode="append")
+    base = t.current_snapshot_id()
+    state = t.read(spark)
+    # a concurrent append lands between the read and the commit
+    t.commit(spark.range(100, 150), mode="append")
+    n_dirs_before = sum(1 for d in (tmp_path / "tbl").iterdir()
+                        if d.is_dir())
+    with pytest.raises(ConcurrentCommitError):
+        t.commit(state.repartition(1), mode="overwrite",
+                 expected_snapshot_id=base)
+    # the failed commit's data dir was cleaned up, no rows were lost
+    n_dirs_after = sum(1 for d in (tmp_path / "tbl").iterdir()
+                       if d.is_dir())
+    assert n_dirs_after == n_dirs_before
+    assert t.read(spark).count() == 150
+    # rebasing onto the advanced state commits fine
+    rebased = t.current_snapshot_id()
+    t.commit(t.read(spark).repartition(1), mode="overwrite",
+             expected_snapshot_id=rebased)
+    assert t.read(spark).count() == 150
+
+
+def test_compact_passes_conditional_commit(spark, tmp_path):
+    """compact() commits conditionally on the state it read — the happy
+    path still works end to end."""
+    from osm2lanes_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(3):
+        t.commit(spark.range(i * 10, (i + 1) * 10).repartition(2),
+                 mode="append")
+    info = t.compact(spark, target_file_bytes=1 << 30)
+    assert info["files_after"] == 1
+    assert t.read(spark).count() == 30
