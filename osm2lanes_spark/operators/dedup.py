@@ -453,7 +453,8 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
 
 def connected_components(pairs: DataFrame, left: str = "left_id",
                          right: str = "right_id",
-                         max_iter: int = 50, jumps: int = 3) -> DataFrame:
+                         max_iter: int = 50, jumps: int = 3,
+                         symmetric: bool = False) -> DataFrame:
     """Group near-duplicate pairs into clusters: (id, component) for every
     id appearing in ``pairs``, where ``component`` is the minimum member
     id — the canonical dedup survivor key.
@@ -481,10 +482,22 @@ def connected_components(pairs: DataFrame, left: str = "left_id",
     # the whole MinHash LSH — measured 2× its cost in one job)
     p, p_ids = tracked_checkpoint(
         pairs.select(F.col(left).alias("a"), F.col(right).alias("b")))
-    e, e_ids = tracked_checkpoint(
-        p.unionByName(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .dropDuplicates(["a", "b"]))
-    unpersist_blocks(spark, p_ids)  # e is materialized; p is superseded
+    # ``symmetric=True`` declares the input already contains BOTH
+    # directions of every edge with no duplicates (the dbscan ε-graph
+    # shape) — the mirror union + dropDuplicates would shuffle 2× the
+    # edges just to come back to the same relation, so skip it. (A
+    # pre-repartition by the join key would NOT help here: a
+    # localCheckpoint leaf does not carry output partitioning in
+    # Spark 4.1 — verified — so the per-round join re-exchanges
+    # regardless.)
+    if symmetric:
+        e, e_ids = p, p_ids
+    else:
+        e, e_ids = tracked_checkpoint(
+            p.unionByName(p.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+            .dropDuplicates(["a", "b"]))
+        unpersist_blocks(spark, p_ids)  # e materialized; p superseded
     labels, labels_ids = tracked_checkpoint(
         e.select(F.col("a").alias("id")).distinct()
         .select("id", F.col("id").alias("comp")))
@@ -1158,10 +1171,26 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     # spread first (single-file-scan guard): the shingle build, explode
-    # and every downstream join inherit the scan's task count otherwise
+    # and every downstream join inherit the scan's task count otherwise.
+    # Shingles are immediately FINGERPRINTED to xxhash64 longs: every
+    # downstream exchange, hash probe and the final set intersection
+    # then works on 8-byte keys instead of ~20-char strings (measured
+    # ~3× on the candidate/verify stage at sf1.0 — guide §2.3 narrower
+    # types). 64-bit fingerprint equality stands in for string equality
+    # — the same corpus-scale assumption the MinHash band join and
+    # duplicate_spans already ship with; set sizes and intersections
+    # (and hence the returned jaccard values) are unchanged absent a
+    # collision.
     s = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"))
+        F.array_sort(F.transform(
+            word_shingles(F.col(text_col), shingle_n),
+            lambda t: F.xxhash64(t))).alias("sh"))
+    # materialize once: s feeds the frequency pass AND both verify
+    # sides; prefix (below) feeds both candidate sides — without the
+    # cuts each appearance re-runs the whole shingle pipeline
+    # (measured 2 × ~65 core-s of duplicated subtree at sf1.0)
+    s = s.localCheckpoint(eager=True)
     toks = s.select("id", F.explode("sh").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     docs = (toks.join(freq, "tok")
@@ -1183,7 +1212,8 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
               .where(F.col("__p.freq") > 1)
               .select("id", "__sz",
                       (F.col("__i0") + 1).alias("__pos"),
-                      F.col("__p.tok").alias("tok")))
+                      F.col("__p.tok").alias("tok"))
+              .localCheckpoint(eager=True))
     a = prefix.select(F.col("id").alias("left_id"),
                       F.col("__sz").alias("__sza"),
                       F.col("__pos").alias("__pa"), "tok")
@@ -1210,12 +1240,19 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
             .where(F.lit(1) + F.least(F.col("__sza") - F.col("__pa"),
                                       F.col("__szb") - F.col("__pb"))
                    >= alpha)
-            .select("left_id", "right_id")
-            .distinct())
+            .select("left_id", "right_id"))
     lsh = s.select(F.col("id").alias("left_id"), F.col("sh").alias("__lsh"))
     rsh = s.select(F.col("id").alias("right_id"), F.col("sh").alias("__rsh"))
+    # verify FIRST, dedup after: a pair occurs once per shared prefix
+    # token (~1.03× duplication measured), so verifying duplicates costs
+    # ~3% extra intersections, while deduping first costs a hash
+    # aggregate keyed on ~19M candidate pairs — orders more state than
+    # the post-verify distinct over the (rare) surviving pairs
+    # (guide §2.3: aggregate the small thing). jaccard is a pure
+    # function of the pair, so duplicates collapse to identical rows.
     return (cand.join(lsh, "left_id").join(rsh, "right_id")
             .withColumn("jaccard",
                         F.round(jaccard(F.col("__lsh"), F.col("__rsh")), 6))
             .where(F.col("jaccard") >= threshold)
-            .select("left_id", "right_id", "jaccard"))
+            .select("left_id", "right_id", "jaccard")
+            .distinct())

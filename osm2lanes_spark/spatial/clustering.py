@@ -68,7 +68,8 @@ def dbscan(points: DataFrame, eps_km: float, min_pts: int,
     if min_pts <= 2:
         # every edge endpoint is core (deg ≥ 2 incl. self ⇒ core):
         # components over the raw edges, all members core
-        comp = connected_components(nbrs, left="__a", right="__b")
+        comp = connected_components(nbrs, left="__a", right="__b",
+                                    symmetric=True)
         singles = (pts.join(deg, pts[id_col] == deg["__a"], "left_anti")
                    if min_pts == 1 else None)
         out = comp.select(F.col("id").alias(id_col),
@@ -86,14 +87,25 @@ def dbscan(points: DataFrame, eps_km: float, min_pts: int,
         unpersist_blocks(points.sparkSession, nbrs_ids)
         return out
 
-    # semi-joins, NOT broadcast: cores is O(points) at scale
+    # broadcast the core-id side: it is bounded by DISTINCT POINTS
+    # (8-byte ids), while the side it gates is the ε-graph — points ×
+    # average degree rows. Shuffling the edge relation twice to avoid
+    # broadcasting the point-bounded set has the cost ratio backwards
+    # (measured at sf1.0: 2 × 13M-edge exchanges vs a 50k-id broadcast;
+    # guide §3.1). Beyond ~10^8 points the broadcast would need the
+    # planner's shuffle path again — at that scale revisit with a Bloom
+    # filter over core ids (§3.2), which this join shape accepts
+    # unchanged.
     core_edges = (nbrs
-                  .join(cores.withColumnRenamed("__core", "__a"),
+                  .join(F.broadcast(cores.withColumnRenamed("__core",
+                                                            "__a")),
                         "__a", "left_semi")
-                  .join(cores.withColumnRenamed("__core", "__b"),
+                  .join(F.broadcast(cores.withColumnRenamed("__core",
+                                                            "__b")),
                         "__b", "left_semi"))
     # isolated cores (no core neighbor) are their own cluster
-    comp = (connected_components(core_edges, left="__a", right="__b")
+    comp = (connected_components(core_edges, left="__a", right="__b",
+                                 symmetric=True)
             if not core_edges.isEmpty() else None)
     iso = (cores.join(core_edges.select(F.col("__a").alias("__core"))
                       .distinct(), "__core", "left_anti")
@@ -103,10 +115,15 @@ def dbscan(points: DataFrame, eps_km: float, min_pts: int,
     core_lab = labels.select(F.col("id").alias(id_col),
                              F.col("component").alias("cluster_id"),
                              F.lit(True).alias("is_core"))
+    # same points-vs-edges asymmetry: label and core-id tables are
+    # point-bounded, the probe side is the edge relation — broadcast
+    # the small sides so the border pass is map-side + one partial-
+    # combined aggregate instead of a full edge shuffle
     border = (nbrs
-              .join(core_lab.select(F.col(id_col).alias("__b"),
-                                    "cluster_id"), "__b")
-              .join(cores.withColumnRenamed("__core", "__a"),
+              .join(F.broadcast(core_lab.select(
+                  F.col(id_col).alias("__b"), "cluster_id")), "__b")
+              .join(F.broadcast(cores.withColumnRenamed("__core",
+                                                        "__a")),
                     "__a", "left_anti")
               .groupBy("__a")
               .agg(F.min("cluster_id").alias("cluster_id"))

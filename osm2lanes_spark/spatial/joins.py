@@ -673,8 +673,14 @@ def distance_join(left: DataFrame, right: DataFrame, radius_km: float,
     cell_w = 360.0 / n
     dy = int(r_deg / cell_h) + 1
 
+    from ..util import spread as _spread
     rx, ry = _grid_xy(F.col(lon), F.col(lat), level)
-    right_idx = (right
+    # spread the right side as well: when the planner broadcasts the
+    # exploded LEFT (BuildLeft — observed on the idw shape), the right
+    # side is the streamed one, and a single-row-group scan would run
+    # the whole probe+haversine pass on one task (37 s of 54 s at
+    # sf1.0). No-op once the input has real parallelism.
+    right_idx = (_spread(right, lon)
                  .withColumnRenamed(lon, "__rlon")
                  .withColumnRenamed(lat, "__rlat")
                  .withColumn("__cell", _cell_from_xy(
@@ -694,7 +700,6 @@ def distance_join(left: DataFrame, right: DataFrame, radius_km: float,
     # the cell join and haversine filter inherits that parallelism
     # (guide §2.5/§6.1). No-op once input partitions ≥ the session's
     # default parallelism (the 100 TB case).
-    from ..util import spread as _spread
     base = (_spread(left, lon)
             .withColumn("__x", lx).withColumn("__y", ly)
             .withColumn("__dx", dx))
