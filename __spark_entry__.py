@@ -1032,7 +1032,8 @@ def _q_curation_pipeline(spark, sf_dir):
     # spread before the scan-fused row gates: tokenize + langid + the
     # mixture explode otherwise run on the single-task scan of a
     # one-row-group file (guide §2.5; no-op at real input scale)
-    docs = spread(_read(spark, sf_dir, "documents"), "doc_id").withColumn(
+    docs = spread(_read(spark, sf_dir, "documents"), "doc_id",
+                  barrier=True).withColumn(
         "n_tokens", F.size(tokens(F.col("text"))))
     gated = docs.where((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000))
     en = with_langid(gated).where(F.col("lang_pred") == "en")

@@ -771,7 +771,7 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     # spread before the O(n_tokens · k) rolling-window build: fused into
     # a single-task scan it runs single-threaded (guide §2.5); no-op at
     # real scale
-    base = (_spread(df, id_col)
+    base = (_spread(df, id_col, barrier=True)
             .select(F.col(id_col), toks.alias("__toks"))
             .withColumn("__n", F.size("__toks"))
             .where(F.col("__n") >= k))

@@ -475,7 +475,7 @@ def bm25_topk(df: DataFrame, terms: list[str], k: int = 10,
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     text = F.col(text_col)
-    base = (_spread(df, id_col)
+    base = (_spread(df, id_col, barrier=True)
             .select(F.col(id_col),
                     F.transform(tokens(text), F.lower).alias("_toks"))
             .withColumn("_dl", F.size(F.col("_toks")))

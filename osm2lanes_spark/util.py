@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def spread(df: DataFrame, key_col: str) -> DataFrame:
+def spread(df: DataFrame, key_col: str, barrier: bool = False) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
     arrives in fewer partitions.
 
@@ -16,10 +16,22 @@ def spread(df: DataFrame, key_col: str) -> DataFrame:
     whole MinHash signature pass ran single-threaded at sf0.1). No-op
     shape at scale: big inputs already exceed default parallelism, so the
     extra shuffle only ever touches small inputs.
+
+    ``barrier=True`` additionally pins the spread with a LAZY
+    localCheckpoint so Catalyst cannot push later filters back below
+    the repartition. Without it, a filter on a derived heavy column
+    (``where(size(tokens(text)) >= 5)``) is substituted into the scan
+    side — the expensive expression then runs TWICE (pushed filter +
+    projection) with the first pass on the un-spread single task
+    (measured: the curation gate chain, 10 core-s on 2 tasks at sf1.0).
+    Only meaningful (and only applied) when the spread actually
+    repartitions, i.e. for small inputs — the checkpoint blocks are
+    bounded by that small slice and live until session GC.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target, F.col(key_col))
+        out = df.repartition(target, F.col(key_col))
+        return out.localCheckpoint(eager=False) if barrier else out
     return df
 
 
