@@ -2118,8 +2118,11 @@ def _q_mad_outliers(spark, sf_dir):
     so every comparison is engine-exact."""
     from osm2lanes_spark.operators.profiling import grouped_quantiles
     from osm2lanes_spark.operators.text import tokens
+    from osm2lanes_spark.util import spread
 
-    docs = (_read(spark, sf_dir, "documents")
+    # spread before the scan-fused tokenize (single-file-scan guard;
+    # no-op at real input scale)
+    docs = (spread(_read(spark, sf_dir, "documents"), "doc_id")
             .select("lang", F.size(tokens(F.col("text")))
                     .alias("n_tokens")))
     med = (grouped_quantiles(docs, "n_tokens", (0.5,), by="lang")

@@ -199,9 +199,23 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     if verify not in ("auto", "rescan", "candidate_first"):
         raise ValueError(f"unknown verify mode: {verify!r}")
     rows = num_hashes // bands
+    # 'auto' on a small or derived input always resolves to 'rescan'
+    # (the candidate_first probe below only runs for big bare scans) —
+    # resolve it NOW so the rescan path can materialize the shingle
+    # relation once: it otherwise evaluates three times (signature pass
+    # + both verify sides; measured 2 × ~30 core-s of duplicated
+    # shingling at sf1.0). candidate_first keeps the lazy relation —
+    # checkpointing a 100 TB corpus' shingles would be a full extra
+    # write for a pass that reads it once.
+    if verify == "auto":
+        nbytes = _input_bytes(df) if _is_bare_scan(df) else None
+        if nbytes is None or nbytes < min_rescan_bytes:
+            verify = "rescan"
     sh = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"))
+    if verify == "rescan":
+        sh = sh.localCheckpoint(eager=True)
     sig = (sh.select("id", F.explode("shingles").alias("shingle"))
            .groupBy("id")
            .agg(*[F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
@@ -224,18 +238,17 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
     checkpointed = False
     if verify == "auto":
-        nbytes = _input_bytes(df) if _is_bare_scan(df) else None
+        # still-auto here means a big bare scan (small/derived inputs
+        # resolved to 'rescan' above): worth one candidate
+        # materialization + a footer-only row count to decide
         verify = "rescan"
-        if nbytes is not None and nbytes >= min_rescan_bytes:
-            # large corpus: worth one candidate materialization + a
-            # footer-only row count to decide
-            cand = cand.localCheckpoint(eager=True)
-            checkpointed = True
-            n_ids = (cand.select(F.col("left_id").alias("id"))
-                     .union(cand.select(F.col("right_id")))
-                     .distinct().count())
-            if n_ids * 4 <= df.count():
-                verify = "candidate_first"
+        cand = cand.localCheckpoint(eager=True)
+        checkpointed = True
+        n_ids = (cand.select(F.col("left_id").alias("id"))
+                 .union(cand.select(F.col("right_id")))
+                 .distinct().count())
+        if n_ids * 4 <= df.count():
+            verify = "candidate_first"
 
     if verify == "candidate_first":
         # truncate the LSH lineage so the verify stage never re-runs it
