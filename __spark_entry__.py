@@ -2121,8 +2121,10 @@ def _q_mad_outliers(spark, sf_dir):
     from osm2lanes_spark.util import spread
 
     # spread before the scan-fused tokenize (single-file-scan guard;
-    # no-op at real input scale)
-    docs = (spread(_read(spark, sf_dir, "documents"), "doc_id")
+    # no-op at real input scale; byte-gated — the tokenize is linear in
+    # input, so tiny files run faster unspread than the exchange costs)
+    docs = (spread(_read(spark, sf_dir, "documents"), "doc_id",
+                   min_bytes=4 << 20)
             .select("lang", F.size(tokens(F.col("text")))
                     .alias("n_tokens")))
     med = (grouped_quantiles(docs, "n_tokens", (0.5,), by="lang")

@@ -106,6 +106,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 from ..util import spread as _spread  # shared single-file-scan guard
+from ..util import _input_bytes, _is_bare_scan  # moved to util (r07)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -114,50 +115,6 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def _is_bare_scan(df: DataFrame) -> bool:
-    """True iff the optimized plan is just a file relation (possibly under
-    Projects) — no Filter/Join/Aggregate/Generate. Only then do the input
-    files' byte size and the footer-backed ``count()`` honestly describe
-    the DataFrame (a filtered/derived input can report the unfiltered
-    files while a count would run its whole upstream pipeline —
-    ADVICE r03)."""
-    try:
-        node = df._jdf.queryExecution().optimizedPlan()
-        while node.getClass().getSimpleName() == "Project":
-            if node.children().size() != 1:
-                return False
-            node = node.children().apply(0)
-        return (node.children().size() == 0
-                and "Relation" in node.getClass().getSimpleName())
-    except Exception:
-        return False
-
-
-def _input_bytes(df: DataFrame):
-    """Total bytes of the DataFrame's input files (None when not a simple
-    file scan). Metadata only — no Spark job. Goes through the Hadoop
-    FileSystem API so s3a://, hdfs://, gs:// etc. resolve too — a
-    local-only stat would silently disable the large-corpus verify gate
-    exactly where it matters (round-3 review)."""
-    import os as _os
-
-    try:
-        files = df.inputFiles()
-        if not files:
-            return None
-        total = 0
-        jvm = df.sparkSession._jvm
-        hconf = df.sparkSession._jsc.hadoopConfiguration()
-        for p in files:
-            local = p.removeprefix("file:")
-            if _os.path.exists(local):  # fast path, no JVM round-trip
-                total += _os.path.getsize(local)
-            else:
-                path = jvm.org.apache.hadoop.fs.Path(p)
-                total += path.getFileSystem(hconf).getFileStatus(path).getLen()
-        return total
-    except Exception:
-        return None
 
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -355,7 +355,7 @@ def with_unigram_logprob(df: DataFrame, text_col: str = "text",
                          "input — rename them or pass a different out=")
 
     fit_on = df if train is None else train
-    tok_train = _spread(fit_on, text_col).select(
+    tok_train = _spread(fit_on, text_col, min_bytes=4 << 20).select(
         F.explode(tokens(F.col(text_col))).alias("__tok"))
     vocab = tok_train.groupBy("__tok").agg(
         F.count(F.lit(1)).alias("__cnt"))
@@ -363,7 +363,7 @@ def with_unigram_logprob(df: DataFrame, text_col: str = "text",
         F.sum("__cnt").alias("__total"),
         F.count(F.lit(1)).alias("__v")))
 
-    scored_toks = _spread(df, id_col).select(
+    scored_toks = _spread(df, id_col, min_bytes=4 << 20).select(
         F.col(id_col),
         F.explode(tokens(F.col(text_col))).alias("__tok"))
     v = F.broadcast(vocab) if broadcast_vocab else vocab
@@ -678,7 +678,7 @@ def vocab_coverage(df: DataFrame, text_col: str = "text",
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
     col = F.col(text_col)
-    toks = _spread(df, text_col).select(
+    toks = _spread(df, text_col, min_bytes=4 << 20).select(
         F.explode(tokens(F.lower(col) if lowercase else col))
         .alias("token"))
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))

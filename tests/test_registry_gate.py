@@ -127,3 +127,36 @@ def test_oracles_cover_registry():
             assert "rows-only" in doc, (
                 f"{name} has no oracle_sql entry and its docstring does "
                 "not declare the rows-only check")
+
+
+def test_coverage_table_matches_artifacts():
+    """COVERAGE.md's per-query provenance section (VERDICT r06 #5) must
+    agree with the committed artifacts: same query set, and each row's
+    round is the newest artifact carrying a green row for that query."""
+    union = {}
+    for _, gate in _artifacts():
+        union.update(gate)
+    path = REPO / "COVERAGE.md"
+    text = path.read_text()
+    assert "Per-query driver-gate provenance" in text, \
+        "COVERAGE.md lost its provenance section"
+    table = {}
+    for line in text.splitlines():
+        m = re.match(r"\| ([a-z0-9_]+) \| (r\d+|—) \|", line)
+        if m:
+            table[m.group(1)] = m.group(2)
+    registered = set(E.queries())
+    assert set(table) == registered, (
+        f"COVERAGE.md provenance rows drifted from the registry: "
+        f"missing={sorted(registered - set(table))[:5]} "
+        f"extra={sorted(set(table) - registered)[:5]}")
+    # recompute newest-green per query and compare
+    last = {}
+    for name, gate in _artifacts():
+        rn = int(re.search(r"r(\d+)", name).group(1))
+        for k, v in gate.items():
+            if v.get("err") is None and v.get("hash_match") is not False:
+                last[k] = rn
+    for q, cell in table.items():
+        want = f"r{last[q]:02d}" if q in last else "—"
+        assert cell == want, f"{q}: COVERAGE.md says {cell}, artifacts say {want}"
