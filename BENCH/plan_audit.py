@@ -279,14 +279,18 @@ WindowGroupLimit — each map task keeps only k rows per doc BEFORE the
 doc-id shuffle. Plan-asserted.""",
     "curation_pipeline": """\
 The end-to-end curation DAG (token gate -> langid -> mixture -> train
-split -> packing -> pack stats) in ONE lazy plan: Catalyst fuses all
-three row-level gates into a single Filter ON the FileScan (the langid
-argmax and both md5-uniform draws are scan-stage expressions), the
-mixture explode is narrow above it, and the only exchanges are the
-packer's documented range+hash pair plus the final two-phase
-count-distinct aggregate. Zero Python stages. A 100 TB corpus pays one
-scan + the packer's shuffles — no per-stage materialization.
-Plan-asserted (no Exchange between the mixture Generate and the scan).""",
+split -> packing -> pack stats): since r07 the three row-level gates
+fuse into ONE Filter above the SPREAD barrier (Scan ExistingRDD — the
+lazy-localCheckpoint repartition that parallelizes the tokenize/langid
+and pins the token-gate filter ABOVE the exchange; without it Catalyst
+pushed the gate below the repartition and ran the regex twice, once on
+the single-task scan). The mixture explode is narrow above the gate;
+the only other exchanges are the packer's documented range+hash pair
+plus the final two-phase count-distinct aggregate. Zero Python stages.
+At 100 TB the spread is a no-op (input partitions already exceed the
+session parallelism) and the corpus pays one scan + the packer's
+shuffles. Plan-asserted (no Exchange between the mixture Generate and
+the barrier leaf).""",
     "lanes_pipeline": """\
 ONE Python stage, ZERO Exchange: span assembly (Catalyst HOFs), the JVM
 morton-cell encode, and the Arrow-batched tags_to_lanes kernel with fused
@@ -309,9 +313,12 @@ the id, never a cross product.""",
 Signatures: explode(shingles) -> HashAggregate with 64 min() buffers —
 the per-hash work stays inside WholeStageCodegen with map-side partial
 aggregation (see BENCH/BASELINE.md for the two rejected pure-expression
-rewrites). Candidates: self-equi-join on (band, band_hash) — only
-colliding bands co-shuffle; never an all-pairs product. Exact-Jaccard
-verification re-joins the shingle arrays by id for candidates only.""",
+rewrites). In rescan mode the shingle relation checkpoints ONCE (Scan
+ExistingRDD — it previously re-evaluated for the signature pass and
+both verify sides; r07). Candidates: self-equi-join on (band,
+band_hash) — only colliding bands co-shuffle; never an all-pairs
+product. Exact-Jaccard verification re-joins the shingle arrays by id
+for candidates only.""",
     "ann_ivf_nprobe4": """\
 Centroid selection is one long-buffer HashAggregate + broadcast
 join-back (never a corpus sort); corpus->centroid assignment is a
@@ -398,9 +405,12 @@ vector side by cell id — rasterize-then-join, never point-in-polygon per
 event row.""",
     "distance_pairs": """\
 Within-radius join: each left row explodes to its per-row reachable
-cell ring (lon width adapts to latitude; antimeridian wraps), then ONE
-cell equi-join against the indexed right side and the codegen'd
-haversine filter — no CartesianProduct/BNLJ anywhere, no Python.""",
+cell ring (lon width adapts to latitude; antimeridian wraps; cell ≈
+radius/4 since r07, so the ring hugs the search disc — ~2x candidate
+overshoot instead of up to 14x at the old radius-sized cells), then
+ONE cell equi-join against the indexed right side and the codegen'd
+haversine filter — no CartesianProduct/BNLJ anywhere, no Python; both
+sides spread (no-op at real input scale).""",
     "geohash_binning": """\
 Geohash encode is the same Morton bit-spread chain as the grid cells
 plus a base32 array lookup — all JVM bit arithmetic inside
@@ -413,7 +423,12 @@ is the final materialized distance leaf.""",
     "triangles": """\
 a<b<c orientation finds each triangle once: two hash equi-joins over
 the canonical checkpointed edge leaf + one partial-combined count —
-no cross product; hub vertices ride AQE skew splits.""",
+no cross product; hub vertices ride AQE skew splits. r07: a broadcast
+packed-63-bit-word Bloom filter over the edge keys (15 bits/edge, k=2,
+sized from the checkpointed edge count) drops ~97% of wedges BEFORE
+the closing-edge exchange — the wedge set (sum_b in(b)·out(b), ~40x
+the edges on the co-purchase graph) no longer shuffles; the unchanged
+exact join removes the false positives.""",
     "trips": """\
 Trip segmentation: lag window, running break count and the per-trip
 roll-up all share ONE entity-keyed exchange; cross-cut steps are
@@ -452,9 +467,13 @@ targets (constant fan-out), ONE map-side-combined regroup on the target
 cell. Integer-quantized values keep the sums order-exact.""",
     "idw_events": """\
 IDW interpolation = the distance-join candidate set (cell ring explode
-+ ONE equi-join) followed by one map-side-combined integer-sum aggregate
-keyed on the query point — weights and values quantized so the mean is
-partitioning-order exact.""",
++ ONE equi-join; both sides spread since r07 — the planner builds the
+exploded point side as broadcast, so the sample side is the STREAMED
+one and a single-task sample scan serialized the whole probe; ring
+cells ≈ radius/4 so the candidate overshoot is ~2x not ~6x) followed
+by one map-side-combined integer-sum aggregate keyed on the query
+point — weights and values quantized so the mean is partitioning-order
+exact.""",
     "trajectories": """\
 Per-user trace roll-up: the lag window and the summary aggregate share
 a single entity-keyed exchange; step distances quantize to integers
@@ -465,12 +484,18 @@ DBSCAN→zonal composition: converged labels equi-join the points once,
 then one map-side-combined aggregate per cluster (counts, bbox,
 quantized-sum centroid).""",
     "dbscan_clusters": """\
-Dumped plan = the final border-assignment join (ε-graph + components are
-driver-side rounds over checkpointed blocks). The ε-graph is ONE grid
-equi-join (distance_pairs shape); cores are one map-side-combined degree
-agg; components converge by pointer jumping with capped leaf stats
-(util._cap_leaf_stats — the stored sizeInBytes would otherwise square
-per round).""",
+Dumped plan = the final checkpointed label leaf (ε-graph, components
+and border assignment run as driver-side rounds over checkpointed
+blocks; the leaf is materialized so the ε-graph blocks can be freed —
+ADVICE r06 #5). The ε-graph is ONE grid equi-join (distance_pairs
+shape, both sides spread, cell ≈ radius/4 since r07); cores are one
+map-side-combined degree agg; the point-bounded core-id/label tables
+BROADCAST into the core-edge semi-joins and the border join (the
+avoided shuffles are O(points x degree)); components pass
+symmetric=True (the ε-graph already carries both directions — skips
+the mirror-union+dedup) and broadcast the per-round labels only when
+the graph is dense (avg degree >= 8, A/B'd both ways), with capped
+leaf stats (util._cap_leaf_stats).""",
     "cdc_merge": """\
 MERGE INTO semantics: the three-arm merge is ONE full-outer
 SortMergeJoin on the key (the change batch here derives from the base
@@ -582,11 +607,15 @@ keys on the GRAM with per-gram fan-out bounded by |keys| (never rows),
 and the final count shuffles ≤ |keys|² partial rows. No all-pairs
 product of documents anywhere.""",
     "fuzzy_names": """\
-Blocked Levenshtein entity resolution, band flavor: an ordinary hash
-equi-join on the (nation, segment) block key (no ordering requirement
-— AQE skew split applies), the length-band filter prunes |len gap| > t
-pairs BEFORE any distance call, and the JVM levenshtein runs inside
-whole-stage codegen — zero Python, zero crossJoin. Band is the
+Blocked Levenshtein entity resolution, band flavor: both sides SPREAD
+before the block join (r07 — the block-squared pair fan-out otherwise
+ran on the single-task scan of a one-row-group file: 512.9 s at the
+driver's sf1.0, 13 s spread), then an ordinary hash equi-join on the
+(nation, segment) block key (no ordering requirement — AQE skew split
+applies). The length-band filter prunes |len gap| > t pairs BEFORE any
+distance call and the distance is the BANDED levenshtein(a, b, t)
+(O(t·n) early-abandon, -1 past the bound — exact for survivors), all
+inside whole-stage codegen — zero Python, zero crossJoin. Band is the
 measured winner on this DENSE ID-like corpus (candidates ≈ output);
 method='segment' (PassJoin pigeonhole — same result set, equivalence
 pinned in tests) is the default and the only feasible path in the
@@ -619,13 +648,17 @@ corpus is never sorted.""",
     "jaccard_prefix": """\
 PPJoin prefix-filtered Jaccard join — the scale path for the all-pairs
 ngram_jaccard baseline (lossless: equivalence pinned in
-tests/test_training_ops.py). One explode + map-side-combined token
-frequency; one hash join back on the token (AQE-splittable, no
-ordering); a per-doc sort of its OWN (freq, tok) structs gives the
-canonical rare-first order with NO global rank or sort; candidates
-come from an equi-join on prefix tokens with the min>=t*max length
-prune, and exact Jaccard verifies candidates only. Zero cross
-products — plan-asserted.""",
+tests/test_training_ops.py). r07 shape: shingles fingerprint to
+xxhash64 longs up front (8-byte keys in every exchange/probe/
+intersection — the MinHash-band fingerprint-equality assumption); the
+shared shingle and prefix relations checkpoint once (Scan ExistingRDD
+leaves — each previously re-evaluated per join side); candidates come
+from an equi-join on prefix tokens with the min>=t*max size prune AND
+the PPJoin positional filter (1 + min(sz-pos) >= ceil(t/(1+t)·(sza+
+szb)) — a true pair's first shared token always passes, so the pair
+set is unchanged); exact Jaccard verifies BEFORE the distinct so the
+dedup aggregate keys on surviving pairs only. Zero cross products —
+plan-asserted.""",
 }
 
 

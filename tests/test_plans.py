@@ -179,12 +179,17 @@ def test_exact_packing_plan_distributed(spark, sf_dir):
 def test_ngram_topk_plan_partial_agg_no_full_sort(spark, sf_dir):
     """Heavy hitters must be TakeOrderedAndProject over a map-side-
     combined aggregate: no global Sort of the count table, one shuffle
-    keyed by the ngram, scan pruned to the text column."""
+    keyed by the ngram (plus, on a small single-file input, the r07
+    spread repartition that parallelizes the gram explode — a
+    REPARTITION exchange, never a second aggregate shuffle), scan
+    pruned to the text column."""
     q = E.queries()["ngram_topk"](spark, sf_dir)
     plan = _plan(q)
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial_count" in plan, plan
-    assert plan.count("Exchange") == 1, plan
+    agg_exchanges = plan.count("Exchange") \
+        - plan.count("Exchange hashpartitioning(text")
+    assert agg_exchanges == 1, plan
     assert "ReadSchema: struct<text:string>" in plan, plan
     # no full sort stage — the top-k merge is the only ordering
     assert "Sort " not in plan, plan
@@ -207,22 +212,26 @@ def test_token_quantiles_plan_histogram_shaped(spark, sf_dir):
     assert agg > win, plan
 
 
-def test_curation_pipeline_gates_fused_into_scan_stage(spark, sf_dir):
+def test_curation_pipeline_gates_fused_into_spread_stage(spark, sf_dir):
     """The composite pipeline's row-level stages (token gate, langid
-    gate, mixture explode, split filter) must all fuse into the scan
-    stage — no Exchange may appear below the first Generate(explode) —
-    and no Python stage exists anywhere (every gate is a Catalyst
-    expression)."""
+    gate, mixture explode, split filter) must all fuse into ONE stage —
+    since r07 that stage sits above the spread barrier (a Scan
+    ExistingRDD leaf: the lazy-localCheckpoint repartition that
+    parallelizes the gates and pins the token-gate filter ABOVE the
+    exchange, guide §2.5/§4.4), not the raw file scan. No Exchange may
+    appear between the mixture explode and that leaf, exactly one fused
+    Filter runs there, and no Python stage exists anywhere (every gate
+    is a Catalyst expression)."""
     q = E.queries()["curation_pipeline"](spark, sf_dir)
     plan = _plan(q)
     assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     # the mixture explode is the FIRST Generate in the tree string; its
-    # branch prints contiguously down to its leaf, so between it and the
-    # documents FileScan there must be only narrow ops (the fused
-    # token/langid/split Filter + Projects) — no Exchange
+    # branch prints contiguously down to its leaf (the spread barrier),
+    # so between it and that leaf there must be only narrow ops (the
+    # fused token/langid/split Filter + Projects) — no Exchange
     gen = plan.index("Generate explode")
-    scan = plan.index("FileScan parquet", gen)
+    scan = plan.index("Scan ExistingRDD", gen)
     branch = plan[gen:scan]
     assert "Exchange" not in branch, branch
     assert branch.count("Filter ") == 1, branch
