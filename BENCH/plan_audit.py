@@ -423,12 +423,14 @@ is the final materialized distance leaf.""",
     "triangles": """\
 a<b<c orientation finds each triangle once: two hash equi-joins over
 the canonical checkpointed edge leaf + one partial-combined count —
-no cross product; hub vertices ride AQE skew splits. r07: a broadcast
-packed-63-bit-word Bloom filter over the edge keys (15 bits/edge, k=2,
-sized from the checkpointed edge count) drops ~97% of wedges BEFORE
-the closing-edge exchange — the wedge set (sum_b in(b)·out(b), ~40x
-the edges on the co-purchase graph) no longer shuffles; the unchanged
-exact join removes the false positives.""",
+no cross product; hub vertices ride AQE skew splits. r07: on graphs past 2M
+edges a broadcast packed-63-bit-word Bloom filter over the edge keys
+(15 bits/edge, k=2, sized from the checkpointed edge count) drops ~97%
+of wedges BEFORE the closing-edge exchange — the wedge set
+(sum_b in(b)·out(b), ~40x the edges on the co-purchase graph) no
+longer shuffles; the unchanged exact join removes the false positives.
+Below 2M edges the filter build costs more than the wedge shuffle it
+saves (A/B at sf0.1) and the plan goes straight to the exact join.""",
     "trips": """\
 Trip segmentation: lag window, running break count and the per-trip
 roll-up all share ONE entity-keyed exchange; cross-cut steps are

@@ -312,6 +312,16 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     m_bits = 1 << max(16, min(27, int(15 * max(1, n_edges)).bit_length()))
     probes = 2
 
+    if n_edges < 2_000_000:
+        # small graph: the filter build (two edge passes + the word
+        # aggregate + a broadcast) costs more than the wedge shuffle it
+        # saves (measured +1.5 s on the sf0.1 leg); go straight to the
+        # exact join
+        tri = wedges.join(ac, (wedges["a"] == ac["a3"])
+                          & (wedges["c"] == ac["c3"])).select("a", "b", "c")
+        return (tri.groupBy("a")
+                .agg(F.count(F.lit(1)).alias("n_triangles")))
+
     def _pos(x: Column, y: Column, j: int) -> Column:
         return F.pmod(F.xxhash64(F.lit(j), x, y), F.lit(m_bits))
 
