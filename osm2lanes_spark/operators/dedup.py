@@ -423,7 +423,7 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
 
 def connected_components(pairs: DataFrame, left: str = "left_id",
                          right: str = "right_id",
-                         max_iter: int = 50, jumps: int = 3,
+                         max_iter: int = 50, jumps: int = 5,
                          symmetric: bool = False) -> DataFrame:
     """Group near-duplicate pairs into clusters: (id, component) for every
     id appearing in ``pairs``, where ``component`` is the minimum member
@@ -504,7 +504,10 @@ def connected_components(pairs: DataFrame, left: str = "left_id",
         # compressions per round: each halves remaining label-chain
         # length, so path-shaped graphs (geographic chains — the dbscan
         # ε-graph) converge in ~log_{2^jumps} rounds instead of ~log₂;
-        # measured on a 2048-node path: 12 rounds → 5 at jumps=3. Each
+        # measured on a 2048-node path: 12 rounds → 5 at jumps=3, and
+        # the r07 A/B at both bench sizes prefers jumps=5 (each ROUND
+        # costs fixed driver-sequential jobs — checkpoint + change-join
+        # — that dominate the in-plan jump joins on label tables). Each
         # extra jump is one node-keyed self-join of the (small) labels
         # relation per round; halving the round count halves the count
         # of edge-relation joins — the expensive side at scale.
