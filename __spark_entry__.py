@@ -1804,7 +1804,14 @@ def _q_sssp_costs(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
     cust = _read(spark, sf_dir, "customer")
-    base = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+    op = orders.select("o_orderkey", "o_custkey")
+    lp = li.select("l_orderkey", "l_suppkey", "l_extendedprice")
+    # SHUFFLE_HASH: same rationale as _q_pagerank (serial broadcast
+    # build + serial 1-task probe under BHJ; the un/redirected union
+    # evaluates this subtree twice, and SHJ's exchanges are reused
+    # across the two legs while a broadcast build is serial each time)
+    base = (op.hint("SHUFFLE_HASH")
+            .join(lp, op["o_orderkey"] == lp["l_orderkey"])
             .select((F.col("o_custkey") * 2).alias("c"),
                     (F.col("l_suppkey") * 2 + 1).alias("s"),
                     F.round(F.col("l_extendedprice") * F.lit(100.0))
@@ -1850,7 +1857,18 @@ def _q_pagerank(spark, sf_dir):
 
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
-    edges = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+    op = orders.select("o_orderkey", "o_custkey")
+    lp = li.select("l_orderkey", "l_suppkey")
+    # SHUFFLE_HASH (guide §3.1): the planner otherwise broadcasts the
+    # million-row orders side, which serializes BOTH the driver-side
+    # hashed-relation build and the single-row-group probe pipeline
+    # onto one thread; a shuffled-hash join parallelizes join+distinct
+    # after sub-second map writes (r07 A/B at sf1.0: 6.4-10.6 -> 2.2-
+    # 3.2 s for the edge build). At real scale neither side fits a
+    # broadcast anyway, and AQE skew handling still splits SHJ
+    # partitions. Same rows out — join strategy only.
+    edges = (op.hint("SHUFFLE_HASH")
+             .join(lp, op["o_orderkey"] == lp["l_orderkey"])
              .select((F.col("o_custkey") * 2).alias("src"),
                      (F.col("l_suppkey") * 2 + 1).alias("dst"))
              .distinct())
@@ -2271,7 +2289,12 @@ def _q_supplier_reach(spark, sf_dir):
 
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
-    edges = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+    op = orders.select("o_orderkey", "o_custkey")
+    lp = li.select("l_orderkey", "l_suppkey")
+    # SHUFFLE_HASH: same rationale as _q_pagerank (serial broadcast
+    # build + serial 1-task probe under BHJ)
+    edges = (op.hint("SHUFFLE_HASH")
+             .join(lp, op["o_orderkey"] == lp["l_orderkey"])
              .select((F.col("o_custkey") * 2).alias("src"),
                      (F.col("l_suppkey") * 2 + 1).alias("dst"))
              .distinct())
