@@ -1709,8 +1709,11 @@ def _q_order_priority(spark, sf_dir):
     subquery re-scan."""
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
-    returned = li.where(F.col("l_returnflag") == "R")
-    deep = li.where(F.col("l_discount") > 0.08)
+    # SHUFFLE_HASH: the planner otherwise broadcasts the ~25%-of-
+    # lineitem filtered key sets (serial relation builds; r07 A/B at
+    # sf1.0: 1.45 -> 0.95 s). Semi/anti semantics unchanged.
+    returned = li.where(F.col("l_returnflag") == "R").hint("SHUFFLE_HASH")
+    deep = li.where(F.col("l_discount") > 0.08).hint("SHUFFLE_HASH")
     kept = (orders
             .join(returned,
                   orders["o_orderkey"] == returned["l_orderkey"],
@@ -1750,7 +1753,11 @@ def _q_cust_order_dist(spark, sf_dir):
     partial-combine map-side."""
     cust = _read(spark, sf_dir, "customer")
     orders = _read(spark, sf_dir, "orders")
-    o = orders.where(F.col("o_orderpriority") != "1-URGENT")
+    # SHUFFLE_HASH: the left-outer build side is the ~million-row
+    # filtered orders set — serial broadcast build otherwise (r07 A/B
+    # at sf1.0: 1.1 -> 0.6 s)
+    o = (orders.where(F.col("o_orderpriority") != "1-URGENT")
+         .hint("SHUFFLE_HASH"))
     per_cust = (cust.join(o, cust["c_custkey"] == o["o_custkey"],
                           "left_outer")
                 .groupBy("c_custkey")
@@ -1965,6 +1972,12 @@ def _q_nation_pairs(spark, sf_dir):
                        F.col("n_name").alias("supp_nation"))
     cn = nation.select(F.col("n_nationkey").alias("c_nk"),
                        F.col("n_name").alias("cust_nation"))
+    # SHUFFLE_HASH on the fact-fact join (guide §3.1): the planner
+    # otherwise broadcasts the million-row orders side — a serial
+    # driver-side relation build plus a serial single-row-group probe
+    # pipeline (r07 A/B at sf1.0: 6.3 -> 2.3 s); the dims stay
+    # broadcast. Strategy only — same rows out.
+    orders = orders.hint("SHUFFLE_HASH")
     return (li
             .join(orders, li["l_orderkey"] == orders["o_orderkey"])
             .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
@@ -2355,6 +2368,9 @@ def _q_market_share(spark, sf_dir):
                                    F.col("n_name").alias("supp_nation")))
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
         .cast("decimal(18,6)")
+    # SHUFFLE_HASH: same serial-broadcast-build rationale as
+    # _q_nation_pairs (r07 A/B at sf1.0: 2.8 -> 2.1 s)
+    orders = orders.hint("SHUFFLE_HASH")
     j = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
          .join(cust, orders["o_custkey"] == cust["c_custkey"])
          .join(cn, cust["c_nationkey"] == F.col("ck"))
