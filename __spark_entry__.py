@@ -2068,7 +2068,12 @@ def _q_small_qty_revenue(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     part = _read(spark, sf_dir, "part")
     avgq = (li.groupBy("l_partkey")
-            .agg(F.avg("l_quantity").alias("__avg_qty")))
+            .agg(F.avg("l_quantity").alias("__avg_qty"))
+            # SHUFFLE_HASH: the 200k-row per-part average otherwise
+            # broadcasts, leaving the 6M-row probe fused into the
+            # single-row-group scan's one task (r07 A/B at sf1.0:
+            # 2.2-4.7 -> 1.8-2.5 s)
+            .hint("SHUFFLE_HASH"))
     return (li.join(avgq, "l_partkey")
             .where(F.col("l_quantity")
                    < F.lit(0.2) * F.col("__avg_qty"))
