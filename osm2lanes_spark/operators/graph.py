@@ -292,8 +292,17 @@ def triangle_counts(edges: DataFrame, src: str = "src",
              .distinct())
     canon = _cap_leaf_stats(canon.localCheckpoint(eager=True))
     ab = canon
-    bc = canon.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    ac = canon.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    # SHUFFLE_HASH on the wedge and closing joins (guide §3.1): the
+    # edge relation is either broadcast (serial relation build at the
+    # 1M-edge scale) or sort-merge joined (two 9M-row sorts at the
+    # sf1.0 scale); a shuffled hash join needs neither — per-partition
+    # build is |edges|/partitions rows, and AQE still skew-splits SHJ
+    # partitions for hub vertices (r07 A/B at sf1.0, per-JVM warm
+    # trials: 29-31 -> 25-28 s end-to-end).
+    bc = (canon.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+          .hint("SHUFFLE_HASH"))
+    ac = (canon.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+          .hint("SHUFFLE_HASH"))
     wedges = ab.join(bc, ab["b"] == bc["b2"]).select("a", "b", "c")
 
     # Bloom pre-filter on the closing edge (guide §3.2): the wedge set
