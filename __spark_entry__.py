@@ -126,6 +126,11 @@ def _q_region_revenue(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer")
     nation = F.broadcast(_read(spark, sf_dir, "nation"))
     region = F.broadcast(_read(spark, sf_dir, "region"))
+    # SHUFFLE_HASH on the fact-fact join: the planner otherwise
+    # broadcasts the million-row orders side (serial relation build +
+    # serial single-row-group probe; r07 A/B at sf1.0: 6.0 -> 2.1 s
+    # warm). The true dims below stay broadcast.
+    orders = orders.hint("SHUFFLE_HASH")
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .join(cust, orders.o_custkey == cust.c_custkey)
             .join(nation, cust.c_nationkey == nation.n_nationkey)
