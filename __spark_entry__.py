@@ -2001,19 +2001,21 @@ def _q_nation_pairs(spark, sf_dir):
 def _q_cheapest_supplier(spark, sf_dir):
     """Argmin-per-group (TPC-H Q2 shape without partsupp): for each
     part, the supplier offering the lowest line price, price ties
-    broken by supplier key. One window over the part-key shuffle; at
-    100 TB the partition key is the high-cardinality part key so no
-    single task sees more than one part's lines."""
-    from pyspark.sql import Window
-
+    broken by supplier key. A map-side-combined ``min(struct(price,
+    suppkey))`` aggregate — lexicographic struct ordering IS the
+    window's (price asc, suppkey asc) tie-break, so the result is
+    bit-identical to the r06 row_number formulation (A/B'd equal on
+    all 200k parts), but the shuffle carries one partial per (task,
+    part) instead of every line and the per-partition sort disappears
+    (guide §2.3 — r07: 9-10 s -> 1.3-1.8 s at sf1.0)."""
     li = _read(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_partkey").orderBy(
-        F.col("l_extendedprice").asc(), F.col("l_suppkey").asc())
-    return (li.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("l_partkey").alias("p_partkey"),
-                    F.col("l_suppkey").alias("best_suppkey"),
-                    F.round("l_extendedprice", 2).alias("best_price")))
+    best = (li.groupBy(F.col("l_partkey").alias("p_partkey"))
+            .agg(F.min(F.struct(F.col("l_extendedprice"),
+                                F.col("l_suppkey"))).alias("__b")))
+    return best.select("p_partkey",
+                       F.col("__b.l_suppkey").alias("best_suppkey"),
+                       F.round(F.col("__b.l_extendedprice"), 2)
+                       .alias("best_price"))
 
 
 def _q_vocab_coverage(spark, sf_dir):

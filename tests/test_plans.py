@@ -429,11 +429,14 @@ def test_scd2_plan_single_exchange(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, plan
 
 
-def test_cheapest_supplier_plan_group_limit_before_shuffle(spark, sf_dir):
-    """Argmin-per-group must pre-prune map-side: WindowGroupLimit keeps
-    each task's per-part top-1 BEFORE the single key exchange."""
+def test_cheapest_supplier_plan_partial_argmin_no_window(spark, sf_dir):
+    """Argmin-per-group is a map-side-combined min(struct) aggregate
+    (r07): partial_min runs before the single key exchange, and the
+    r06 window/sort machinery is gone entirely — the shuffle carries
+    one partial per (task, part) instead of every line."""
     plan = _plan(E.queries()["cheapest_supplier"](spark, sf_dir))
-    assert "WindowGroupLimit" in plan, plan
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
 
