@@ -2142,7 +2142,11 @@ def _q_idle_rich(spark, sf_dir):
                  / F.count(F.lit(1))).alias("__thr")))
     return (cust.crossJoin(F.broadcast(thr))
             .where(F.col("c_acctbal") > F.col("__thr"))
-            .join(orders.select(F.col("o_custkey").alias("__ck")),
+            # SHUFFLE_HASH: the anti-join otherwise broadcasts the
+            # 1.5M o_custkey keys (serial relation build; r07 A/B at
+            # sf1.0: 0.9-1.0 -> 0.7 s warm, 3.2 -> 1.4 cold)
+            .join(orders.select(F.col("o_custkey").alias("__ck"))
+                  .hint("SHUFFLE_HASH"),
                   F.col("c_custkey") == F.col("__ck"), "left_anti")
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("numcust"),
