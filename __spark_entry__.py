@@ -1847,7 +1847,13 @@ def _q_triangles(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     pl = li.select(F.col("l_orderkey").alias("o"),
                    F.col("l_partkey").alias("p")).distinct()
-    pr = pl.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    # SHUFFLE_HASH: the 6M⋈6M co-purchase pair join otherwise
+    # sort-merges (two full sorts); hash join skips them — per-
+    # partition build is |pl|/partitions rows and AQE still splits
+    # skewed orders (r07 per-JVM A/B at sf1.0: 29.0-31.9 → 24.3-28.6 s
+    # end-to-end warm)
+    pr = (pl.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+          .hint("SHUFFLE_HASH"))
     edges = (pl.join(pr, (pl["o"] == pr["o2"]) & (pl["p"] < pr["p2"]))
              .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
              .distinct())
